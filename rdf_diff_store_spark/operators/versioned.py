@@ -1,0 +1,182 @@
+"""Versioned-store operators — the reference's core contract.
+
+Reference semantics being reproduced (SURVEY.md §2A):
+
+* O-01 store_graph   (src/graphs.rs:35-79)  — idempotent upsert: skip
+  when the canonicalized document is byte-identical to current state.
+* O-02 delete_graph  (src/graphs.rs:82-93)  — tombstone.
+* O-06 checkout_timestamp (src/git.rs:151-189) — as-of resolution:
+  latest version <= t; empty store if t precedes history.
+* O-07 snapshot      (src/graphs.rs:96-135, src/query.rs:117-145) —
+  union of all live graphs at the checked-out commit.
+* O-08 diff          (implicit in git commit deltas, pinned by
+  tests/integration_test.rs:74-90) — added/removed between snapshots.
+* O-09 repo_metadata (src/git.rs:78-85) — first/last commit times.
+
+Spark design notes (scale):
+
+* The changelog is an append-only table. At 100 TB it is partitioned
+  by days(ts) — `snapshot_at` starts with `filter(ts <= t)`, which
+  Catalyst turns into partition pruning + parquet min/max skipping:
+  the distributed analog of the reference's binary search over sorted
+  commit times (src/git.rs:154-160).
+* latest-wins uses `max_by` hash aggregation (partial + final, no
+  sort) rather than a window: a window would sort every partition;
+  max_by does a map-side partial combine first, so the shuffle
+  carries at most one row per (graph_id) per input partition.
+* diff is a pair of anti-joins on the full triple key. Both sides
+  share the same hash-partitioning on the join key, so AQE can plan
+  one exchange per side; skewed keys are split by AQE skew-join.
+* Idempotent append anti-joins the incoming batch against the
+  *current* content hash per graph — broadcastable when the batch's
+  touched graph set is small, shuffle hash join otherwise (Catalyst
+  decides; we only declare the plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.turtle import canonicalize_udf
+
+TOMBSTONE = "delete"
+
+
+def canonical_changelog_row(updates: DataFrame) -> DataFrame:
+    """Normalize raw graph updates into changelog rows:
+    canonicalize payloads (prettifier analog, O-13) and stamp the
+    content hash that drives idempotence (O-01).
+    """
+    canon = F.when(F.col("op") == TOMBSTONE, F.lit(None).cast("string")).otherwise(
+        canonicalize_udf(F.col("payload"))
+    )
+    return updates.select(
+        "graph_id",
+        "ts",
+        "op",
+        canon.alias("payload"),
+    ).withColumn(
+        "content_hash",
+        F.when(F.col("op") == TOMBSTONE, F.lit(None).cast("string")).otherwise(
+            F.sha2(F.col("payload"), 256)
+        ),
+    )
+
+
+def current_state(changelog: DataFrame) -> DataFrame:
+    """Latest changelog row per graph_id (including tombstones).
+
+    max_by keeps the row with the greatest (ts, op, content_hash)
+    tiebreak so the result is deterministic even when two versions
+    share a timestamp (the reference can't hit this — commit time is
+    wall clock — but replayed crawl data can; SURVEY.md §7 hard-part 3).
+    """
+    ord_key = F.struct(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    return changelog.groupBy("graph_id").agg(
+        F.max_by(F.struct("ts", "op", "payload", "content_hash"), ord_key).alias("latest")
+    ).select("graph_id", "latest.ts", "latest.op", "latest.payload", "latest.content_hash")
+
+
+def append_updates(changelog: DataFrame, updates: DataFrame) -> DataFrame:
+    """O-01/O-02: idempotent append.
+
+    Returns changelog ∪ (accepted rows). An incoming 'add' is accepted
+    iff its canonical content hash differs from the graph's current
+    hash (reference skip-write, src/graphs.rs:52-61); an incoming
+    'delete' is accepted iff the graph currently exists (the reference
+    would fail to remove a missing file). Unchanged graphs emit no
+    rows — exactly the reference's "no new commit" behavior pinned by
+    test_no_diff (tests/integration_test.rs:96-125).
+
+    Implementation: left join incoming batch → current state on
+    graph_id, filter on hash inequality / liveness. The current-state
+    aggregate is small relative to the changelog (one row per graph)
+    and Catalyst will broadcast it when under the threshold.
+    """
+    incoming = canonical_changelog_row(updates)
+    cur = current_state(changelog).select(
+        "graph_id",
+        F.col("op").alias("_cur_op"),
+        F.col("content_hash").alias("_cur_hash"),
+    )
+    joined = incoming.join(cur, "graph_id", "left")
+    live = F.col("_cur_op").isNotNull() & (F.col("_cur_op") != TOMBSTONE)
+    accept_add = (F.col("op") != TOMBSTONE) & (
+        ~live | (F.col("_cur_hash") != F.col("content_hash"))
+    )
+    accept_del = (F.col("op") == TOMBSTONE) & live
+    accepted = joined.filter(accept_add | accept_del).select(
+        "graph_id", "ts", "op", "payload", "content_hash"
+    )
+    return changelog.unionByName(accepted)
+
+
+def apply_update_batches(changelog: DataFrame, batches: list[DataFrame]) -> DataFrame:
+    """Fold a sequence of micro-batches through append_updates — the
+    60 s batched-publish cadence (O-04, src/bin/rdf-diff-writer.rs:109-123)
+    expressed as successive transactional appends."""
+    for b in batches:
+        changelog = append_updates(changelog, b)
+    return changelog
+
+
+def snapshot_at(changelog: DataFrame, ts: str | Column) -> DataFrame:
+    """O-06 + O-07: graph state as of `ts` (inclusive).
+
+    filter(ts <= t)          — partition pruning ≙ binary search
+    max_by per graph         — latest-wins
+    drop tombstones          — delete semantics
+    If ts precedes all history the result is empty, matching
+    checkout_timestamp's Err(0) → empty-store behavior
+    (src/git.rs:157-158).
+    """
+    t = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
+    return (
+        current_state(changelog.filter(F.col("ts") <= t))
+        .filter(F.col("op") != TOMBSTONE)
+        .select("graph_id", "ts", "payload", "content_hash")
+    )
+
+
+def snapshot_triples(changelog: DataFrame, ts: str | Column) -> DataFrame:
+    """Snapshot expanded to triples (the store the reference queries:
+    src/query.rs:117-145). Bulk mapInPandas parse over the snapshot's
+    canonical payloads."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+
+    return parse_triples(snapshot_at(changelog, ts))
+
+
+def diff(changelog: DataFrame, t1: str | Column, t2: str | Column, *, on_triples: bool = True) -> DataFrame:
+    """O-08: added/removed between snapshot(t1) and snapshot(t2).
+
+    Bidirectional anti-join on the full key (north_rule: sort-merge
+    anti-joins between consecutive snapshots). Returns rows tagged
+    with `change` ∈ {'added','removed'}.
+
+    When on_triples=False the diff is at graph-version granularity
+    (graph_id, content_hash) — the exact information a git commit
+    delta carries in the reference.
+    """
+    if on_triples:
+        s1 = snapshot_triples(changelog, t1).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+        s2 = snapshot_triples(changelog, t2).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+        key = ["graph_id", "subj", "pred", "obj"]
+    else:
+        s1 = snapshot_at(changelog, t1).select("graph_id", "content_hash")
+        s2 = snapshot_at(changelog, t2).select("graph_id", "content_hash")
+        key = ["graph_id", "content_hash"]
+    added = s2.join(s1, key, "left_anti").withColumn("change", F.lit("added"))
+    removed = s1.join(s2, key, "left_anti").withColumn("change", F.lit("removed"))
+    return added.unionByName(removed)
+
+
+def metadata(changelog: DataFrame) -> DataFrame:
+    """O-09: {start_time, end_time} = first/last version times
+    (reference: src/git.rs:78-85, src/models/metadata.rs:14-20)."""
+    return changelog.agg(
+        F.min("ts").alias("start_time"), F.max("ts").alias("end_time")
+    )

@@ -1,0 +1,69 @@
+"""SparkSession factory.
+
+Local-mode settings tuned for the sandbox (local[N], single JVM) but
+every knob is chosen for cluster validity too: AQE on (runtime
+re-plan, skew-join splitting — the reference's hub-entity skew story,
+SURVEY.md §4), Arrow on (all our UDFs are pandas UDFs), UTC session
+timezone (oracle comparison vs DuckDB's UTC-naive timestamps), and
+shuffle partitions sized to cores rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "rdf_diff_store_spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or 32 — the reference's
+    reader concurrency is also 32 pooled repos / 32 workers
+    (reference: src/bin/rdf-query-cache.rs:137,170), which Spark
+    replaces with executor-thread parallelism.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 8)
+
+    # Executor Python workers must be able to import this package:
+    # module-level pandas UDFs are pickled by reference. Locally that
+    # means PYTHONPATH before the JVM/daemon start; on a cluster the
+    # same is done with `spark-submit --py-files rdf_diff_store_spark.zip`.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(":"):
+        os.environ["PYTHONPATH"] = f"{pkg_root}:{existing}" if existing else pkg_root
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()

@@ -1,0 +1,156 @@
+"""Transplants of the reference's integration tests + the delete /
+out-of-order semantics it implies but never tests (SURVEY.md §5).
+
+Reference tests (tests/integration_test.rs):
+  * `timestamps`  (lines 16-94): snapshots at pre/mid/post times
+    contain 0/1/2 graphs; time-travel works in both directions.
+  * `test_no_diff` (lines 96-125): storing an identical graph twice
+    yields exactly one version.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.operators.versioned import (
+    append_updates,
+    diff,
+    metadata,
+    snapshot_at,
+    snapshot_triples,
+)
+from rdf_diff_store_spark.schemas import CHANGELOG, GRAPH_UPDATES
+
+# Fixture Turtle mirrors tests/integration_test.rs:21-31 — one subject,
+# si:author / si:title string literals, pathological graph id.
+GRAPH_A_ID = "<#/(%¤=:"
+GRAPH_A = """@prefix si: <https://www.w3schools.com/rdf/> .
+<https://www.w3schools.com> si:author "Jan Egil Refsnes" ;
+    si:title "W3Schools" .
+"""
+GRAPH_B_ID = "graph-b"
+GRAPH_B = """@prefix si: <https://www.w3schools.com/rdf/> .
+<https://example.com/page> si:author "Someone Else" ;
+    si:title "Example" .
+"""
+
+T0, T1, T2, T3, T4 = (
+    "2024-01-01 00:00:00",
+    "2024-01-02 00:00:00",
+    "2024-01-03 00:00:00",
+    "2024-01-04 00:00:00",
+    "2024-01-05 00:00:00",
+)
+
+
+def empty_changelog(spark):
+    return spark.createDataFrame([], CHANGELOG)
+
+
+def updates(spark, rows):
+    import datetime as dt
+
+    coerced = [
+        (gid, dt.datetime.fromisoformat(ts), op, payload, "text/turtle")
+        for gid, ts, op, payload in rows
+    ]
+    return spark.createDataFrame(coerced, GRAPH_UPDATES)
+
+
+@pytest.fixture(scope="module")
+def changelog_ab(spark):
+    """Graph A committed at T1, graph B at T3 — the `timestamps` setup."""
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [(GRAPH_A_ID, T1, "add", GRAPH_A)]))
+    log = append_updates(log, updates(spark, [(GRAPH_B_ID, T3, "add", GRAPH_B)]))
+    return log.localCheckpoint()
+
+
+def test_timestamps_pre_mid_post(changelog_ab):
+    # reference assertions at tests/integration_test.rs:78,84,90
+    assert snapshot_at(changelog_ab, T0).count() == 0  # before history → empty
+    assert snapshot_at(changelog_ab, T2).count() == 1  # only A
+    assert snapshot_at(changelog_ab, T4).count() == 2  # A and B
+    # time-travel both directions (post → pre → mid ordering in the
+    # reference is about cache behavior; here re-evaluation is pure)
+    assert snapshot_at(changelog_ab, T4).count() == 2
+    assert snapshot_at(changelog_ab, T0).count() == 0
+
+
+def test_snapshot_triples_content(changelog_ab):
+    rows = snapshot_triples(changelog_ab, T2).collect()
+    assert len(rows) == 2
+    preds = {r.pred for r in rows}
+    assert preds == {
+        "https://www.w3schools.com/rdf/author",
+        "https://www.w3schools.com/rdf/title",
+    }
+    objs = {r.obj for r in rows}
+    assert objs == {"Jan Egil Refsnes", "W3Schools"}
+
+
+def test_no_diff_idempotent_write(spark):
+    # reference: tests/integration_test.rs:96-125 — identical payload
+    # twice (even with different surface formatting) → one version
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [("g", T1, "add", GRAPH_A)]))
+    reformatted = GRAPH_A.replace("\n    ", " ")  # same triples, new layout
+    log = append_updates(log, updates(spark, [("g", T2, "add", reformatted)]))
+    assert log.count() == 1  # exactly one commit
+    # the retained version is the FIRST one (T1) — the second write was a no-op
+    assert log.select("ts").first()[0].isoformat().startswith("2024-01-02")
+
+
+def test_changed_payload_appends_new_version(spark):
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [("g", T1, "add", GRAPH_A)]))
+    log = append_updates(log, updates(spark, [("g", T2, "add", GRAPH_B)]))
+    assert log.count() == 2
+    # snapshot picks latest
+    snap = snapshot_triples(log, T4)
+    assert snap.filter(F.col("obj") == "Example").count() == 1
+
+
+def test_delete_tombstone_and_readd(spark):
+    # intended delete semantics (reference delete_graph is buggy &
+    # untested — src/graphs.rs:82-93; we implement the intent)
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [("g", T1, "add", GRAPH_A)]))
+    log = append_updates(log, updates(spark, [("g", T2, "delete", None)]))
+    assert snapshot_at(log, T1).count() == 1
+    assert snapshot_at(log, T3).count() == 0  # deleted
+    log = append_updates(log, updates(spark, [("g", T3, "add", GRAPH_A)]))
+    assert snapshot_at(log, T4).count() == 1  # reappears
+
+
+def test_delete_missing_graph_is_noop(spark):
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [("g", T1, "delete", None)]))
+    assert log.count() == 0
+
+
+def test_diff_added_removed(changelog_ab, spark):
+    d = diff(changelog_ab, T2, T4)
+    assert d.filter(F.col("change") == "added").count() == 2  # graph B's 2 triples
+    assert d.filter(F.col("change") == "removed").count() == 0
+    d2 = diff(changelog_ab, T4, T2)  # reversed
+    assert d2.filter(F.col("change") == "removed").count() == 2
+    assert d2.filter(F.col("change") == "added").count() == 0
+
+
+def test_metadata_min_max(changelog_ab):
+    row = metadata(changelog_ab).first()
+    assert row.start_time.isoformat().startswith("2024-01-02")
+    assert row.end_time.isoformat().startswith("2024-01-04")
+
+
+def test_out_of_order_ingest(spark):
+    """Replayed crawl data arrives out of ts order (SURVEY.md §7
+    hard-part 3) — snapshots must still be latest-wins by event time."""
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [("g", T3, "add", GRAPH_B)]))
+    log = append_updates(log, updates(spark, [("g", T1, "add", GRAPH_A)]))
+    snap = snapshot_triples(log, T4)
+    assert snap.filter(F.col("obj") == "Example").count() == 1  # T3 wins
+    assert snapshot_at(log, T2).count() == 1  # T1 version visible at T2
