@@ -1,0 +1,92 @@
+"""Iterative graph operators: transitive closure (SPARQL property
+paths `p+`/`p*`) and connected components (entity canonicalization).
+
+Reference context: the reference exposes SPARQL 1.1 property paths via
+oxigraph (SURVEY.md §2B); connected components is required by the
+north_star's entity-canonicalization stage (MinHash-LSH candidate
+pairs → components = canonical entity ids).
+
+Scale design: both are join-to-fixpoint loops — the classic
+GraphFrames-style pattern. Each iteration `localCheckpoint()`s to
+truncate lineage (otherwise the plan tree doubles per iteration and
+the driver OOMs planning it long before data is a problem).
+
+* `transitive_closure` uses **doubling** (path length 1,2,4,8,...):
+  O(log diameter) shuffles instead of O(diameter) for the naive
+  edge-at-a-time expansion — at web scale diameter can be large but
+  log2(diameter) rarely exceeds ~6 joins.
+* `connected_components` is large-star/small-star-ish label
+  propagation to the minimum member id: O(log n) iterations expected;
+  every iteration is one self-join + one min-aggregation, both
+  hash-partitioned on the same key so AQE reuses the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """All pairs (src, dst) connected by a directed path (p+ semantics).
+
+    `edges` has columns (src, dst). Result is distinct (src, dst)
+    reachability pairs, path length >= 1.
+    """
+    closure = edges.select("src", "dst").distinct().localCheckpoint()
+    for _ in range(max_iterations):
+        # doubling: paths = closure ∪ (closure ⋈ closure)
+        hops = (
+            closure.alias("a")
+            .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        new_closure = closure.unionByName(hops).distinct().localCheckpoint()
+        new_count = new_closure.count()
+        if new_count == closure.count():
+            return new_closure
+        closure = new_closure
+    return closure
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """Undirected connected components by min-id label propagation.
+
+    `edges` has columns (src, dst); vertex ids must be orderable
+    (strings or longs). Returns (id, component) where component is the
+    minimum vertex id in the component — a deterministic canonical
+    representative, which is exactly what entity canonicalization
+    needs (same cluster → same canonical id on every run).
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # neighbor lists stay fixed; only labels iterate
+    sym = sym.distinct().localCheckpoint()
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # candidate label for each vertex = min(own, neighbors' labels)
+        neighbor_labels = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .select(F.col("src").alias("id"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

@@ -123,6 +123,28 @@ def apply_update_batches(changelog: DataFrame, batches: list[DataFrame]) -> Data
     return changelog
 
 
+def compact_changelog(changelog: DataFrame) -> DataFrame:
+    """Bulk-replay form of O-01 idempotence: drop versions whose
+    content is identical to the graph's *previous* version (lag over
+    ts). `append_updates` gives the same guarantee batch-by-batch;
+    this gives it in ONE pass over an already-assembled history —
+    the right shape when replaying a 100 TB crawl, where per-batch
+    folding would serialize the job. One window shuffle on graph_id.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("graph_id").orderBy(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    prev = F.lag(F.coalesce(F.col("content_hash"), F.lit("__tombstone__"))).over(w)
+    cur = F.coalesce(F.col("content_hash"), F.lit("__tombstone__"))
+    return (
+        changelog.withColumn("_prev", prev)
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != cur))
+        .drop("_prev")
+    )
+
+
 def snapshot_at(changelog: DataFrame, ts: str | Column) -> DataFrame:
     """O-06 + O-07: graph state as of `ts` (inclusive).
 

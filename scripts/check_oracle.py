@@ -1,0 +1,107 @@
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query on Spark AND its DuckDB oracle SQL, compare
+row count + column names + order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from rdf_diff_store_spark.schemas import TESTDATA_TABLES  # noqa: E402
+
+
+def normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            return round(v, 6)
+        if isinstance(v, (int, bool, str)):
+            return v
+        try:  # numpy scalars
+            return norm(v.item())
+        except AttributeError:
+            return str(v)
+
+    out = [tuple(norm(r[i]) for i in order) for r in rows]
+    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return out
+
+
+def compare(name, spark_df, con, sql):
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = spark_df.columns
+    o = con.sql(sql)
+    o_rows = [tuple(r) for r in o.fetchall()]
+    o_cols = list(o.columns)
+    problems = []
+    if sorted(s_cols) != sorted(o_cols):
+        problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
+    if len(s_rows) != len(o_rows):
+        problems.append(f"rowcount spark={len(s_rows)} oracle={len(o_rows)}")
+    if not problems:
+        sn, on = normalize(s_rows, s_cols), normalize(o_rows, o_cols)
+        if sn != on:
+            diffs = [(a, b) for a, b in zip(sn, on) if a != b][:3]
+            problems.append(f"values differ, first diffs: {diffs}")
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "8g")
+
+    import __spark_entry__ as entrymod
+    from rdf_diff_store_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        if name not in oracles:
+            print(f"{name}: NO-ORACLE (rows-only)", flush=True)
+            try:
+                n = fn(spark, sf_dir).count()
+                print(f"  rows={n}")
+            except Exception as e:  # noqa: BLE001
+                failed.append(name)
+                print(f"  SPARK ERROR: {e}")
+            continue
+        try:
+            problems = compare(name, fn(spark, sf_dir), con, oracles[name])
+        except Exception as e:  # noqa: BLE001
+            problems = [f"exception: {type(e).__name__}: {str(e)[:500]}"]
+        if problems:
+            failed.append(name)
+            print(f"{name}: FAIL", flush=True)
+            for p in problems:
+                print(f"  {p}")
+        else:
+            print(f"{name}: PASS", flush=True)
+    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
