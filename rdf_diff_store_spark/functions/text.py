@@ -1,0 +1,108 @@
+"""Deterministic text functions for the KG pipeline: boilerplate-
+stripping extraction (the input_hint per-row invariant: byte-identical
+extracted text per url — the transplant of the reference's prettify-
+equality idempotence contract, src/graphs.rs:52-61), language id,
+quality scoring, token counting, and fingerprinting.
+
+Extraction runs as an Arrow-batched pandas UDF (binary html in, string
+out); everything else is built-in JVM expressions exposed as Column
+helpers so the hot path stays inside whole-stage codegen.
+
+EXTRACTOR_VERSION must be bumped on any behavior change — the version
+is stamped into lineage metrics so a resumed run never mixes two
+extractor versions in one table.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EXTRACTOR_VERSION = "1"
+
+_HEAD_RE = re.compile(r"<head[^>]*>.*?</head>", re.DOTALL | re.IGNORECASE)
+_DROP_RE = re.compile(
+    r"<(nav|script|style|header|footer|aside)[^>]*>.*?</\1>", re.DOTALL | re.IGNORECASE
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+
+
+def extract_text_py(html: bytes | None) -> str | None:
+    """Pure extraction: drop head/nav/script/style/header/footer/aside
+    blocks, strip remaining tags, collapse whitespace. Locale-free,
+    version-pinned, byte-deterministic."""
+    if html is None:
+        return None
+    s = html.decode("utf-8", errors="replace")
+    s = _HEAD_RE.sub(" ", s)
+    s = _DROP_RE.sub(" ", s)
+    s = _TAG_RE.sub(" ", s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(extract_text_py)
+
+
+# --- JVM-side text analysis helpers (no Python) -------------------------
+
+# tiny per-language stopword fingerprints for the n-gram/stopword
+# language-id heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "und", "die", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "la", "que", "los", "una"],
+    "nb": ["og", "det", "som", "av", "ikke"],
+}
+
+
+def token_count(text: Column) -> Column:
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def lang_id_scores(text: Column) -> Column:
+    """Stopword-hit score per language; returns the argmax language
+    ('und' when nothing matches). Pure JVM expression tree."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    best_lang, best_score = F.lit("und"), F.lit(0)
+    for lang, words in _STOPWORDS.items():
+        score = sum(
+            (
+                F.size(F.split(padded, rf"\s{re.escape(w)}\s")) - 1
+                for w in words
+            ),
+            start=F.lit(0),
+        )
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic quality features (length / alpha ratio / mean token
+    length / digit ratio) as named JVM expressions."""
+    total = F.length(text)
+    alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    n_tok = token_count(text)
+    return {
+        "n_chars": total,
+        "n_tokens": n_tok,
+        "alpha_ratio": F.round(alpha / total, 4),
+        "digit_ratio": F.round(digits / total, 4),
+        "mean_tok_len": F.round(total / n_tok, 4),
+    }
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint (xxhash64 of the normalized text) —
+    the rolling-hash document fingerprint analog, JVM-side."""
+    return F.xxhash64(F.lower(F.trim(text)))

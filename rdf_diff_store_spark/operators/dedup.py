@@ -1,0 +1,180 @@
+"""Deduplication operators for web-scale corpora: exact, MinHash+LSH,
+SimHash, and n-gram Jaccard.
+
+Design for 100 TB:
+* Shingling and MinHash signatures are pure JVM expression trees
+  (transform + xxhash64 + array_min) — no Python worker in the
+  signature path, whole-stage codegen end to end.
+* LSH banding turns the O(n²) similarity problem into a groupBy on
+  (band_id, band_hash): only documents sharing a band bucket are
+  paired. The self-join is an equi-join on the bucket key, so AQE can
+  split skewed buckets (boilerplate-heavy shingle sets are the classic
+  hub keys).
+* Candidate pairs are emitted once (id_a < id_b) and can be verified
+  with exact Jaccard (`jaccard_on_pairs`) before clustering.
+* SimHash is a single Arrow-batched pandas UDF producing a 64-bit
+  signature; near-dup = small Hamming distance, and bucketing by
+  rotated prefixes makes it joinable without n².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as array<string> — JVM-side."""
+    words = F.split(F.trim(text), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(words, (i + k + 1).cast("int")) for k in range(n)]
+    )
+    return F.array_distinct(F.transform(idx, gram))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature array<long>: component i = min over shingles
+    of xxhash64(i-salted shingle). All built-in expressions.
+
+    NB: `shingles` should be a *materialized column reference* (not an
+    inline expression) — the expression is referenced num_hashes
+    times, and Catalyst inlines collapsed projections, so an inline
+    shingle expression would be recomputed per component.
+
+    Built as ONE nested higher-order transform (2 lambdas total)
+    rather than num_hashes separate array_min expressions: the
+    expanded form made Janino compile ~40 s of generated code on
+    first use; this form compiles in well under a second with the
+    same evaluation cost."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)),
+            )
+        ),
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+) -> DataFrame:
+    """Materialized (_id, _sh) shingle-set frame, shareable between
+    LSH banding and exact-Jaccard verification so the shingling work
+    happens once."""
+    return df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).localCheckpoint(eager=False)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding.
+
+    Returns distinct (id_a, id_b) with id_a < id_b. rows = bands
+    partition the signature; two docs collide if any band matches
+    exactly. With num_hashes=16, bands=8 (r=2), the collision curve
+    catches Jaccard >= ~0.5 with high probability.
+
+    The shingle arrays and signatures are materialized (lazy
+    localCheckpoint) before the band explosion: ProjectCollapse would
+    otherwise inline the whole shingle+minhash tree into every band
+    expression — measured 130× slowdown at 22k docs. At cluster scale
+    the equivalent is writing the signature table once, which real
+    LSH pipelines do anyway.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles if shingles is not None else shingle_frame(df, id_col, text_col, shingle_n)
+    sig = sh.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    ).localCheckpoint(eager=False)
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
+    )
+    band_rows = sig.select("_id", F.posexplode(band_keys).alias("band", "band_hash"))
+    a = band_rows.select(F.col("band"), F.col("band_hash"), F.col("_id").alias("id_a"))
+    b = band_rows.select(F.col("band"), F.col("band_hash"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """Exact word-shingle Jaccard for candidate pairs (verification
+    stage after LSH). Join-twice + array set ops, JVM-side."""
+    sh = shingles if shingles is not None else shingle_frame(docs, id_col, text_col, shingle_n)
+    out = (
+        pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup groups: (content_hash, keep_id, n_docs); canonical
+    keep = min id. Hash-groupBy with partial aggregation."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document (Arrow-batched pandas UDF; numpy
+    bit-bucket accumulation per batch)."""
+    import numpy as np
+
+    def _simhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+
+        for pdf in batches:
+            out = []
+            for text in pdf[text_col]:
+                if text is None:
+                    out.append(None)
+                    continue
+                acc = np.zeros(64, dtype=np.int64)
+                for tok in text.split():
+                    h = zlib.crc32(tok.encode()) | (zlib.crc32(tok[::-1].encode()) << 32)
+                    bits = np.unpackbits(
+                        np.frombuffer(np.uint64(h & (2**64 - 1)).tobytes(), dtype=np.uint8)
+                    ).astype(np.int64)  # signed: uint8 would wrap 0*2-1 to 255
+                    acc += bits * 2 - 1
+                sig = int("".join("1" if v > 0 else "0" for v in acc), 2)
+                out.append(sig - 2**63)  # store as signed long
+            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+    return df.select(id_col, text_col).mapInPandas(_simhash, f"{id_col} long, simhash long")

@@ -1,0 +1,122 @@
+"""Similarity search over embedding columns (array<float>).
+
+* `cosine_topk` — exact brute-force baseline: cross join pruned to the
+  query set, dot/norm via zip_with+aggregate (JVM-side, codegen).
+* `lsh_topk` — the scale path: random-hyperplane sign buckets with
+  Hamming-distance-1 multi-probe and multiple hash tables, exact
+  cosine re-rank inside the probed buckets. At 1e9+ vectors the
+  bucket equi-join replaces the O(|Q|·|C|) cross product; planes /
+  probes / tables trade recall for candidate-set size.
+
+Projections run in one Arrow-batched pandas UDF (numpy matmul per
+batch); hyperplanes are np.RandomState(seed)-derived inside the UDF,
+so every executor regenerates them identically — no broadcast, no
+driver state. Recall on *unclustered* data is physics-bound: for
+neighbor cosine ~0.6 the per-plane agreement is ~0.7, hence the
+default 4 planes + probe-1 + 2 tables (measured recall ~0.9 on the
+driver testdata); tighten planes upward only when neighbors are
+closer than that.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (excluding self)."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
+
+
+def _bucket_udf(dim: int, n_planes: int, table: int):
+    """Pandas UDF: embedding array -> packed sign-bit bucket id."""
+    import numpy as np
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        rng = np.random.RandomState(10_000 + table)  # deterministic everywhere
+        planes = rng.standard_normal((n_planes, dim))
+        mat = np.stack(vecs.to_numpy())  # (batch, dim)
+        bits = (mat @ planes.T) >= 0  # (batch, n_planes)
+        weights = 1 << np.arange(n_planes)
+        return pd.Series((bits * weights).sum(axis=1).astype("int64"))
+
+    return bucket
+
+
+def _probe_buckets(bucket: Column, n_planes: int) -> Column:
+    """Bucket plus all Hamming-distance-1 neighbors (multi-probe)."""
+    return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 4,
+    n_tables: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: per table, candidates keep their exact
+    bucket while queries probe their bucket ∪ Hamming-1 neighbors;
+    union over tables, exact cosine re-rank."""
+    pairs = None
+    for t in range(n_tables):
+        bucket = _bucket_udf(dim, n_planes, t)
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(_probe_buckets(bucket(F.col(vec_col)), n_planes)).alias("bucket"),
+        )
+        c = candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+            bucket(F.col(vec_col)).alias("bucket"),
+        )
+        p = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id")).select(
+            "query_id", "neighbor_id", "qv", "cv"
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cos_sim", F.round(sim, 6))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )

@@ -1,0 +1,118 @@
+"""End-to-end tests of the KG-construction pipeline against the
+seeded synthetic pages source (north_star contract: extraction
+invariant, alias-canonicalization P/R >= 0.95, tombstones, compaction
+idempotence, checkpoint resume)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.text import extract_text_py
+from rdf_diff_store_spark.operators.versioned import snapshot_at
+from rdf_diff_store_spark.pipeline.kg import (
+    alias_edges,
+    build_kg,
+    canonical_entity_map,
+    extract_pages,
+    first_capture,
+    mentions_of,
+)
+from rdf_diff_store_spark.sources.pages import expected_alias_pairs, generate_pages
+
+N_URLS, N_CRAWLS, N_ENTITIES = 200, 4, 80
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return (
+        generate_pages(spark, n_urls=N_URLS, n_crawls=N_CRAWLS, n_entities=N_ENTITIES)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .localCheckpoint()
+    )
+
+
+@pytest.fixture(scope="module")
+def built(spark, pages):
+    changelog, rec = build_kg(spark, pages)
+    return changelog.localCheckpoint(), rec
+
+
+def test_generator_is_deterministic(spark):
+    a = generate_pages(spark, n_urls=50).select("url", "warc_ts", "text").collect()
+    b = generate_pages(spark, n_urls=50).select("url", "warc_ts", "text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_extraction_byte_identical(spark, pages):
+    """input_hint invariant: recomputed extraction == generator text,
+    byte for byte, for every capture."""
+    ext = extract_pages(pages).withColumnRenamed("text", "text_new")
+    joined = ext.join(
+        pages.select("url", "warc_ts", F.col("text").alias("text_orig")),
+        ["url", "warc_ts"],
+    )
+    assert joined.filter(F.col("text_new") != F.col("text_orig")).count() == 0
+    # and the pure function itself is stable on repeated calls
+    sample = pages.select("html").first()[0]
+    assert extract_text_py(sample) == extract_text_py(bytes(sample))
+
+
+def test_alias_canonicalization_precision_recall(spark, pages):
+    ext = extract_pages(pages)
+    m = mentions_of(ext)
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    fm = m.withColumn("_rk", F.dense_rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
+    emap = canonical_entity_map(alias_edges(first_capture(ext), fm))
+    disc = emap.filter(F.col("token") != F.col("canonical")).select(
+        F.least("token", "canonical").alias("token_a"),
+        F.greatest("token", "canonical").alias("token_b"),
+    )
+    truth = expected_alias_pairs(spark, N_URLS, N_ENTITIES)
+    tp = disc.join(truth, ["token_a", "token_b"]).count()
+    d, t = disc.count(), truth.count()
+    assert t > 0
+    precision = tp / max(d, 1)
+    recall = tp / t
+    assert precision >= 0.95, f"precision {precision}"
+    assert recall >= 0.95, f"recall {recall}"
+
+
+def test_changelog_has_adds_and_tombstones(built):
+    changelog, _ = built
+    ops = {r["op"]: r["count"] for r in changelog.groupBy("op").count().collect()}
+    assert ops.get("add", 0) > 0
+    assert ops.get("delete", 0) > 0
+
+
+def test_snapshot_excludes_dropped_urls(built):
+    changelog, _ = built
+    early = snapshot_at(changelog, "2024-01-01 12:00:00").count()
+    late = snapshot_at(changelog, "2024-01-10 00:00:00")
+    assert early > 0
+    # dropped urls (~5%) are gone from the final snapshot
+    assert late.count() < early
+    assert late.filter(F.col("payload").isNull()).count() == 0
+
+
+def test_compaction_skips_duplicate_recrawls(spark, pages, built):
+    changelog, _ = built
+    n_captures = pages.count()
+    n_adds = changelog.filter(F.col("op") == "add").count()
+    # ~10% of re-crawls are byte-identical → compacted away
+    assert n_adds < n_captures
+
+
+def test_resume_from_checkpoint(spark, pages, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("kgwork"))
+    log1, rec1 = build_kg(spark, pages, work_dir=work)
+    n1 = log1.count()
+    assert all(not m["resumed"] for m in rec1.metrics)
+    # second run resumes every stage from parquet
+    log2, rec2 = build_kg(spark, pages, work_dir=work)
+    assert all(m["resumed"] for m in rec2.metrics)
+    assert log2.count() == n1
+    # metrics + per-partition lineage tables exist
+    assert spark.read.parquet(f"{work}/_metrics").count() >= len(rec1.metrics)
+    assert spark.read.parquet(f"{work}/_lineage").count() > 0
