@@ -690,6 +690,540 @@ SELECT query_id, neighbor_id, cos_sim, rn FROM (
 
 
 # ---------------------------------------------------------------------------
+# versioned-store extras
+
+
+def q_version_history(spark, sf_dir):
+    """Per-graph version statistics over the full changelog."""
+    log = changelog_from_events(spark, sf_dir)
+    return log.groupBy("graph_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum((F.col("op") == "delete").cast("int")).alias("n_deletes"),
+        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
+        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+    )
+
+
+def q_snapshot_as_turtle(spark, sf_dir):
+    """O-12 snapshot-as-document: parse the snapshot payloads to
+    triples (mapInPandas) and re-serialize canonically — the
+    GET /api/graphs/{ts} path. Round-trips byte-identically."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples, serialize_graph
+
+    snap = snapshot_at(changelog_from_events(spark, sf_dir), T_MID)
+    return serialize_graph(parse_triples(snap))
+
+
+_ORACLE_VERSIONED_EXTRA = {
+    "version_history": f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL})
+SELECT graph_id, count(*) AS n_versions,
+       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes,
+       epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
+FROM changelog GROUP BY graph_id
+""",
+    "snapshot_as_turtle": f"""
+WITH snap AS ({_snapshot_sql(T_MID)})
+SELECT graph_id, payload AS doc FROM snap
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# SPARQL extras
+
+
+def q_sparql_path_alt_inverse(spark, sf_dir):
+    """Path alternative + inverse: (nextNation | ^nextNation)."""
+    t = triples_from_tpch(spark, sf_dir)
+    e = t.filter(F.col("pred") == "nextNation").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    inv = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return e.unionByName(inv).distinct()
+
+
+def q_sparql_path_star(spark, sf_dir):
+    """p* = identity on path nodes ∪ transitive closure."""
+    t = triples_from_tpch(spark, sf_dir)
+    e = t.filter(F.col("pred") == "nextNation").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    nodes = e.select(F.col("src").alias("n")).unionByName(
+        e.select(F.col("dst").alias("n"))
+    ).distinct()
+    ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
+    return transitive_closure(e).unionByName(ident).distinct()
+
+
+def q_sparql_optional_filter(spark, sf_dir):
+    """OPTIONAL { ?c inNation ?n . ?c acctbalCents ?b FILTER(?b > 900000) }
+    → left join with a numeric filter on the optional side, counting
+    rich customers per nation (0 allowed)."""
+    t = triples_from_tpch(spark, sf_dir)
+    nations = t.filter(F.col("pred") == "inRegion").select(F.col("subj").alias("nation"))
+    cn = t.filter((F.col("pred") == "inNation") & F.col("subj").startswith("customer:")).select(
+        F.col("subj").alias("customer"), F.col("obj").alias("nation")
+    )
+    rich = t.filter(
+        (F.col("pred") == "acctbalCents") & (F.col("obj").cast("long") > 900000)
+    ).select(F.col("subj").alias("customer"))
+    rich_per_nation = cn.join(rich, "customer")
+    return (
+        nations.join(rich_per_nation, "nation", "left_outer")
+        .groupBy("nation")
+        .agg(F.count("customer").alias("n_rich"))
+    )
+
+
+def q_sparql_sample_min(spark, sf_dir):
+    """SAMPLE(?n) per region — deterministic min-based sample."""
+    t = triples_from_tpch(spark, sf_dir)
+    nreg = t.filter(F.col("pred") == "inRegion").select(
+        F.col("subj").alias("nation"), F.col("obj").alias("region")
+    )
+    names = t.filter(
+        (F.col("pred") == "name") & F.col("subj").startswith("nation:")
+    ).select(F.col("subj").alias("nation"), F.col("obj").alias("nation_name"))
+    return (
+        nreg.join(names, "nation")
+        .groupBy("region")
+        .agg(F.min("nation_name").alias("sample_nation"))
+    )
+
+
+_ORACLE_SPARQL_EXTRA = {
+    "sparql_path_alt_inverse": f"""
+WITH triples AS ({_T}),
+e AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred = 'nextNation')
+SELECT src, dst FROM e UNION SELECT dst, src FROM e
+""",
+    "sparql_path_star": f"""
+WITH RECURSIVE triples AS ({_T}),
+e AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred = 'nextNation'),
+reach AS (SELECT src, dst FROM e
+          UNION SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src),
+nodes AS (SELECT src AS n FROM e UNION SELECT dst FROM e)
+SELECT src, dst FROM reach UNION SELECT n, n FROM nodes
+""",
+    "sparql_optional_filter": f"""
+WITH triples AS ({_T}),
+nations AS (SELECT subj AS nation FROM triples WHERE pred = 'inRegion'),
+cn AS (SELECT subj AS customer, obj AS nation FROM triples
+       WHERE pred = 'inNation' AND subj LIKE 'customer:%'),
+rich AS (SELECT subj AS customer FROM triples
+         WHERE pred = 'acctbalCents' AND CAST(obj AS BIGINT) > 900000)
+SELECT n.nation, count(r.customer) AS n_rich
+FROM nations n
+LEFT JOIN (SELECT cn.customer, cn.nation FROM cn JOIN rich USING (customer)) r
+  ON n.nation = r.nation
+GROUP BY n.nation
+""",
+    "sparql_sample_min": f"""
+WITH triples AS ({_T}),
+nreg AS (SELECT subj AS nation, obj AS region FROM triples WHERE pred = 'inRegion'),
+names AS (SELECT subj AS nation, obj AS nation_name FROM triples
+          WHERE pred = 'name' AND subj LIKE 'nation:%')
+SELECT region, min(nation_name) AS sample_nation
+FROM nreg JOIN names USING (nation) GROUP BY region
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# relational extras (windows, grouping sets, as-of, sessionization, fns)
+
+
+def q_cube_agg(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def q_sessionize(spark, sf_dir):
+    """Sessions per user (30-min inactivity gap) — lag + cumulative
+    new-session flags, the classic sessionization window pattern."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_sess = (F.col("_gap").isNull() | (F.col("_gap") > 1800 * 1_000_000)).cast("int")
+    return (
+        ev.withColumn("_gap", gap_us)
+        .withColumn("_new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("_new").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of join: for each purchase, the latest signup ts (same user,
+    signup.ts <= purchase.ts). Implemented scale-first: one window
+    over the event stream (rangeBetween unbounded→current on event
+    time), no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    sign_ts = F.max(
+        F.when(F.col("event_type") == "signup", F.col("ts").cast("timestamp"))
+    ).over(w)
+    return (
+        ev.withColumn("_sign", sign_ts)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", F.unix_micros(F.col("_sign")).alias("last_signup_us"))
+    )
+
+
+def q_string_date_fns(spark, sf_dir):
+    """SPARQL builtin-function surface: SUBSTR/UCASE/REPLACE/CONTAINS/
+    STRLEN + YEAR/MONTH/DAY (SURVEY.md §2B builtins table)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return orders.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+        F.regexp_replace("o_orderpriority", "-", " ").alias("prio_spaced"),
+        F.col("o_orderpriority").contains("URGENT").alias("is_urgent"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+    )
+
+
+def q_hash_fns(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 20)
+    return cust.select(
+        "c_custkey",
+        F.md5(F.col("c_name")).alias("name_md5"),
+        F.sha2(F.col("c_name"), 256).alias("name_sha256"),
+    )
+
+
+def q_subquery_avg(spark, sf_dir):
+    """Scalar subquery: customers above global average balance."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg(F.avg("c_acctbal")).first()[0]
+    return cust.filter(F.col("c_acctbal") > avg_bal).select("c_custkey")
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT: nations having both customers and suppliers."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(sup)
+
+
+def q_events_json(spark, sf_dir):
+    """JSON extraction from the props column (semi-structured path)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 4).alias("avg_k"), F.max(k).alias("max_k")
+    )
+
+
+def q_window_running_sum(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 50)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+def q_percentile(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", 0.5), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+    )
+
+
+_ORACLE_RELATIONAL_EXTRA = {
+    "cube_agg": """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+    "pivot_status": """
+SELECT o_orderpriority,
+       round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+       round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+FROM orders GROUP BY o_orderpriority
+""",
+    "sessionize": """
+WITH lagged AS (
+  SELECT user_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+  FROM events
+)
+SELECT user_id,
+       sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+       count(*) AS n_events
+FROM lagged GROUP BY user_id
+""",
+    "asof_join": """
+SELECT p.event_id, epoch_us(max(s.ts)) AS last_signup_us
+FROM events p
+LEFT JOIN events s
+  ON s.user_id = p.user_id AND s.event_type = 'signup' AND s.ts <= p.ts
+WHERE p.event_type = 'purchase'
+GROUP BY p.event_id
+""",
+    "string_date_fns": """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 3)) AS prio3,
+       replace(o_orderpriority, '-', ' ') AS prio_spaced,
+       contains(o_orderpriority, 'URGENT') AS is_urgent,
+       length(o_orderpriority) AS prio_len,
+       year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d
+FROM orders WHERE o_orderkey < 500
+""",
+    "hash_fns": """
+SELECT c_custkey, md5(c_name) AS name_md5, sha256(c_name) AS name_sha256
+FROM customer WHERE c_custkey < 20
+""",
+    "subquery_avg": """
+SELECT c_custkey FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+    "set_ops": """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey FROM supplier
+""",
+    "events_json": """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+""",
+    "window_running_sum": """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey), 2) AS running_total
+FROM orders WHERE o_custkey < 50
+""",
+    "percentile": """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# documents extras: portable MinHash-LSH, Jaccard top-k, lang-id,
+# fingerprint — plus rows-only operators (simhash, ANN, KG pipeline)
+
+_SHINGLE_SEEDS = 8
+
+
+def _doc_shingles_col():
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, i),
+                F.element_at(words, (i + 1)),
+                F.element_at(words, (i + 2)),
+            ),
+        )
+    )
+
+
+_DOC_SHINGLES_SQL = r"""
+SELECT doc_id, list_distinct(list_transform(
+         generate_series(1, greatest(len(w) - 2, 1)),
+         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents)
+"""
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """Portable MinHash-LSH: signature component s = lexicographic min
+    of md5(s || '|' || shingle); band size 1 → candidate pair iff any
+    component matches. md5 strings compare identically in Spark and
+    DuckDB, so the whole LSH pipeline is oracle-checkable. Query side
+    capped to doc_id < 100."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_SHINGLE_SEEDS - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        _doc_shingles_col(),
+                        lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = sig.select("band", "band_hash", F.col("doc_id").alias("id_a")).filter(
+        F.col("id_a") < 100
+    )
+    b = sig.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def q_ngram_jaccard_topk(spark, sf_dir):
+    """Exact 3-gram Jaccard top-3 neighbors for doc_id < 10."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _doc_shingles_col().alias("sh"))
+    q = sh.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    c = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.round(
+        F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b")), 6
+    )
+    w = Window.partitionBy("id_a").orderBy(F.col("jaccard").desc(), F.col("id_b"))
+    return (
+        q.crossJoin(c)
+        .filter(F.col("id_a") != F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("id_a", "id_b", "jaccard", "rn")
+    )
+
+
+def q_doc_lang_id(spark, sf_dir):
+    """Stopword-scoring language id (functions.text.lang_id_scores)."""
+    from rdf_diff_store_spark.functions.text import lang_id_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_scores(F.col("text")).alias("lang_guess"))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Content fingerprint (md5 of normalized text for portability;
+    the library's hot path uses xxhash64)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint")
+    )
+
+
+def _lang_id_oracle_sql() -> str:
+    from rdf_diff_store_spark.functions.text import _STOPWORDS
+
+    score_cols = []
+    for lang, words in _STOPWORDS.items():
+        parts = " + ".join(
+            rf"(len(string_split_regex(padded, '\s{w}\s')) - 1)" for w in words
+        )
+        score_cols.append(f"({parts}) AS s_{lang}")
+    lang_expr, score_expr = "'und'", "0"
+    for lang in _STOPWORDS:
+        s = f"s_{lang}"
+        lang_expr = f"CASE WHEN {s} > ({score_expr}) THEN '{lang}' ELSE ({lang_expr}) END"
+        score_expr = f"CASE WHEN {s} > ({score_expr}) THEN {s} ELSE ({score_expr}) END"
+    return f"""
+WITH padded AS (SELECT doc_id, ' ' || lower(text) || ' ' AS padded FROM documents),
+scores AS (SELECT doc_id, {', '.join(score_cols)} FROM padded)
+SELECT doc_id, {lang_expr} AS lang_guess FROM scores
+"""
+
+
+_ORACLE_DOCS_EXTRA = {
+    "minhash_lsh_pairs": f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, s.b AS band,
+         list_min(list_transform(shingles, x -> md5(s.b::VARCHAR || '|' || x))) AS band_hash
+  FROM sh, generate_series(0, {_SHINGLE_SEEDS - 1}) s(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM sig a JOIN sig b ON a.band = b.band AND a.band_hash = b.band_hash
+WHERE a.doc_id < 100 AND a.doc_id < b.doc_id
+""",
+    "ngram_jaccard_topk": f"""
+WITH sh AS ({_DOC_SHINGLES_SQL})
+SELECT id_a, id_b, jaccard, rn FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard,
+         row_number() OVER (
+           PARTITION BY a.doc_id
+           ORDER BY round(len(list_intersect(a.shingles, b.shingles)) * 1.0
+               / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) DESC,
+               b.doc_id) AS rn
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  WHERE a.doc_id < 10
+) WHERE rn <= 3
+""",
+    "doc_lang_id": _lang_id_oracle_sql(),
+    "doc_fingerprint": """
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+""",
+}
+
+
+# ---------------------------------------------------------------------------
+# rows-only operators (non-SQL-expressible: custom UDF signatures /
+# iterative pipeline) — the driver records a weaker rows-only check
+
+
+def q_simhash_signatures(spark, sf_dir):
+    from rdf_diff_store_spark.operators.dedup import simhash_signature
+
+    return simhash_signature(load_table(spark, sf_dir, "documents"))
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from rdf_diff_store_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5)
+
+
+def q_kg_pipeline(spark, sf_dir):
+    """Full KG-construction DAG on deterministic synthetic pages
+    (sf-independent; the north_star flagship)."""
+    from rdf_diff_store_spark.pipeline.kg import build_kg
+    from rdf_diff_store_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, n_urls=300, n_crawls=3, n_entities=100).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    changelog, _ = build_kg(spark, pages)
+    return changelog.select("graph_id", "ts", "op", "content_hash")
+
+
+# ---------------------------------------------------------------------------
 # registry
 
 
@@ -728,6 +1262,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_stats": q_doc_lang_stats,
         "doc_quality_score": q_doc_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
+        # versioned extras
+        "version_history": q_version_history,
+        "snapshot_as_turtle": q_snapshot_as_turtle,
+        # SPARQL extras
+        "sparql_path_alt_inverse": q_sparql_path_alt_inverse,
+        "sparql_path_star": q_sparql_path_star,
+        "sparql_optional_filter": q_sparql_optional_filter,
+        "sparql_sample_min": q_sparql_sample_min,
+        # relational extras
+        "cube_agg": q_cube_agg,
+        "pivot_status": q_pivot_status,
+        "sessionize": q_sessionize,
+        "asof_join": q_asof_join,
+        "string_date_fns": q_string_date_fns,
+        "hash_fns": q_hash_fns,
+        "subquery_avg": q_subquery_avg,
+        "set_ops": q_set_ops,
+        "events_json": q_events_json,
+        "window_running_sum": q_window_running_sum,
+        "percentile": q_percentile,
+        # documents extras
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_topk": q_ngram_jaccard_topk,
+        "doc_lang_id": q_doc_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        # rows-only (no SQL oracle: custom UDFs / iterative pipeline)
+        "simhash_signatures": q_simhash_signatures,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "kg_pipeline": q_kg_pipeline,
     }
 
 
@@ -738,4 +1301,8 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_RELATIONAL)
     out.update(_ORACLE_DOCS)
     out.update(_ORACLE_EMB)
+    out.update(_ORACLE_VERSIONED_EXTRA)
+    out.update(_ORACLE_SPARQL_EXTRA)
+    out.update(_ORACLE_RELATIONAL_EXTRA)
+    out.update(_ORACLE_DOCS_EXTRA)
     return out

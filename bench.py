@@ -39,6 +39,47 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def bench_kg_pipeline(spark, cpus: int) -> dict:
+    """The north_star DAG as the compute-bound scaling workload:
+    synthesized pages (deterministic, in-Spark) → extract → LSH →
+    CC → quads → changelog. Returns timing + throughput."""
+    import time
+
+    from rdf_diff_store_spark.pipeline.kg import build_kg
+    from rdf_diff_store_spark.sources.pages import generate_pages
+
+    n_urls = int(os.environ.get("SPARK_GRAFT_KG_URLS", "20000"))
+    # fixed partition count: the input must be byte-identical across
+    # parallelism levels for the N-vs-4N scaling comparison
+    pages = (
+        generate_pages(spark, n_urls=n_urls, n_crawls=4, n_entities=max(n_urls // 10, 50),
+                       partitions=64)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .localCheckpoint()
+    )
+    n_pages = pages.count()
+    # warmup at 1/20 scale: compiles every codegen'd plan shape once so
+    # the timed run measures execution, not Janino
+    warm = (
+        generate_pages(spark, n_urls=max(n_urls // 20, 50), n_crawls=4,
+                       n_entities=max(n_urls // 200, 20), partitions=8)
+        .select("url", "warc_ts", "html", "text", "lang")
+        .localCheckpoint()
+    )
+    build_kg(spark, warm)
+    t0 = time.perf_counter()
+    changelog, rec = build_kg(spark, pages)
+    n_quads = next(m["rows"] for m in rec.metrics if m["stage"] == "quads")
+    wall = time.perf_counter() - t0
+    return {
+        "kg_pages": n_pages,
+        "kg_quads": n_quads,
+        "kg_wall_sec": round(wall, 3),
+        "kg_pages_per_sec": round(n_pages / wall, 1),
+        "kg_triples_per_sec": round(n_quads / wall, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -63,6 +104,9 @@ def main() -> None:
         force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    kg = bench_kg_pipeline(spark, cpus)
+    timings["kg_pipeline"] = kg["kg_wall_sec"]
+
     versioned = ["snapshot_at", "diff_versions", "diff_triples", "compact_versions"]
     versioned_sec = sum(timings[q] for q in versioned)
     total = round(sum(timings.values()), 3)
@@ -77,6 +121,7 @@ def main() -> None:
                 "cpus": cpus,
                 "changelog_rows": n_versions,
                 "versioned_rows_per_sec": round(n_versions * len(versioned) / versioned_sec, 1),
+                **kg,
             }
         )
     )

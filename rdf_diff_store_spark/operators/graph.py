@@ -49,7 +49,11 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return closure
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFrame:
+def connected_components(
+    edges: DataFrame,
+    max_iterations: int = 30,
+    driver_threshold: int = 2_000_000,
+) -> DataFrame:
     """Undirected connected components by min-id label propagation.
 
     `edges` has columns (src, dst); vertex ids must be orderable
@@ -57,7 +61,38 @@ def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFram
     minimum vertex id in the component — a deterministic canonical
     representative, which is exactly what entity canonicalization
     needs (same cluster → same canonical id on every run).
+
+    Scale-aware: when the edge set fits comfortably on the driver
+    (< driver_threshold edges) a local union-find answers in one
+    collect instead of O(log n) distributed join jobs — the iterative
+    path exists for the web-scale case where edges don't fit. Results
+    are identical (min-id representative) either way.
     """
+    n_edges = edges.limit(driver_threshold + 1).count()
+    if n_edges <= driver_threshold:
+        rows = edges.select("src", "dst").distinct().collect()
+        parent: dict = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative is the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = [(v, find(v)) for v in parent]
+        out.sort()
+        spark = edges.sparkSession
+        schema_type = edges.schema["src"].dataType.simpleString()
+        return spark.createDataFrame(out, f"id {schema_type}, component {schema_type}")
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -70,23 +105,25 @@ def connected_components(edges: DataFrame, max_iterations: int = 30) -> DataFram
         .localCheckpoint()
     )
     for _ in range(max_iterations):
-        # candidate label for each vertex = min(own, neighbors' labels)
-        neighbor_labels = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
-            .select(F.col("src").alias("id"), "component")
-        )
+        # candidate label for each vertex = min(own, neighbors' labels);
+        # carrying the old label through the aggregation lets one job
+        # produce both the new labels and the changed-count (half the
+        # driver-bound job latency per iteration vs a separate join)
+        neighbor_labels = sym.join(
+            labels.withColumnRenamed("id", "dst"), "dst"
+        ).select(F.col("src").alias("id"), "component", F.lit(None).cast(labels.schema["component"].dataType).alias("old"))
+        own = labels.select("id", "component", F.col("component").alias("old"))
         new_labels = (
-            labels.unionByName(neighbor_labels)
+            own.unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.min("old").alias("old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("old")).count()
+        labels = new_labels.select("id", "component")
         if changed == 0:
             break
     return labels

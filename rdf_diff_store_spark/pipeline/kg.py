@@ -208,11 +208,11 @@ def build_kg(
     rec = StageRecorder(spark, work_dir)
     extracted = rec.stage("extract", extract_pages(pages))
     mentions = rec.stage("mentions", mentions_of(extracted))
-    firsts = first_capture(extracted)
-    w = Window.partitionBy("url").orderBy("warc_ts")
-    first_mentions = (
-        mentions.withColumn("_rk", F.dense_rank().over(w)).filter(F.col("_rk") == 1).drop("_rk")
-    )
+    firsts = first_capture(extracted).localCheckpoint()
+    # mentions of the first capture only: re-tokenizing the 1-per-url
+    # frame is cheaper than a dense_rank window over every capture's
+    # mention rows
+    first_mentions = mentions_of(firsts)
     edges = rec.stage("alias_edges", alias_edges(firsts, first_mentions))
     entity_map = rec.stage("entity_map", canonical_entity_map(edges))
     quads = rec.stage("quads", quads_of(mentions, extracted, entity_map))

@@ -1,0 +1,112 @@
+"""SPARQL-algebra plan builder over a triples DataFrame.
+
+The reference exposes the full SPARQL 1.1 algebra by delegating to
+oxigraph (src/query.rs:102-114; surface table in SURVEY.md §2B). Here
+the same algebra is compiled to DataFrame plans: a basic graph
+pattern (BGP) becomes a chain of hash equi-joins on shared variables,
+and the modifiers (OPTIONAL / UNION / MINUS / FILTER / projection)
+are the corresponding DataFrame combinators. Catalyst then owns
+physical planning — join order, broadcast choice, AQE skew handling —
+which is exactly the division of labor the reference has with
+oxigraph's optimizer.
+
+Triples input schema: (subj, pred, obj) [extra columns ignored].
+
+Example (customers in ASIA):
+    bgp(t, [
+        (Var("c"), "inNation", Var("n")),
+        (Var("n"), "inRegion", Var("r")),
+        (Var("r"), "name", "ASIA"),
+    ])  ->  DataFrame[c, n, r]
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_TERM_COLS = ("subj", "pred", "obj")
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+Pattern = tuple  # (s, p, o) of Var | str
+
+
+def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
+    """One triple pattern → scan with constant filters pushed down and
+    variable positions projected to variable-named columns."""
+    cond = None
+    proj = []
+    seen: dict[str, str] = {}
+    extra_cond = []
+    for col, term in zip(_TERM_COLS, pattern):
+        if isinstance(term, Var):
+            if term.name in seen:  # repeated variable inside one pattern
+                extra_cond.append(F.col(col) == F.col(seen[term.name]))
+            else:
+                seen[term.name] = col
+                proj.append(F.col(col).alias(term.name))
+        else:
+            c = F.col(col) == F.lit(term)
+            cond = c if cond is None else (cond & c)
+    df = triples
+    if cond is not None:
+        df = df.filter(cond)
+    for c in extra_cond:
+        df = df.filter(c)
+    return df.select(*proj) if proj else df.select(F.lit(1).alias("_match")).limit(1)
+
+
+def bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+    """Basic graph pattern: natural join of the pattern scans on their
+    shared variables (n-1 equi-joins; Catalyst reorders / broadcasts)."""
+    out = None
+    for p in patterns:
+        pdf = _pattern_df(triples, p)
+        if out is None:
+            out = pdf
+        else:
+            shared = [c for c in pdf.columns if c in out.columns]
+            out = out.join(pdf, shared) if shared else out.crossJoin(pdf)
+    return out
+
+
+def optional(left: DataFrame, right: DataFrame) -> DataFrame:
+    """OPTIONAL ≙ left outer join on the shared variables."""
+    shared = [c for c in right.columns if c in left.columns]
+    return left.join(right, shared, "left_outer")
+
+
+def union(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UNION ≙ unionByName with missing columns null-padded."""
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+def minus(a: DataFrame, b: DataFrame) -> DataFrame:
+    """MINUS ≙ left anti join on shared variables."""
+    shared = [c for c in b.columns if c in a.columns]
+    return a.join(b, shared, "left_anti")
+
+
+def exists(a: DataFrame, b: DataFrame) -> DataFrame:
+    """FILTER EXISTS ≙ left semi join on shared variables."""
+    shared = [c for c in b.columns if c in a.columns]
+    return a.join(b, shared, "left_semi")
+
+
+def path_plus(triples: DataFrame, pred: str, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Property path p+ via iterative doubling closure."""
+    from rdf_diff_store_spark.operators.graph import transitive_closure
+
+    edges = triples.filter(F.col("pred") == pred).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    return transitive_closure(edges).select(
+        F.col("src").alias(src), F.col("dst").alias(dst)
+    )

@@ -55,6 +55,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Throughput batch engine → ParallelGC. G1 (the JVM default)
+        # anti-scales here: measured 26.8s vs 4.5s on a 64M-row
+        # sha2 aggregation at local[32]; G1's concurrent phases fight
+        # the 32 mutator threads for cores.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -131,6 +131,12 @@ def triples_from_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("inNation").alias("pred"),
             iri("nation:", F.col("s_nationkey")).alias("obj"),
         ),
+        # numeric literal as integer cents — engine-independent string
+        customer.select(
+            iri("customer:", F.col("c_custkey")).alias("subj"),
+            F.lit("acctbalCents").alias("pred"),
+            F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string").alias("obj"),
+        ),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -156,5 +162,8 @@ SELECT 'tpch' AS graph_id, subj, pred, obj FROM (
   SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'mktsegment', c_mktsegment FROM customer
   UNION ALL
   SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR), 'inNation', 'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+  UNION ALL
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR), 'acctbalCents',
+         CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR) FROM customer
 )
 """
