@@ -1193,6 +1193,249 @@ SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
 
 
 # ---------------------------------------------------------------------------
+# TPC-H breadth + remaining SPARQL builtin rows (SURVEY.md §2B)
+
+
+def q_tpch_q4(spark, sf_dir):
+    """Q4: order-priority count with EXISTS semi join."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q_tpch_q10(spark, sf_dir):
+    """Q10: top-20 customers by returned-item revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    # exact decimal arithmetic: a double sum lands on .xx5 rounding
+    # boundaries differently per engine (observed at sf0.01)
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark, sf_dir):
+    """Q12: CASE-conditional aggregation by priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark, sf_dir):
+    """Q14: promo revenue share (conditional agg ratio + broadcast dim)."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    """Q18: large-volume customers (HAVING-subquery via semi join on
+    an aggregated key set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 180)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 2).alias("totalprice"))
+    )
+
+
+def q_sparql_count_distinct(spark, sf_dir):
+    """COUNT(DISTINCT ?x) + exact vs HLL sketch side by side."""
+    t = triples_from_tpch(spark, sf_dir)
+    cn = t.filter((F.col("pred") == "inNation") & F.col("subj").startswith("customer:"))
+    return cn.groupBy(F.col("obj").alias("nation")).agg(
+        F.countDistinct("subj").alias("n_distinct_customers")
+    )
+
+
+def q_sparql_numeric_fns(spark, sf_dir):
+    """ABS/ROUND/CEIL/FLOOR on typed numeric literals (acctbalCents)."""
+    t = triples_from_tpch(spark, sf_dir)
+    cents = t.filter(F.col("pred") == "acctbalCents").select(
+        F.col("subj").alias("customer"), F.col("obj").cast("long").alias("cents")
+    ).filter(F.col("customer") < "customer:2")  # string-prefix slice, deterministic
+    bal = F.col("cents") / 100.0
+    return cents.select(
+        "customer",
+        F.abs(bal - 1000).alias("abs_diff"),
+        F.round(bal, 1).alias("rounded"),
+        F.ceil(bal).alias("ceiled"),
+        F.floor(bal).alias("floored"),
+    )
+
+
+def q_sparql_if_coalesce_in(spark, sf_dir):
+    """IF / COALESCE / IN over the optional-supplier pattern."""
+    t = triples_from_tpch(spark, sf_dir)
+    nations = t.filter(F.col("pred") == "inRegion").select(
+        F.col("subj").alias("nation"), F.col("obj").alias("region")
+    )
+    sup = t.filter(
+        (F.col("pred") == "inNation") & F.col("subj").startswith("supplier:")
+    ).select(F.col("subj").alias("supplier"), F.col("obj").alias("nation")).distinct()
+    return (
+        nations.join(sup, "nation", "left_outer")
+        .select(
+            "nation",
+            F.when(F.col("supplier").isNotNull(), F.lit("has_supplier"))
+            .otherwise(F.lit("no_supplier"))
+            .alias("supplier_flag"),
+            F.coalesce(F.col("supplier"), F.lit("none")).alias("supplier_or_none"),
+            F.col("region").isin("region:0", "region:2").alias("in_r02"),
+        )
+    )
+
+
+def q_sparql_describe(spark, sf_dir):
+    """DESCRIBE <nation:0>: every triple with the resource as subject
+    or object."""
+    t = triples_from_tpch(spark, sf_dir)
+    return t.filter((F.col("subj") == "nation:0") | (F.col("obj") == "nation:0")).select(
+        "subj", "pred", "obj"
+    )
+
+
+def q_event_time_windows(spark, sf_dir):
+    """Tumbling event-time windows (the streaming windowed-agg shape,
+    run over the bounded table — identical semantics, oracle-checkable)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "6 hours")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_BREADTH = {
+    "tpch_q4": """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+GROUP BY o_orderpriority
+""",
+    "tpch_q10": """
+SELECT c_custkey, c_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    "tpch_q12": """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+""",
+    "tpch_q14": """
+SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+       * 100.0 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-02-01 00:00:00'
+""",
+    "tpch_q18": """
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+FROM orders
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+""",
+    "sparql_count_distinct": f"""
+WITH triples AS ({_T})
+SELECT obj AS nation, count(DISTINCT subj) AS n_distinct_customers
+FROM triples WHERE pred = 'inNation' AND subj LIKE 'customer:%'
+GROUP BY obj
+""",
+    "sparql_numeric_fns": f"""
+WITH triples AS ({_T})
+SELECT subj AS customer,
+       abs(CAST(obj AS BIGINT) / 100.0 - 1000) AS abs_diff,
+       round(CAST(obj AS BIGINT) / 100.0, 1) AS rounded,
+       ceil(CAST(obj AS BIGINT) / 100.0) AS ceiled,
+       floor(CAST(obj AS BIGINT) / 100.0) AS floored
+FROM triples WHERE pred = 'acctbalCents' AND subj < 'customer:2'
+""",
+    "sparql_if_coalesce_in": f"""
+WITH triples AS ({_T}),
+nations AS (SELECT subj AS nation, obj AS region FROM triples WHERE pred = 'inRegion'),
+sup AS (SELECT DISTINCT subj AS supplier, obj AS nation FROM triples
+        WHERE pred = 'inNation' AND subj LIKE 'supplier:%')
+SELECT n.nation,
+       CASE WHEN s.supplier IS NOT NULL THEN 'has_supplier' ELSE 'no_supplier' END AS supplier_flag,
+       coalesce(s.supplier, 'none') AS supplier_or_none,
+       n.region IN ('region:0', 'region:2') AS in_r02
+FROM nations n LEFT JOIN sup s ON n.nation = s.nation
+""",
+    "sparql_describe": f"""
+WITH triples AS ({_T})
+SELECT subj, pred, obj FROM triples WHERE subj = 'nation:0' OR obj = 'nation:0'
+""",
+    "event_time_windows": """
+SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+}
+
+
+# ---------------------------------------------------------------------------
 # rows-only operators (non-SQL-expressible: custom UDF signatures /
 # iterative pipeline) — the driver records a weaker rows-only check
 
@@ -1287,6 +1530,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        # TPC-H breadth + SPARQL builtin rows
+        "tpch_q4": q_tpch_q4,
+        "tpch_q10": q_tpch_q10,
+        "tpch_q12": q_tpch_q12,
+        "tpch_q14": q_tpch_q14,
+        "tpch_q18": q_tpch_q18,
+        "sparql_count_distinct": q_sparql_count_distinct,
+        "sparql_numeric_fns": q_sparql_numeric_fns,
+        "sparql_if_coalesce_in": q_sparql_if_coalesce_in,
+        "sparql_describe": q_sparql_describe,
+        "event_time_windows": q_event_time_windows,
         # rows-only (no SQL oracle: custom UDFs / iterative pipeline)
         "simhash_signatures": q_simhash_signatures,
         "ann_lsh_topk": q_ann_lsh_topk,
@@ -1305,4 +1559,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_SPARQL_EXTRA)
     out.update(_ORACLE_RELATIONAL_EXTRA)
     out.update(_ORACLE_DOCS_EXTRA)
+    out.update(_ORACLE_BREADTH)
     return out
