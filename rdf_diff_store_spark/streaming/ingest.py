@@ -102,6 +102,24 @@ def windowed_update_rates(updates_stream: DataFrame, window: str = "5 minutes") 
     )
 
 
+def dedup_updates_stream(updates_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming duplicate suppression: drop re-sent updates with the
+    same (graph_id, content) inside the watermark window —
+    `dropDuplicatesWithinWatermark` bounds the dedup state, which an
+    unbounded crawl replay needs (the batch content-hash anti-join in
+    append_updates gives the cross-batch guarantee; this removes
+    intra-window resends before they ever hit the sink)."""
+    keyed = updates_stream.withColumn(
+        "_content_key",
+        F.coalesce(F.sha2(F.col("payload"), 256), F.lit("__tombstone__")),
+    )
+    return (
+        keyed.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["graph_id", "_content_key"])
+        .drop("_content_key")
+    )
+
+
 def read_updates_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream of graph updates (parquet drop-dir — the
     sandbox stand-in for a Kafka topic of write requests)."""

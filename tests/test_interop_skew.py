@@ -1,0 +1,144 @@
+"""Reference on-disk interop (Turtle file source/sink), SPARQL-JSON
+results, salted skew joins, streaming dedup, and Turtle round-trip
+property tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.results import ask_json, to_sparql_json
+from rdf_diff_store_spark.functions.turtle import canonicalize, parse_turtle, serialize_triple
+from rdf_diff_store_spark.operators.skew import salted_join, skew_profile
+from rdf_diff_store_spark.operators.versioned import append_updates, snapshot_triples
+from rdf_diff_store_spark.schemas import CHANGELOG
+from rdf_diff_store_spark.sources.turtle_files import (
+    decode_graph_filename,
+    encode_graph_filename,
+    read_graph_dir,
+    write_snapshot_dir,
+)
+
+PATHOLOGICAL_ID = "<#/(%¤=:"  # reference test id, tests/integration_test.rs:22
+TTL = '@prefix si: <https://www.w3schools.com/rdf/> .\n<https://w3.org> si:author "A" ;\n si:title "T" .'
+
+
+def test_filename_codec_roundtrip():
+    for gid in [PATHOLOGICAL_ID, "plain", "http://ex.org/graph?x=1&y=2", "æøå ünïcode"]:
+        name = encode_graph_filename(gid)
+        assert "/" not in name and name.endswith(".ttl")
+        assert decode_graph_filename(name) == gid
+
+
+def test_turtle_dir_roundtrip(spark, tmp_path):
+    """Write .ttl files the way the reference lays them out, ingest
+    them, snapshot, export — byte-stable canonical documents."""
+    src = tmp_path / "graphs"
+    src.mkdir()
+    for gid in [PATHOLOGICAL_ID, "g2"]:
+        (src / encode_graph_filename(gid)).write_text(TTL, encoding="utf-8")
+    updates = read_graph_dir(spark, str(src), ts="2024-01-01 00:00:00")
+    rows = updates.collect()
+    assert {r.graph_id for r in rows} == {PATHOLOGICAL_ID, "g2"}
+    log = append_updates(spark.createDataFrame([], CHANGELOG), updates)
+    triples = snapshot_triples(log, "2024-02-01 00:00:00")
+    assert triples.count() == 4  # 2 graphs × 2 triples
+    out = tmp_path / "export"
+    n = write_snapshot_dir(triples, str(out))
+    assert n == 2
+    exported = (out / encode_graph_filename("g2")).read_text(encoding="utf-8")
+    assert exported == canonicalize(TTL)
+
+
+def test_sparql_json_results(spark):
+    df = spark.createDataFrame(
+        [("http://ex.org/a", "_:b1", 3, 1.5, True, None)],
+        "iri string, bn string, i long, d double, b boolean, missing string",
+    )
+    doc = json.loads(to_sparql_json(df))
+    assert doc["head"]["vars"] == ["iri", "bn", "i", "d", "b", "missing"]
+    b = doc["results"]["bindings"][0]
+    assert b["iri"] == {"type": "uri", "value": "http://ex.org/a"}
+    assert b["bn"] == {"type": "bnode", "value": "b1"}
+    assert b["i"]["datatype"].endswith("integer") and b["i"]["value"] == "3"
+    assert b["b"]["value"] == "true"
+    assert "missing" not in b  # unbound vars are omitted per spec
+    assert json.loads(ask_json(True)) == {"head": {}, "boolean": True}
+
+
+def test_salted_join_matches_plain_join(spark):
+    fact = spark.range(5000).select(
+        (F.pmod(F.col("id") * F.col("id"), F.lit(7))).alias("k"), F.col("id").alias("v")
+    )  # skewed: quadratic residues mod 7 hit {0,1,2,4} only
+    dim = spark.createDataFrame([(i, f"dim{i}") for i in range(7)], ["k", "label"])
+    plain = fact.join(dim, "k").select("k", "v", "label")
+    salted = salted_join(fact, dim, "k", n_salts=8).select("k", "v", "label")
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    prof = skew_profile(fact, "k", top_n=1).first()
+    assert prof.n > 5000 / 7  # hub exists
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from rdf_diff_store_spark.schemas import GRAPH_UPDATES
+    from rdf_diff_store_spark.streaming.ingest import dedup_updates_stream, read_updates_stream
+
+    src = str(tmp_path / "dd_src")
+    rows = [
+        ("g1", dt.datetime(2024, 1, 1, 0, 0, 0), "add", TTL, "text/turtle"),
+        ("g1", dt.datetime(2024, 1, 1, 0, 1, 0), "add", TTL, "text/turtle"),  # dup content
+        ("g1", dt.datetime(2024, 1, 1, 0, 2, 0), "add", TTL + " ", "text/turtle"),  # new content
+    ]
+    spark.createDataFrame(rows, GRAPH_UPDATES).write.mode("append").parquet(src)
+    deduped = dedup_updates_stream(read_updates_stream(spark, src))
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dd_out")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.sql("SELECT * FROM dd_out").collect()
+    assert len(out) == 2  # identical re-send suppressed
+
+
+# --- property-based: Turtle canonical form is a fixpoint ---------------
+
+_iri = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"), whitelist_characters="/._-"),
+    min_size=1,
+    max_size=20,
+).map(lambda s: f"http://ex.org/{s}")
+_literal = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",), blacklist_characters=""),
+    max_size=30,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(_iri, _iri, st.one_of(_iri.map(lambda x: (x, None, None)),
+                                        _literal.map(lambda v: (v, "__lit__", None)))),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_turtle_canonicalize_is_fixpoint(triples):
+    """serialize → parse → serialize is byte-identical (the reference's
+    prettify-equality contract depends on exactly this)."""
+    lines = []
+    for s, p, (o, kind, _) in triples:
+        dt_ = "http://www.w3.org/2001/XMLSchema#string" if kind else None
+        lines.append(serialize_triple(s, p, o, dt_, None))
+    doc = "\n".join(sorted(set(lines))) + "\n"
+    c1 = canonicalize(doc)
+    assert canonicalize(c1) == c1
+    reparsed = parse_turtle(c1)
+    assert canonicalize("\n".join(sorted(serialize_triple(*t) for t in reparsed)) + "\n") == c1
