@@ -1453,6 +1453,15 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_topk(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF coarse-quantizer ANN with full-probe equivalence to exact
+    search when n_probe == n_centroids (tested); here n_probe=4/8."""
+    from rdf_diff_store_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < 20), emb, dim=64, k=5, n_centroids=8, n_probe=4)
+
+
 def q_kg_pipeline(spark, sf_dir):
     """Full KG-construction DAG on deterministic synthetic pages
     (sf-independent; the north_star flagship)."""
@@ -1544,6 +1553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only (no SQL oracle: custom UDFs / iterative pipeline)
         "simhash_signatures": q_simhash_signatures,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "kg_pipeline": q_kg_pipeline,
     }
 

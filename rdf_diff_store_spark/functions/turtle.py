@@ -226,7 +226,11 @@ def parse_triples(changelog: DataFrame) -> DataFrame:
                     out["obj"].append(o)
                     out["obj_dt"].append(dt)
                     out["obj_lang"].append(lang)
-            yield pd.DataFrame(out)
+            pdf_out = pd.DataFrame(out)
+            # all-null ts infers float64, which Arrow can't cast to
+            # timestamp — coerce explicitly
+            pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])
+            yield pdf_out
 
     return changelog.select("graph_id", "ts", "payload").mapInPandas(_parse, _TRIPLES_OUT_SCHEMA)
 

@@ -38,6 +38,13 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(a: Column, b: Column) -> Column:
+    """Null-safe cosine: zero-norm vectors yield NULL (try_divide)
+    instead of an ANSI divide-by-zero error; NULL sims are filtered
+    out of top-k results."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -48,12 +55,13 @@ def cosine_topk(
     """Exact top-k cosine neighbors per query (excluding self)."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    sim = _cosine(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")
@@ -79,6 +87,67 @@ def _bucket_udf(dim: int, n_planes: int, table: int):
 def _probe_buckets(bucket: Column, n_planes: int) -> Column:
     """Bucket plus all Hamming-distance-1 neighbors (multi-probe)."""
     return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse quantization against deterministic
+    pseudo-centroids (np.RandomState-seeded unit vectors regenerated
+    identically on every executor — no training job, no broadcast),
+    candidates live in their nearest centroid's inverted list, queries
+    probe their n_probe nearest lists, exact cosine re-rank inside.
+
+    At 1e9+ vectors this is the classic coarse-quantizer pruning:
+    each query touches ~n_probe/n_centroids of the corpus. A trained
+    k-means quantizer drops in by replacing `_centroid_assign`'s
+    centroid construction; the Spark plumbing is unchanged."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    def _assign_udf(top: int):
+        @F.pandas_udf(T.ArrayType(T.IntegerType()))
+        def assign(vecs: pd.Series) -> pd.Series:
+            rng = np.random.RandomState(424242)
+            cents = rng.standard_normal((n_centroids, dim))
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            mat = np.stack(vecs.to_numpy())
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cents.T  # (batch, n_centroids)
+            order = np.argsort(-sims, axis=1)[:, :top]
+            return pd.Series(list(order.astype("int32")))
+
+        return assign
+
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(_assign_udf(1)(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_assign_udf(n_probe)(F.col(vec_col))).alias("cell"),
+    )
+    pairs = q.join(c, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    sim = _cosine(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rn")
+    )
 
 
 def lsh_topk(
@@ -112,10 +181,11 @@ def lsh_topk(
         )
         pairs = p if pairs is None else pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["query_id", "neighbor_id"])
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    sim = _cosine(F.col("qv"), F.col("cv"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
     return (
         pairs.withColumn("cos_sim", F.round(sim, 6))
+        .filter(F.col("cos_sim").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rn")

@@ -172,25 +172,72 @@ def snapshot_triples(changelog: DataFrame, ts: str | Column) -> DataFrame:
     return parse_triples(snapshot_at(changelog, ts))
 
 
+def _dual_state(changelog: DataFrame, t1: Column, t2: Column) -> DataFrame:
+    """Both as-of states in ONE scan + ONE shuffle: per graph_id,
+    max_by with a condition-gated ordering key (rows newer than the
+    probe time get a null key, which max_by skips). The naive form —
+    two independent snapshot_at calls — scans and shuffles the
+    changelog twice; this halves both, which at a 100 TB changelog is
+    the difference between one pass and two."""
+    ord_key = F.struct(F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit("")))
+    val = F.struct("ts", "op", "payload", "content_hash")
+    return (
+        changelog.filter(F.col("ts") <= F.greatest(t1, t2))  # t1 > t2 is legal (reversed diff)
+        .groupBy("graph_id")
+        .agg(
+            F.max_by(val, F.when(F.col("ts") <= t1, ord_key)).alias("s1"),
+            F.max_by(val, F.when(F.col("ts") <= t2, ord_key)).alias("s2"),
+        )
+    )
+
+
 def diff(changelog: DataFrame, t1: str | Column, t2: str | Column, *, on_triples: bool = True) -> DataFrame:
     """O-08: added/removed between snapshot(t1) and snapshot(t2).
 
-    Bidirectional anti-join on the full key (north_rule: sort-merge
-    anti-joins between consecutive snapshots). Returns rows tagged
-    with `change` ∈ {'added','removed'}.
+    Single-scan dual-state aggregation (see _dual_state), then:
+    * graph-level: live-state hash comparison per graph — no join at
+      all (the states are already co-grouped).
+    * triple-level: only graphs whose content hash CHANGED between t1
+      and t2 are parsed (mapInPandas Turtle parse is the expensive
+      step; unchanged graphs can't contribute diff rows), then
+      bidirectional anti-joins on the triple key within that reduced
+      set (north_rule's sort-merge anti-joins).
 
-    When on_triples=False the diff is at graph-version granularity
-    (graph_id, content_hash) — the exact information a git commit
-    delta carries in the reference.
+    Returns rows tagged with `change` ∈ {'added','removed'}.
     """
-    if on_triples:
-        s1 = snapshot_triples(changelog, t1).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
-        s2 = snapshot_triples(changelog, t2).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
-        key = ["graph_id", "subj", "pred", "obj"]
-    else:
-        s1 = snapshot_at(changelog, t1).select("graph_id", "content_hash")
-        s2 = snapshot_at(changelog, t2).select("graph_id", "content_hash")
-        key = ["graph_id", "content_hash"]
+    c1 = F.lit(t1).cast("timestamp") if isinstance(t1, str) else t1
+    c2 = F.lit(t2).cast("timestamp") if isinstance(t2, str) else t2
+    dual = _dual_state(changelog, c1, c2)
+    live1 = F.col("s1").isNotNull() & (F.col("s1.op") != TOMBSTONE)
+    live2 = F.col("s2").isNotNull() & (F.col("s2.op") != TOMBSTONE)
+    h1 = F.when(live1, F.col("s1.content_hash"))
+    h2 = F.when(live2, F.col("s2.content_hash"))
+
+    if not on_triples:
+        added = dual.filter(h2.isNotNull() & (h1.isNull() | (h1 != h2))).select(
+            "graph_id", F.col("s2.content_hash").alias("content_hash"), F.lit("added").alias("change")
+        )
+        removed = dual.filter(h1.isNotNull() & (h2.isNull() | (h1 != h2))).select(
+            "graph_id", F.col("s1.content_hash").alias("content_hash"), F.lit("removed").alias("change")
+        )
+        return added.unionByName(removed)
+
+    changed = dual.filter(
+        ~(h1.isNull() & h2.isNull()) & ~h1.eqNullSafe(h2)
+    ).select(
+        "graph_id",
+        F.when(live1, F.col("s1.payload")).alias("payload1"),
+        F.when(live2, F.col("s2.payload")).alias("payload2"),
+    )
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+
+    s1 = parse_triples(
+        changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload1").alias("payload"))
+    ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    s2 = parse_triples(
+        changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload2").alias("payload"))
+    ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    key = ["graph_id", "subj", "pred", "obj"]
     added = s2.join(s1, key, "left_anti").withColumn("change", F.lit("added"))
     removed = s1.join(s2, key, "left_anti").withColumn("change", F.lit("removed"))
     return added.unionByName(removed)

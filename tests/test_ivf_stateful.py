@@ -1,0 +1,69 @@
+"""IVF ANN operator and applyInPandasWithState latest-wins tests."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.operators.similarity import cosine_topk, ivf_topk
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(q, emb, k=5).collect()}
+    a1 = ivf_topk(q, emb, dim=64, k=5, n_centroids=8, n_probe=4).collect()
+    a2 = ivf_topk(q, emb, dim=64, k=5, n_centroids=8, n_probe=4).collect()
+    assert sorted(map(tuple, a1)) == sorted(map(tuple, a2))  # deterministic
+    approx = {(r.query_id, r.neighbor_id) for r in a1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # probing half the cells
+    # full probe == exhaustive == exact
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(q, emb, dim=64, k=5, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+
+def test_latest_state_stream(spark, tmp_path):
+    from rdf_diff_store_spark.schemas import GRAPH_UPDATES
+    from rdf_diff_store_spark.streaming.ingest import read_updates_stream
+    from rdf_diff_store_spark.streaming.stateful import latest_state_stream
+
+    src = str(tmp_path / "st_src")
+    t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    batch1 = [
+        ("g1", t("2024-01-01 00:00:00"), "add", "doc-a", "text/turtle"),
+        ("g1", t("2024-01-01 00:01:00"), "add", "doc-a", "text/turtle"),  # resend → skip
+        ("g2", t("2024-01-01 00:00:30"), "delete", None, "text/turtle"),  # delete of missing → skip
+    ]
+    spark.createDataFrame(batch1, GRAPH_UPDATES).write.mode("append").parquet(src)
+    q = (
+        latest_state_stream(read_updates_stream(spark, src))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("st_out")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 2: change g1, then delete it; late stale row ignored
+    batch2 = [
+        ("g1", t("2024-01-01 00:05:00"), "add", "doc-b", "text/turtle"),
+        ("g1", t("2024-01-01 00:02:00"), "add", "doc-zzz", "text/turtle"),  # stale (< state ts after doc-b? no: processed in ts order within batch)
+        ("g1", t("2024-01-01 00:06:00"), "delete", None, "text/turtle"),
+    ]
+    spark.createDataFrame(batch2, GRAPH_UPDATES).write.mode("append").parquet(src)
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(
+        spark.sql("SELECT * FROM st_out").collect(), key=lambda r: (r.graph_id, r.ts)
+    )
+    ops = [(r.graph_id, r.op) for r in rows]
+    # accepted: g1 add(doc-a), g1 add(doc-zzz at 00:02 — processed in ts
+    # order so it precedes doc-b), g1 add(doc-b), g1 delete
+    assert ops == [("g1", "add"), ("g1", "add"), ("g1", "add"), ("g1", "delete")]
+    hashes = [r.content_hash for r in rows]
+    assert hashes[-1] is None and len({h for h in hashes if h}) == 3
