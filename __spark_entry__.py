@@ -673,14 +673,31 @@ def q_ann_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact baseline; the IVF-
+    bucketed scale path is operators.dedup.embedding_near_dup with
+    exact=False)."""
+    from rdf_diff_store_spark.operators.dedup import embedding_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.45, exact=True)
+    return pairs.select("id_a", "id_b", F.round("cos_sim", 4).alias("cos_sim"))
+
+
 _ORACLE_EMB = {
+    "embedding_near_dup": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6), 4) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+""",
     "ann_cosine_topk": """
 SELECT query_id, neighbor_id, cos_sim, rn FROM (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(list_cosine_similarity(q.embedding, c.embedding), 4) AS cos_sim,
+         round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) AS cos_sim,
          row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY round(list_cosine_similarity(q.embedding, c.embedding), 4) DESC,
+             ORDER BY round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 4) DESC,
                       c.vec_id) AS rn
   FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
   WHERE q.vec_id < 5
@@ -1514,6 +1531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_lang_stats": q_doc_lang_stats,
         "doc_quality_score": q_doc_quality_score,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         # versioned extras
         "version_history": q_version_history,
         "snapshot_as_turtle": q_snapshot_as_turtle,

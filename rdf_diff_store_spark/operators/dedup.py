@@ -182,6 +182,57 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    dim: int | None = None,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
+    with cos >= threshold and id_a < id_b.
+
+    exact=True does the all-pairs join (the oracle-checkable baseline;
+    O(n²), fine for verification scale). The default routes both sides
+    through the IVF coarse quantizer first — near-dups at cos>=0.95
+    land in the same cell with overwhelming probability, so the join
+    touches ~1/n_centroids of the pair space."""
+    from rdf_diff_store_spark.operators.similarity import _cosine
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    if exact:
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        if dim is None:
+            raise ValueError("dim required for the IVF-bucketed path")
+        from rdf_diff_store_spark.operators.similarity import ivf_topk  # noqa: F401  (shared centroid scheme)
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql import types as T
+
+        @F.pandas_udf(T.IntegerType())
+        def cell(vecs: pd.Series) -> pd.Series:
+            rng = np.random.RandomState(424242)
+            cents = rng.standard_normal((n_centroids, dim))
+            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+            mat = np.stack(vecs.to_numpy())
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            return pd.Series(((mat / norms) @ cents.T).argmax(axis=1).astype("int32"))
+
+        a = a.withColumn("_cell", cell(F.col("va")))
+        b = b.withColumn("_cell", cell(F.col("vb")))
+        pairs = a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b")).drop("_cell")
+    return (
+        pairs.withColumn("cos_sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (Arrow-batched pandas UDF; numpy
     bit-bucket accumulation per batch)."""
