@@ -42,6 +42,29 @@ from rdf_diff_store_spark.functions.turtle import canonicalize_udf
 
 TOMBSTONE = "delete"
 
+# Conventional partition column for changelog tables laid out as
+# days(ts) — the production partitioning (SURVEY.md §7 stage 4).
+PARTITION_COL = "day"
+
+
+def _as_of_filter(changelog: DataFrame, t: Column) -> DataFrame:
+    """ts <= t, PLUS the derived partition predicate when the table
+    carries the days(ts) partition column. Catalyst cannot infer
+    `day <= date(t)` from `ts <= t` on its own, and without it a
+    day-partitioned changelog reads every file — the explicit
+    predicate is what turns the reference's binary search
+    (src/git.rs:154-160) into file-level pruning at 100 TB."""
+    cond = F.col("ts") <= t
+    if PARTITION_COL in changelog.columns:
+        cond = cond & (F.col(PARTITION_COL) <= F.to_date(t))
+    return changelog.filter(cond)
+
+
+def with_day_partition(changelog: DataFrame) -> DataFrame:
+    """Add the days(ts) partition column (write with
+    .partitionBy(PARTITION_COL) to get a prunable layout)."""
+    return changelog.withColumn(PARTITION_COL, F.to_date("ts"))
+
 
 def canonical_changelog_row(updates: DataFrame) -> DataFrame:
     """Normalize raw graph updates into changelog rows:
@@ -157,7 +180,7 @@ def snapshot_at(changelog: DataFrame, ts: str | Column) -> DataFrame:
     """
     t = F.lit(ts).cast("timestamp") if isinstance(ts, str) else ts
     return (
-        current_state(changelog.filter(F.col("ts") <= t))
+        current_state(_as_of_filter(changelog, t))
         .filter(F.col("op") != TOMBSTONE)
         .select("graph_id", "ts", "payload", "content_hash")
     )
@@ -182,7 +205,7 @@ def _dual_state(changelog: DataFrame, t1: Column, t2: Column) -> DataFrame:
     ord_key = F.struct(F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit("")))
     val = F.struct("ts", "op", "payload", "content_hash")
     return (
-        changelog.filter(F.col("ts") <= F.greatest(t1, t2))  # t1 > t2 is legal (reversed diff)
+        _as_of_filter(changelog, F.greatest(t1, t2))  # t1 > t2 is legal (reversed diff)
         .groupBy("graph_id")
         .agg(
             F.max_by(val, F.when(F.col("ts") <= t1, ord_key)).alias("s1"),
