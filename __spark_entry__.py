@@ -1296,6 +1296,39 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_tpch_q16(spark, sf_dir):
+    """Q16-style: supplier variety per part brand/type bucket —
+    distinct agg + anti-join exclusion list."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size").isin(1, 4, 7))
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    excluded = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(excluded, "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19(spark, sf_dir):
+    """Q19-style: OR-of-ANDs predicate (brand × size-range × quantity
+    bands) — disjunctive filter pushdown + single agg."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 10)) & (F.col("l_quantity").between(1, 20)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(5, 20)) & (F.col("l_quantity").between(10, 30)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(10, 40)) & (F.col("l_quantity").between(20, 40)))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 def q_sparql_count_distinct(spark, sf_dir):
     """COUNT(DISTINCT ?x) + exact vs HLL sketch side by side."""
     t = triples_from_tpch(spark, sf_dir)
@@ -1413,6 +1446,22 @@ SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
 FROM orders
 WHERE o_orderkey IN (
   SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+""",
+    "tpch_q16": """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size IN (1, 4, 7)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+""",
+    "tpch_q19": """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40 AND l_quantity BETWEEN 20 AND 40)
 """,
     "sparql_count_distinct": f"""
 WITH triples AS ({_T})
@@ -1559,6 +1608,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         # TPC-H breadth + SPARQL builtin rows
         "tpch_q4": q_tpch_q4,
+        "tpch_q16": q_tpch_q16,
+        "tpch_q19": q_tpch_q19,
         "tpch_q10": q_tpch_q10,
         "tpch_q12": q_tpch_q12,
         "tpch_q14": q_tpch_q14,
