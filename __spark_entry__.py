@@ -617,7 +617,47 @@ def q_doc_quality_score(spark, sf_dir):
     )
 
 
+def q_training_set_selection(spark, sf_dir):
+    """End-to-end training-data selection: quality gate (alpha ratio,
+    token range) → language allowlist → exact dedup keep-first. The
+    composition every large-scale corpus pipeline runs before
+    tokenization; all JVM expressions + one hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")) / F.length("text")
+    filtered = docs.filter(
+        (F.col("lang").isin("en", "de", "fr"))
+        & (n_tok.between(20, 200))
+        & (F.round(alpha, 4) >= 0.7)
+    )
+    kept = (
+        filtered.select(F.md5("text").alias("h"), "doc_id", "lang", n_tok.alias("n_tokens"))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("lang", "doc_id").alias("lang"),
+            F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+        )
+        .drop("h")
+    )
+    return kept
+
+
 _ORACLE_DOCS = {
+    "training_set_selection": r"""
+WITH filtered AS (
+  SELECT doc_id, lang, md5(text) AS h,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens
+  FROM documents
+  WHERE lang IN ('en', 'de', 'fr')
+    AND len(string_split_regex(trim(text), '\s+')) BETWEEN 20 AND 200
+    AND round(len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / len(text), 4) >= 0.7
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn FROM filtered
+)
+SELECT doc_id, lang, n_tokens FROM ranked WHERE rn = 1
+""",
     "doc_token_count": r"""
 SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents
 """,
@@ -1579,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": q_doc_exact_dedup,
         "doc_lang_stats": q_doc_lang_stats,
         "doc_quality_score": q_doc_quality_score,
+        "training_set_selection": q_training_set_selection,
         "ann_cosine_topk": q_ann_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         # versioned extras
