@@ -104,6 +104,31 @@ def test_compaction_skips_duplicate_recrawls(spark, pages, built):
     assert n_adds < n_captures
 
 
+def test_partial_stage_write_is_recomputed(spark, pages, tmp_path_factory):
+    """Crash-mid-stage recovery: a stage directory WITHOUT _SUCCESS
+    (simulating a killed write) must be recomputed, not trusted —
+    the exactly-once overwrite contract."""
+    import os
+    import shutil
+
+    work = str(tmp_path_factory.mktemp("kgpartial"))
+    log1, _ = build_kg(spark, pages, work_dir=work)
+    n = log1.count()
+    # simulate a torn write on the quads stage: drop _SUCCESS and a file
+    quads_dir = os.path.join(work, "quads")
+    os.remove(os.path.join(quads_dir, "_SUCCESS"))
+    for f in os.listdir(quads_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(quads_dir, f))
+            break
+    shutil.rmtree(os.path.join(work, "changelog"))  # downstream gone too
+    log2, rec2 = build_kg(spark, pages, work_dir=work)
+    status = {m["stage"]: m["resumed"] for m in rec2.metrics}
+    assert status["extract"] and status["mentions"]  # intact stages reused
+    assert not status["quads"] and not status["changelog"]  # torn stages redone
+    assert log2.count() == n
+
+
 def test_resume_from_checkpoint(spark, pages, tmp_path_factory):
     work = str(tmp_path_factory.mktemp("kgwork"))
     log1, rec1 = build_kg(spark, pages, work_dir=work)
