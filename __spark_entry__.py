@@ -321,6 +321,25 @@ def q_sparql_path_plus(spark, sf_dir):
     return transitive_closure(edges).select("src", "dst")
 
 
+def q_sparql_text_select(spark, sf_dir):
+    """An actual SPARQL query STRING (the reference's request format,
+    src/bin/rdf-query-cache.rs:44-53) parsed and compiled onto the
+    algebra layer by plans/sparql_text.py."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_select
+
+    t = triples_from_tpch(spark, sf_dir)
+    return sparql_select(
+        t,
+        """
+        SELECT ?nation ?nation_name WHERE {
+          ?nation <inRegion> ?r ; <name> ?nation_name .
+          FILTER (REGEX(?nation_name, "^NATION_[0-9]$") && ?r != "region:0")
+        }
+        ORDER BY ASC(?nation_name)
+        """,
+    )
+
+
 def q_sparql_ask(spark, sf_dir):
     """ASK ≙ limit(1) existence check."""
     t = triples_from_tpch(spark, sf_dir)
@@ -424,6 +443,14 @@ reach AS (
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 )
 SELECT src, dst FROM reach
+""",
+    "sparql_text_select": f"""
+WITH triples AS ({_T}),
+nreg AS (SELECT subj AS nation, obj AS r FROM triples WHERE pred = 'inRegion'),
+names AS (SELECT subj AS nation, obj AS nation_name FROM triples WHERE pred = 'name')
+SELECT nation, nation_name
+FROM nreg JOIN names USING (nation)
+WHERE regexp_matches(nation_name, '^NATION_[0-9]$') AND r <> 'region:0'
 """,
     "sparql_ask": f"""
 WITH triples AS ({_T})
@@ -1606,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_values_bind": q_sparql_values_bind,
         "sparql_filter_regex": q_sparql_filter_regex,
         "sparql_path_plus": q_sparql_path_plus,
+        "sparql_text_select": q_sparql_text_select,
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
         # relational surface
