@@ -30,9 +30,12 @@ class StageRecorder:
         self.metrics: list[dict] = []
         self.lineage: list[dict] = []
 
-    def stage(self, name: str, df: DataFrame) -> DataFrame:
+    def stage(self, name: str, df: DataFrame, partition_by: str | None = None) -> DataFrame:
         """Materialize one stage boundary; resume from the checkpoint
-        if it already exists (exactly-once per stage by overwrite)."""
+        if it already exists (exactly-once per stage by overwrite).
+        `partition_by` writes the checkpoint in a partitioned layout
+        (e.g. the changelog's days(ts) production layout), so
+        downstream as-of reads prune files."""
         t0 = time.perf_counter()
         if self.work_dir:
             path = os.path.join(self.work_dir, name)
@@ -41,7 +44,10 @@ class StageRecorder:
                 out = self.spark.read.parquet(path)
                 self._record(name, out, t0, resumed=True)
                 return out
-            df.write.mode("overwrite").parquet(path)
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(partition_by)
+            writer.parquet(path)
             out = self.spark.read.parquet(path)
         else:
             out = df.persist(StorageLevel.MEMORY_AND_DISK)

@@ -216,6 +216,14 @@ def build_kg(
     edges = rec.stage("alias_edges", alias_edges(firsts, first_mentions))
     entity_map = rec.stage("entity_map", canonical_entity_map(edges))
     quads = rec.stage("quads", quads_of(mentions, extracted, entity_map))
-    changelog = rec.stage("changelog", changelog_of(quads, pages))
+    from rdf_diff_store_spark.operators.versioned import with_day_partition
+
+    # checkpoint the changelog in the production days(ts) layout so
+    # downstream snapshot/diff reads prune partitions (no-op in-memory)
+    changelog = rec.stage(
+        "changelog",
+        with_day_partition(changelog_of(quads, pages)) if work_dir else changelog_of(quads, pages),
+        partition_by="day" if work_dir else None,
+    )
     rec.flush()
     return changelog, rec
