@@ -37,7 +37,7 @@ _TOKEN = re.compile(
   | (?P<iri><[^>]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
-  | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STR)\b)
+  | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|ORDER|BY|ASC|DESC|LIMIT|OFFSET|REGEX|STRSTARTS|STRENDS|CONTAINS|STR)\b)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*)
   | (?P<op><=|>=|!=|=|<|>|&&|\|\||!)
   | (?P<punct>[{}().;,*])
@@ -51,8 +51,9 @@ class _Parsed:
     distinct: bool = False
     projection: list[str] | None = None  # None = *
     patterns: list[tuple] = field(default_factory=list)
-    optionals: list[list[tuple]] = field(default_factory=list)
+    optionals: list[tuple[list[tuple], list]] = field(default_factory=list)  # (patterns, filters)
     filters: list = field(default_factory=list)  # expression ASTs
+    union_groups: list[tuple[list[tuple], list]] = field(default_factory=list)  # alternative groups
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, asc)
     limit: int | None = None
     offset: int | None = None
@@ -222,30 +223,60 @@ def _parse(query: str) -> tuple[_Parsed, dict[str, str]]:
 
         return or_expr()
 
-    parse_triples_into(out.patterns)
-    while True:
-        kind, val = ts.peek()
-        if val == "OPTIONAL":
+    def parse_group() -> tuple[list[tuple], list]:
+        """patterns + filters up to the closing '}' (no nesting)."""
+        patterns: list = []
+        filters: list = []
+        parse_triples_into(patterns)
+        while True:
+            kind, val = ts.peek()
+            if val == "FILTER":
+                ts.next()
+                ts.expect("(")
+                filters.append(parse_expr())
+                ts.expect(")")
+                if ts.peek()[1] == ".":
+                    ts.next()
+                parse_triples_into(patterns)
+            else:
+                return patterns, filters
+
+    # top-level UNION form: WHERE { { groupA } UNION { groupB } ... }
+    if ts.peek()[1] == "{":
+        while ts.peek()[1] == "{":
             ts.next()
-            ts.expect("{")
-            opt_patterns: list = []
-            parse_triples_into(opt_patterns)
+            out.union_groups.append(parse_group())
             ts.expect("}")
-            out.optionals.append(opt_patterns)
-            if ts.peek()[1] == ".":
+            if ts.peek()[1] == "UNION":
                 ts.next()
-            parse_triples_into(out.patterns)
-        elif val == "FILTER":
-            ts.next()
-            ts.expect("(")
-            out.filters.append(parse_expr())
-            ts.expect(")")
-            if ts.peek()[1] == ".":
-                ts.next()
-            parse_triples_into(out.patterns)
-        else:
+                continue
             break
-    ts.expect("}")
+        if len(out.union_groups) < 2:
+            raise SparqlParseError("braced group without UNION")
+        ts.expect("}")
+    else:
+        parse_triples_into(out.patterns)
+        while True:
+            kind, val = ts.peek()
+            if val == "OPTIONAL":
+                ts.next()
+                ts.expect("{")
+                out.optionals.append(parse_group())
+                ts.expect("}")
+                if ts.peek()[1] == ".":
+                    ts.next()
+                parse_triples_into(out.patterns)
+            elif val == "FILTER":
+                ts.next()
+                ts.expect("(")
+                out.filters.append(parse_expr())
+                ts.expect(")")
+                if ts.peek()[1] == ".":
+                    ts.next()
+                parse_triples_into(out.patterns)
+            else:
+                break
+        ts.expect("}")
 
     while ts.peek()[1] is not None:
         kind, val = ts.next()
@@ -313,13 +344,30 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a SPARQL SELECT string against a (subj, pred, obj)
     triples DataFrame. Returns one column per projected variable."""
     parsed, _ = _parse(query)
-    if not parsed.patterns:
-        raise SparqlParseError("empty WHERE group")
-    df = bgp(triples, parsed.patterns)
-    for opt in parsed.optionals:
-        df = optional(df, bgp(triples, opt))
-    for f_ast in parsed.filters:
-        df = df.filter(_compile_filter(f_ast))
+
+    def compile_group(patterns, filters) -> DataFrame:
+        if not patterns:
+            raise SparqlParseError("empty pattern group")
+        g = bgp(triples, patterns)
+        for f_ast in filters:
+            g = g.filter(_compile_filter(f_ast))
+        return g
+
+    if parsed.union_groups:
+        from rdf_diff_store_spark.plans.algebra import union as _union
+
+        df = None
+        for patterns, filters in parsed.union_groups:
+            g = compile_group(patterns, filters)
+            df = g if df is None else _union(df, g)
+    else:
+        if not parsed.patterns:
+            raise SparqlParseError("empty WHERE group")
+        df = bgp(triples, parsed.patterns)
+        for opt_patterns, opt_filters in parsed.optionals:
+            df = optional(df, compile_group(opt_patterns, opt_filters))
+        for f_ast in parsed.filters:
+            df = df.filter(_compile_filter(f_ast))
     if parsed.projection is not None:
         missing = [v for v in parsed.projection if v not in df.columns]
         if missing:

@@ -60,15 +60,31 @@ def test_optional_block(triples):
     assert len(rows) == 25  # every nation kept
     unmatched = [r for r in rows if r.next is None]
     assert len(unmatched) == 5  # one chain tail per region
-    # FILTER inside OPTIONAL isn't in the subset — must fail loudly
-    q_bad = """
-    SELECT ?n WHERE {
+    # FILTER inside OPTIONAL: restricts the optional side only
+    q2 = """
+    SELECT ?n ?s WHERE {
       ?n <inRegion> ?r .
       OPTIONAL { ?s <inNation> ?n . FILTER (STRSTARTS(?s, "supplier:")) }
     }
     """
-    with pytest.raises(SparqlParseError):
-        sparql_select(triples, q_bad)
+    rows2 = sparql_select(triples, q2).collect()
+    matched = [r for r in rows2 if r.s is not None]
+    assert all(r.s.startswith("supplier:") for r in matched)
+    assert {r.n for r in rows2} == {r.n for r in rows}  # all nations kept
+
+
+def test_union_groups(triples):
+    q = """
+    SELECT ?who ?n WHERE {
+      { ?who <inNation> ?n . FILTER (STRSTARTS(?who, "supplier:")) }
+      UNION
+      { ?who <inRegion> ?n }
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    kinds = {r.who.split(":")[0] for r in rows}
+    assert kinds == {"supplier", "nation"}
+    assert len(rows) > 25
 
 
 def test_numeric_filter_and_distinct(triples):
