@@ -14,7 +14,7 @@ run-to-run variance from host contention).
 
 Usage: python scripts/bench_scaling.py [sf_dir]
 Env: SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_KG_URLS
-(default 200000), SPARK_GRAFT_SCALE_REPS (default 2).
+(default 200000), SPARK_GRAFT_SCALE_REPS (default 4).
 """
 
 from __future__ import annotations
@@ -34,7 +34,7 @@ from rdf_diff_store_spark.pipeline.kg import build_kg
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 n_urls = int(os.environ.get("SPARK_GRAFT_KG_URLS", "200000"))
-reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
 spark = get_spark("bench-scaling", cpus=cpus)
 pages = (generate_pages(spark, n_urls=n_urls, n_crawls=4,
                         n_entities=max(n_urls // 10, 50), partitions=64)
