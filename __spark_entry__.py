@@ -1204,6 +1204,39 @@ def q_ngram_jaccard_topk(spark, sf_dir):
     )
 
 
+def q_doc_token_count_bpe(spark, sf_dir):
+    """BPE-ish pre-tokenization counts (letters/digits/punct runs) —
+    the corpus-budget number; whitespace counting undercounts
+    punctuation-heavy text."""
+    from rdf_diff_store_spark.functions.text import bpe_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens"))
+
+
+def q_doc_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprint count per document —
+    portable md5 variant of functions.text.winnow_fingerprints
+    (k=5-char grams, w=4 windows, distinct window-min hashes)."""
+    from rdf_diff_store_spark.operators.dedup import bind_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+
+    def gram_hashes(s):
+        n = F.greatest(F.length(s) - 4, F.lit(1))
+        return F.transform(F.sequence(F.lit(1), n), lambda i: F.md5(s.substr(i, F.lit(5))))
+
+    def window_mins(hs):
+        n = F.greatest(F.size(hs) - 3, F.lit(1))
+        return F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n), lambda i: F.array_min(F.slice(hs, i, 4)))
+        )
+
+    fps = bind_once(bind_once(t, gram_hashes), window_mins)
+    return docs.select("doc_id", F.size(fps).alias("n_fingerprints"))
+
+
 def q_doc_lang_id(spark, sf_dir):
     """Stopword-scoring language id (functions.text.lang_id_scores)."""
     from rdf_diff_store_spark.functions.text import lang_id_scores
@@ -1268,6 +1301,22 @@ SELECT id_a, id_b, jaccard, rn FROM (
   FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
   WHERE a.doc_id < 10
 ) WHERE rn <= 3
+""",
+    "doc_token_count_bpe": r"""
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
+FROM documents
+""",
+    "doc_winnow_fingerprints": """
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+h AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 4, 1)),
+                            i -> md5(substr(s, i, 5))) AS hs
+      FROM t),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)),
+                                          i -> list_min(hs[i:i+3]))) AS fps
+      FROM h)
+SELECT doc_id, len(fps) AS n_fingerprints FROM m
 """,
     "doc_lang_id": _lang_id_oracle_sql(),
     "doc_fingerprint": """
@@ -1673,6 +1722,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # documents extras
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_topk": q_ngram_jaccard_topk,
+        "doc_token_count_bpe": q_doc_token_count_bpe,
+        "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
         # TPC-H breadth + SPARQL builtin rows

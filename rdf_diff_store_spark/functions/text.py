@@ -67,6 +67,49 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+"))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the GPT-2-style split shape without the merges table. Engine-portable
+# regex (no lookarounds).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under BPE-ish pre-tokenization — the corpus-sizing
+    number a training pipeline actually budgets with (whitespace
+    counts undercount punctuation-heavy text)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def winnow_fingerprints(text: Column, k: int = 5, w: int = 4) -> Column:
+    """Winnowing document fingerprints (the rolling-hash scheme from
+    Schleimer/Wilkerson/Aiken): hash every k-char gram, slide a
+    w-window over the hash sequence, keep each window's minimum;
+    distinct mins = the fingerprint set. Overlap of fingerprint sets
+    detects partial/contained duplication that whole-document hashing
+    misses. All built-in expressions (substring grams + xxhash64 +
+    windowed array_min)."""
+    from rdf_diff_store_spark.operators.dedup import bind_once
+
+    def build(t: Column) -> Column:
+        n_grams = F.greatest(F.length(t) - k + 1, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.xxhash64(t.substr(i, F.lit(k))),
+        )
+
+    def mins(hs: Column) -> Column:
+        n_windows = F.greatest(F.size(hs) - w + 1, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+        )
+
+    hashes = bind_once(F.lower(text), build)
+    return bind_once(hashes, mins)
+
+
 def lang_id_scores(text: Column) -> Column:
     """Stopword-hit score per language; returns the argmax language
     ('und' when nothing matches). Pure JVM expression tree."""
