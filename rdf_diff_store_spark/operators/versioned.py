@@ -103,38 +103,48 @@ def current_state(changelog: DataFrame) -> DataFrame:
     ).select("graph_id", "latest.ts", "latest.op", "latest.payload", "latest.content_hash")
 
 
+def _normalize_history(log: DataFrame) -> DataFrame:
+    """Canonical minimal history: per graph in (ts, op, hash) order,
+    drop (a) rows whose content equals their predecessor's —
+    consecutive-duplicate versions, which also absorbs exact replayed
+    rows — and (b) tombstones with no prior 'add' (deleting a graph
+    that never existed is a no-op, src/graphs.rs's intent). One window
+    shuffle on graph_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("graph_id").orderBy(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    cur = F.coalesce(F.col("content_hash"), F.lit("__tombstone__"))
+    prev = F.lag(cur).over(w)
+    prior_adds = F.count(F.when(F.col("op") != TOMBSTONE, 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    keep = (prev.isNull() | (prev != cur)) & ~(
+        (F.col("op") == TOMBSTONE) & (prior_adds == 0)
+    )
+    return (
+        log.withColumn("_keep", keep).filter(F.col("_keep")).drop("_keep")
+    )
+
+
 def append_updates(changelog: DataFrame, updates: DataFrame) -> DataFrame:
     """O-01/O-02: idempotent append.
 
-    Returns changelog ∪ (accepted rows). An incoming 'add' is accepted
-    iff its canonical content hash differs from the graph's current
-    hash (reference skip-write, src/graphs.rs:52-61); an incoming
-    'delete' is accepted iff the graph currently exists (the reference
-    would fail to remove a missing file). Unchanged graphs emit no
-    rows — exactly the reference's "no new commit" behavior pinned by
-    test_no_diff (tests/integration_test.rs:96-125).
-
-    Implementation: left join incoming batch → current state on
-    graph_id, filter on hash inequality / liveness. The current-state
-    aggregate is small relative to the changelog (one row per graph)
-    and Catalyst will broadcast it when under the threshold.
+    Defined as `normalize(changelog ∪ canonical(incoming))`: an 'add'
+    survives iff its canonical content differs from the graph's
+    previous version in event-time order (reference skip-write,
+    src/graphs.rs:52-61, pinned by tests/integration_test.rs:96-125);
+    a 'delete' survives iff the graph existed before it. Because the
+    result depends only on the SET of rows ever ingested, the operator
+    is batch-split invariant and replay-idempotent: feeding the same
+    updates in any batching (or twice) yields the identical table —
+    the exactly-once property the streaming writer leans on. The
+    reference gets the same guarantee from its global write lock +
+    wall-clock stamps; a replayed crawl needs it from the algebra.
     """
     incoming = canonical_changelog_row(updates)
-    cur = current_state(changelog).select(
-        "graph_id",
-        F.col("op").alias("_cur_op"),
-        F.col("content_hash").alias("_cur_hash"),
-    )
-    joined = incoming.join(cur, "graph_id", "left")
-    live = F.col("_cur_op").isNotNull() & (F.col("_cur_op") != TOMBSTONE)
-    accept_add = (F.col("op") != TOMBSTONE) & (
-        ~live | (F.col("_cur_hash") != F.col("content_hash"))
-    )
-    accept_del = (F.col("op") == TOMBSTONE) & live
-    accepted = joined.filter(accept_add | accept_del).select(
-        "graph_id", "ts", "op", "payload", "content_hash"
-    )
-    return changelog.unionByName(accepted)
+    return _normalize_history(changelog.unionByName(incoming))
 
 
 def apply_update_batches(changelog: DataFrame, batches: list[DataFrame]) -> DataFrame:
