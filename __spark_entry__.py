@@ -39,6 +39,18 @@ from rdf_diff_store_spark.sources.relational import (
 T_MID = "2024-01-10 00:00:00"
 T_LATE = "2024-01-20 00:00:00"
 
+def _ntz_us(c) -> F.Column:
+    """Timezone-proof epoch micros from a TIMESTAMP_NTZ column.
+
+    Parquet timestamps load as TIMESTAMP_NTZ; `cast("timestamp")` +
+    `unix_micros` re-interprets the wall clock in the *session*
+    timezone — correct only when the session pins UTC, which the
+    driver harness's own SparkSession may not. timestamp_diff on two
+    NTZ values is pure wall-clock arithmetic, matching DuckDB's
+    epoch_us(TIMESTAMP) exactly under any session timezone."""
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    return F.timestamp_diff("MICROSECOND", epoch, c)
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -112,11 +124,9 @@ def q_diff_triples(spark, sf_dir):
 def q_metadata(spark, sf_dir):
     """O-09: first/last version times (epoch micros for portability)."""
     m = metadata(changelog_from_events(spark, sf_dir))
-    # parquet timestamps load as TIMESTAMP_NTZ; with the session TZ
-    # pinned to UTC the cast to TIMESTAMP is a pure reinterpretation
     return m.select(
-        F.unix_micros(F.col("start_time").cast("timestamp")).alias("start_us"),
-        F.unix_micros(F.col("end_time").cast("timestamp")).alias("end_us"),
+        _ntz_us(F.col("start_time")).alias("start_us"),
+        _ntz_us(F.col("end_time")).alias("end_us"),
     )
 
 
@@ -783,8 +793,8 @@ def q_version_history(spark, sf_dir):
     return log.groupBy("graph_id").agg(
         F.count("*").alias("n_versions"),
         F.sum((F.col("op") == "delete").cast("int")).alias("n_deletes"),
-        F.unix_micros(F.min("ts").cast("timestamp")).alias("first_us"),
-        F.unix_micros(F.max("ts").cast("timestamp")).alias("last_us"),
+        _ntz_us(F.min("ts")).alias("first_us"),
+        _ntz_us(F.max("ts")).alias("last_us"),
     )
 
 
@@ -802,7 +812,9 @@ _ORACLE_VERSIONED_EXTRA = {
     "version_history": f"""
 WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL})
 SELECT graph_id, count(*) AS n_versions,
-       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes,
+       -- DuckDB sum(int) is HUGEINT (int128) → pandas float64; cast to
+       -- BIGINT so the value hash matches Spark's LONG (driver r01 fail)
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
        epoch_us(min(ts)) AS first_us, epoch_us(max(ts)) AS last_us
 FROM changelog GROUP BY graph_id
 """,
@@ -940,9 +952,9 @@ def q_sessionize(spark, sf_dir):
     new-session flags, the classic sessionization window pattern."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        F.lag("ts").over(w).cast("timestamp")
-    )
+    # NTZ-native gap arithmetic: timezone-proof (no cast-to-instant),
+    # immune to DST-bearing driver session timezones
+    gap_us = F.timestamp_diff("MICROSECOND", F.lag("ts").over(w), F.col("ts"))
     new_sess = (F.col("_gap").isNull() | (F.col("_gap") > 1800 * 1_000_000)).cast("int")
     return (
         ev.withColumn("_gap", gap_us)
@@ -960,16 +972,14 @@ def q_asof_join(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("timestamp").cast("long"))
+        .orderBy(_ntz_us(F.col("ts")))
         .rangeBetween(Window.unboundedPreceding, 0)
     )
-    sign_ts = F.max(
-        F.when(F.col("event_type") == "signup", F.col("ts").cast("timestamp"))
-    ).over(w)
+    sign_ts = F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).over(w)
     return (
         ev.withColumn("_sign", sign_ts)
         .filter(F.col("event_type") == "purchase")
-        .select("event_id", F.unix_micros(F.col("_sign")).alias("last_signup_us"))
+        .select("event_id", _ntz_us(F.col("_sign")).alias("last_signup_us"))
     )
 
 
@@ -999,10 +1009,16 @@ def q_hash_fns(spark, sf_dir):
 
 
 def q_subquery_avg(spark, sf_dir):
-    """Scalar subquery: customers above global average balance."""
+    """Scalar subquery: customers above global average balance.
+    One plan — the 1-row aggregate is broadcast-cross-joined, not
+    collected to the driver (no second job)."""
     cust = load_table(spark, sf_dir, "customer")
-    avg_bal = cust.agg(F.avg("c_acctbal")).first()[0]
-    return cust.filter(F.col("c_acctbal") > avg_bal).select("c_custkey")
+    avg_bal = cust.agg(F.avg("c_acctbal").alias("_avg"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .select("c_custkey")
+    )
 
 
 def q_set_ops(spark, sf_dir):
@@ -1063,7 +1079,7 @@ WITH lagged AS (
   FROM events
 )
 SELECT user_id,
-       sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS n_sessions,
+       CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 * 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
        count(*) AS n_events
 FROM lagged GROUP BY user_id
 """,
@@ -1505,12 +1521,14 @@ def q_event_time_windows(spark, sf_dir):
     """Tumbling event-time windows (the streaming windowed-agg shape,
     run over the bounded table — identical semantics, oracle-checkable)."""
     ev = load_table(spark, sf_dir, "events")
-    win = F.window(F.col("ts").cast("timestamp"), "6 hours")
+    # window() directly on the NTZ column: wall-clock tumbling buckets
+    # (matches DuckDB time_bucket regardless of session timezone)
+    win = F.window(F.col("ts"), "6 hours")
     return (
         ev.groupBy(win, "event_type")
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(
-            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            _ntz_us(F.col("window.start")).alias("win_start_us"),
             "event_type",
             "n",
             "total_value",
@@ -1543,8 +1561,8 @@ ORDER BY revenue DESC, c_custkey LIMIT 20
 """,
     "tpch_q12": """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -40,6 +40,14 @@ def normalize(rows, columns):
     return out
 
 
+# DuckDB result types that fetchall() converts losslessly to Python
+# ints but pandas/Arrow (the driver's compare path) renders as float64
+# or decimal128 — guaranteed value-hash mismatch vs Spark's LONG even
+# though this script's fetchall-based compare would pass. sum(<int>)
+# is the classic producer (HUGEINT); cast to BIGINT in the oracle SQL.
+_DRIVER_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
+
+
 def compare(name, spark_df, con, sql):
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
@@ -47,6 +55,16 @@ def compare(name, spark_df, con, sql):
     o_rows = [tuple(r) for r in o.fetchall()]
     o_cols = list(o.columns)
     problems = []
+    hostile = [
+        (c, str(t))
+        for c, t in zip(o_cols, o.types)
+        if any(str(t).startswith(h) for h in _DRIVER_HOSTILE_TYPES)
+    ]
+    if hostile:
+        problems.append(
+            f"oracle col types {hostile} will hash-mismatch on the driver "
+            "(pandas renders HUGEINT/DECIMAL as float/object) — CAST to BIGINT/DOUBLE"
+        )
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     if len(s_rows) != len(o_rows):
