@@ -256,10 +256,22 @@ def serialize_graph(triples: DataFrame) -> DataFrame:
         ).otherwise(
             F.concat(
                 F.lit('"'),
+                # escape set must match _escape byte-for-byte (\\ " \n \r \t)
+                # or the canonical-form/content-hash contract breaks
                 F.regexp_replace(
-                    F.regexp_replace(F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'),
-                    "\n",
-                    r"\\n",
+                    F.regexp_replace(
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(F.col("obj"), r"\\", r"\\\\"), '"', '\\\\"'
+                            ),
+                            "\n",
+                            r"\\n",
+                        ),
+                        "\r",
+                        r"\\r",
+                    ),
+                    "\t",
+                    r"\\t",
                 ),
                 F.lit('"'),
                 F.when(F.col("obj_lang").isNotNull(), F.concat(F.lit("@"), F.col("obj_lang")))

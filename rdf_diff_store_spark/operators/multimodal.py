@@ -81,15 +81,27 @@ def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
             )
 
     spark = media.sparkSession
+    # maxRecordsPerBatch is read at EXECUTION time, not plan time — so
+    # the override must stay in force until the plan has actually run.
+    # Materialize eagerly (localCheckpoint) inside the override scope,
+    # then restore the previous value (unset when there was none, so
+    # the override can't leak session-wide).
     prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
     try:
-        out = media.filter(F.col("kind") == "image").select("media_id", "payload").mapInPandas(
-            _features, "media_id long, dec_width int, dec_height int, mean_byte double"
+        out = (
+            media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(
+                _features, "media_id long, dec_width int, dec_height int, mean_byte double"
+            )
+            .localCheckpoint(eager=True)
         )
     finally:
         if prev is not None:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     return out
 
 

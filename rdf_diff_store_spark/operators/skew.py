@@ -37,7 +37,18 @@ def salted_join(
     The salt is xxhash64 of the fact row's full tuple mod n_salts —
     deterministic (re-runs produce identical partitioning; no RNG
     state on executors), uniform enough to split hubs.
+
+    `how` is restricted to fact-side-preserving joins: the dim side is
+    exploded n_salts times, so any dim-preserving join (right/full
+    outer) would emit every unmatched dim row n_salts times.
     """
+    safe_how = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in safe_how:
+        raise ValueError(
+            f"salted_join(how={how!r}): only fact-side-preserving joins are "
+            f"salt-safe ({sorted(safe_how)}); a dim-preserving join would "
+            f"duplicate unmatched dim rows n_salts={n_salts} times"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int")
     salted_fact = fact.withColumn("_salt", salt)
     salted_dim = dim.withColumn(

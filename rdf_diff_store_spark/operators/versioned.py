@@ -264,16 +264,31 @@ def diff(changelog: DataFrame, t1: str | Column, t2: str | Column, *, on_triples
     )
     from rdf_diff_store_spark.functions.turtle import parse_triples
 
-    s1 = parse_triples(
-        changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload1").alias("payload"))
-    ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
-    s2 = parse_triples(
-        changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload2").alias("payload"))
-    ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
-    key = ["graph_id", "subj", "pred", "obj"]
+    # The triple identity key must include datatype and language tag:
+    # "hello"@en → "hello"@de is one removed + one added triple in the
+    # reference (git diff of canonical N-Triples, which serialize
+    # @lang/^^dt), and an IRI object is distinct from a plain literal
+    # with the same lexical form. Null-safe via coalesced sentinels so
+    # the anti-joins stay plain (sort-merge-able) equi-joins.
+    def _with_key(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "_dt", F.coalesce(F.col("obj_dt"), F.lit("\x00iri"))
+        ).withColumn("_lang", F.coalesce(F.col("obj_lang"), F.lit("")))
+
+    s1 = _with_key(
+        parse_triples(
+            changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload1").alias("payload"))
+        ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    )
+    s2 = _with_key(
+        parse_triples(
+            changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload2").alias("payload"))
+        ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    )
+    key = ["graph_id", "subj", "pred", "obj", "_dt", "_lang"]
     added = s2.join(s1, key, "left_anti").withColumn("change", F.lit("added"))
     removed = s1.join(s2, key, "left_anti").withColumn("change", F.lit("removed"))
-    return added.unionByName(removed)
+    return added.unionByName(removed).drop("_dt", "_lang")
 
 
 def metadata(changelog: DataFrame) -> DataFrame:

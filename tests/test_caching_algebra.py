@@ -107,3 +107,20 @@ def test_repeated_variable_in_pattern(spark):
     t = spark.createDataFrame(rows, ["subj", "pred", "obj"])
     out = bgp(t, [(Var("x"), "p", Var("x"))])
     assert [r.x for r in out.collect()] == ["a"]
+
+
+def test_connected_components_long_chain_distributed(spark):
+    """ADVICE regression: a chain of diameter 120 (> the old 30-cap of
+    plain min-label propagation) must converge via pointer jumping on
+    the DISTRIBUTED path (driver_threshold=0) and must not silently
+    return wrong labels."""
+    from rdf_diff_store_spark.operators.graph import connected_components
+
+    n = 120
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src long, dst long"
+    )
+    cc = connected_components(edges, driver_threshold=0)
+    rows = cc.collect()
+    assert len(rows) == n + 1
+    assert all(r.component == 0 for r in rows)

@@ -142,3 +142,35 @@ def test_turtle_canonicalize_is_fixpoint(triples):
     assert canonicalize(c1) == c1
     reparsed = parse_turtle(c1)
     assert canonicalize("\n".join(sorted(serialize_triple(*t) for t in reparsed)) + "\n") == c1
+
+
+def test_salted_join_rejects_dim_preserving_how(spark):
+    """right/full outer would duplicate unmatched dim rows n_salts
+    times — salted_join must refuse."""
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, "a")], "k int, v string")
+    dim = spark.createDataFrame([(1, "x")], "k int, w string")
+    with _pytest.raises(ValueError, match="fact-side-preserving"):
+        salted_join(fact, dim, "k", n_salts=4, how="right")
+    assert salted_join(fact, dim, "k", n_salts=4, how="left").count() == 1
+
+
+def test_serialize_graph_escapes_match_python_canonicalizer(spark):
+    """ADVICE regression: the JVM serializer must emit byte-identical
+    text to functions.turtle.canonicalize for \\t and \\r literals —
+    the canonical-form / content-hash contract."""
+    from rdf_diff_store_spark.functions.turtle import (
+        canonicalize,
+        parse_triples,
+        serialize_graph,
+    )
+
+    doc = '<http://ex.org/s> <http://ex.org/p> "a\\tb\\rc\\nd\\"e\\\\f" .'
+    changelog = spark.createDataFrame(
+        [("g", None, doc)], "graph_id string, ts timestamp, payload string"
+    )
+    jvm_doc = serialize_graph(parse_triples(changelog)).first()["doc"] + "\n"
+    assert jvm_doc == canonicalize(doc)

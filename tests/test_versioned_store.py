@@ -154,3 +154,30 @@ def test_out_of_order_ingest(spark):
     snap = snapshot_triples(log, T4)
     assert snap.filter(F.col("obj") == "Example").count() == 1  # T3 wins
     assert snapshot_at(log, T2).count() == 1  # T1 version visible at T2
+
+
+def test_diff_triples_sees_lang_tag_change(spark):
+    """ADVICE regression: a literal changing only its language tag
+    ("hello"@en -> "hello"@de) is one removed + one added triple — the
+    reference's git diff of canonical N-Triples (which serialize @lang)
+    would report exactly that."""
+    g = "lang-graph"
+    v1 = '<http://ex.org/s> <http://ex.org/p> "hello"@en .'
+    v2 = '<http://ex.org/s> <http://ex.org/p> "hello"@de .'
+    log = append_updates(empty_changelog(spark), updates(spark, [(g, T1, "add", v1)]))
+    log = append_updates(log, updates(spark, [(g, T2, "add", v2)]))
+    d = diff(log, T1, T2, on_triples=True).collect()
+    changes = sorted((r.change, r.obj_lang) for r in d)
+    assert changes == [("added", "de"), ("removed", "en")]
+
+
+def test_diff_triples_distinguishes_iri_from_literal(spark):
+    """An IRI object and a plain literal with the same lexical form are
+    different triples."""
+    g = "iri-vs-lit"
+    v1 = "<http://ex.org/s> <http://ex.org/p> <http://ex.org/x> ."
+    v2 = '<http://ex.org/s> <http://ex.org/p> "http://ex.org/x" .'
+    log = append_updates(empty_changelog(spark), updates(spark, [(g, T1, "add", v1)]))
+    log = append_updates(log, updates(spark, [(g, T2, "add", v2)]))
+    d = diff(log, T1, T2, on_triples=True)
+    assert d.count() == 2
