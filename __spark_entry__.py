@@ -374,7 +374,180 @@ def q_sparql_construct(spark, sf_dir):
     )
 
 
+def _sparql_text(spark, sf_dir, query: str):
+    """Evaluate a SPARQL string via the text front-end (the reference's
+    actual request format, src/bin/rdf-query-cache.rs:44-53)."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    return sparql_query(triples_from_tpch(spark, sf_dir), query)
+
+
+def q_sparql_text_group_agg(spark, sf_dir):
+    """String-form GROUP BY + COUNT + HAVING (parser round-2 surface)."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nation (COUNT(?c) AS ?n_customers) WHERE {
+          ?c <inNation> ?nation . FILTER (STRSTARTS(?c, "customer:"))
+        } GROUP BY ?nation HAVING (COUNT(?c) >= 2)
+        """,
+    )
+
+
+def q_sparql_text_bind_values(spark, sf_dir):
+    """String-form VALUES + BIND(STRLEN)."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?region ?region_name ?name_len WHERE {
+          ?region <name> ?region_name .
+          VALUES ?region_name { "ASIA" "EUROPE" }
+          BIND (STRLEN(?region_name) AS ?name_len)
+          FILTER (STRSTARTS(?region, "region:"))
+        }
+        """,
+    )
+
+
+def q_sparql_text_minus(spark, sf_dir):
+    """String-form MINUS: nations with no suppliers."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nation WHERE {
+          ?nation <inRegion> ?r .
+          MINUS { ?s <inNation> ?nation . FILTER (STRSTARTS(?s, "supplier:")) }
+        }
+        """,
+    )
+
+
+def q_sparql_text_exists(spark, sf_dir):
+    """String-form FILTER EXISTS: nations having customers."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nation WHERE {
+          ?nation <inRegion> ?r .
+          FILTER EXISTS { ?c <inNation> ?nation . FILTER (STRSTARTS(?c, "customer:")) }
+        }
+        """,
+    )
+
+
+def q_sparql_text_path(spark, sf_dir):
+    """String-form property paths: sequence (inNation/inRegion) plus a
+    transitive closure (nextNation+) in one query."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?c ?region ?reach WHERE {
+          ?c <inNation>/<inRegion> ?region .
+          ?c <inNation> ?n .
+          ?n <nextNation>+ ?reach .
+          FILTER (STRSTARTS(?c, "customer:"))
+        }
+        """,
+    )
+
+
+def q_sparql_text_ask(spark, sf_dir):
+    """String-form ASK."""
+    return _sparql_text(spark, sf_dir, 'ASK { ?r <name> "MIDDLE EAST" }')
+
+
+def q_sparql_text_construct(spark, sf_dir):
+    """String-form CONSTRUCT with a 2-hop template rewrite."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        CONSTRUCT { ?c <inRegionT> ?region } WHERE {
+          ?c <inNation> ?n . ?n <inRegion> ?region .
+          FILTER (STRSTARTS(?c, "customer:"))
+        }
+        """,
+    )
+
+
+def q_sparql_text_offset(spark, sf_dir):
+    """String-form ORDER BY + LIMIT + OFFSET — compiled to
+    DataFrame.offset (global-sort limit), not a single-partition
+    window."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nation_name WHERE {
+          ?n <name> ?nation_name . FILTER (STRSTARTS(?nation_name, "NATION_"))
+        } ORDER BY ASC(?nation_name) LIMIT 5 OFFSET 3
+        """,
+    )
+
+
 _T = TRIPLES_FROM_TPCH_SQL
+
+_ORACLE_SPARQL_TEXT = {
+    "sparql_text_group_agg": f"""
+WITH triples AS ({_T})
+SELECT obj AS nation, count(*) AS n_customers FROM triples
+WHERE pred = 'inNation' AND subj LIKE 'customer:%'
+GROUP BY obj HAVING count(*) >= 2
+""",
+    "sparql_text_bind_values": f"""
+WITH triples AS ({_T})
+SELECT subj AS region, obj AS region_name, length(obj) AS name_len
+FROM triples WHERE pred = 'name' AND subj LIKE 'region:%'
+AND obj IN ('ASIA', 'EUROPE')
+""",
+    "sparql_text_minus": f"""
+WITH triples AS ({_T})
+SELECT subj AS nation FROM triples t WHERE pred = 'inRegion'
+AND NOT EXISTS (SELECT 1 FROM triples s WHERE s.pred = 'inNation'
+                AND s.subj LIKE 'supplier:%' AND s.obj = t.subj)
+""",
+    "sparql_text_exists": f"""
+WITH triples AS ({_T})
+SELECT subj AS nation FROM triples t WHERE pred = 'inRegion'
+AND EXISTS (SELECT 1 FROM triples c WHERE c.pred = 'inNation'
+            AND c.subj LIKE 'customer:%' AND c.obj = t.subj)
+""",
+    "sparql_text_path": f"""
+WITH RECURSIVE triples AS ({_T}),
+edges AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred = 'nextNation'),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+cn AS (SELECT subj AS c, obj AS n FROM triples
+       WHERE pred = 'inNation' AND subj LIKE 'customer:%'),
+nr AS (SELECT subj AS n, obj AS region FROM triples WHERE pred = 'inRegion')
+SELECT cn.c, nr.region, reach.dst AS reach
+FROM cn JOIN nr USING (n) JOIN reach ON reach.src = cn.n
+""",
+    "sparql_text_ask": f"""
+WITH triples AS ({_T})
+SELECT EXISTS (SELECT 1 FROM triples WHERE pred = 'name' AND obj = 'MIDDLE EAST') AS ask
+""",
+    "sparql_text_construct": f"""
+WITH triples AS ({_T})
+SELECT DISTINCT cn.subj AS subj, 'inRegionT' AS pred, nr.obj AS obj
+FROM triples cn JOIN triples nr ON nr.pred = 'inRegion' AND nr.subj = cn.obj
+WHERE cn.pred = 'inNation' AND cn.subj LIKE 'customer:%'
+""",
+    "sparql_text_offset": f"""
+WITH triples AS ({_T})
+SELECT obj AS nation_name FROM triples
+WHERE pred = 'name' AND obj LIKE 'NATION\\_%' ESCAPE '\\'
+ORDER BY nation_name ASC LIMIT 5 OFFSET 3
+""",
+}
 
 _ORACLE_SPARQL = {
     "sparql_bgp_join": f"""
@@ -1701,6 +1874,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_filter_regex": q_sparql_filter_regex,
         "sparql_path_plus": q_sparql_path_plus,
         "sparql_text_select": q_sparql_text_select,
+        "sparql_text_group_agg": q_sparql_text_group_agg,
+        "sparql_text_bind_values": q_sparql_text_bind_values,
+        "sparql_text_minus": q_sparql_text_minus,
+        "sparql_text_exists": q_sparql_text_exists,
+        "sparql_text_path": q_sparql_text_path,
+        "sparql_text_ask": q_sparql_text_ask,
+        "sparql_text_construct": q_sparql_text_construct,
+        "sparql_text_offset": q_sparql_text_offset,
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
         # relational surface
@@ -1769,6 +1950,7 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(_ORACLE_VERSIONED)
     out.update(_ORACLE_SPARQL)
+    out.update(_ORACLE_SPARQL_TEXT)
     out.update(_ORACLE_RELATIONAL)
     out.update(_ORACLE_DOCS)
     out.update(_ORACLE_EMB)

@@ -178,11 +178,16 @@ def changelog_of(quads: DataFrame, pages: DataFrame) -> DataFrame:
         .withColumn("content_hash", F.sha2(F.col("payload"), 256))
     )
     # tombstones: a url whose last capture precedes the last crawl
-    # round is deleted at the first later round
+    # round is deleted at the first later round. The crawl-round frame
+    # is tiny (one row per round), so "next round" is a broadcast
+    # self-join + min — no global-order window anywhere in the plan.
     rounds = pages.select("warc_ts").distinct()
-    w = Window.orderBy("warc_ts")
-    next_round = rounds.select(
-        F.col("warc_ts").alias("last_ts"), F.lead("warc_ts").over(w).alias("tomb_ts")
+    later = rounds.select(F.col("warc_ts").alias("tomb_ts"))
+    next_round = (
+        rounds.select(F.col("warc_ts").alias("last_ts"))
+        .join(F.broadcast(later), F.col("tomb_ts") > F.col("last_ts"), "left")
+        .groupBy("last_ts")
+        .agg(F.min("tomb_ts").alias("tomb_ts"))
     )
     last_seen = pages.groupBy("url").agg(F.max("warc_ts").alias("last_ts"))
     tombstones = (

@@ -85,7 +85,38 @@ def main() -> None:
         n = snapshot_at(part, "2024-01-05 00:00:00").count()
         checks.append(("partitioned snapshot_at answers", n > 0, f"{n} graphs"))
 
-    # 5. anti-join diff reuses the dual-state exchange at runtime
+    # 5. no single-partition (partitionless) Window in ANY driver query
+    # plan: Window without PARTITION BY moves every row to one
+    # partition — the scale-killer VERDICT r01 flagged in the old
+    # OFFSET implementation. A partitioned Window prints
+    # `Window [fns], [part], [order]` (two "], [" separators); a
+    # partitionless one prints `Window [fns], [order]` (one).
+    import re as _re
+
+    offenders: list[str] = []
+    skip = {"kg_pipeline"}  # executes the full pipeline to build its plan
+    for name, fn in qs.items():
+        if name in skip:
+            continue
+        try:
+            plan_str = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # noqa: BLE001
+            offenders.append(f"{name}: ERROR {type(ex).__name__}")
+            continue
+        for line in plan_str.splitlines():
+            m = _re.search(r"\bWindow \[.*$", line)
+            if m and m.group(0).count("], [") == 1:
+                offenders.append(name)
+                break
+    checks.append(
+        (
+            "no partitionless Window in any queries() plan",
+            not offenders,
+            f"offenders={offenders[:6]}" if offenders else "all plans partition their windows",
+        )
+    )
+
+    # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)
     diff_df.collect()

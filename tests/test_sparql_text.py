@@ -135,3 +135,174 @@ def test_parse_errors_are_clean(triples):
     ]:
         with pytest.raises(SparqlParseError):
             sparql_select(triples, bad).collect()
+
+
+# ---------------------------------------------------------------------------
+# round-2 surface: GROUP BY / BIND / VALUES / MINUS / EXISTS / paths /
+# ASK / CONSTRUCT / nested groups — the rest of the algebra in TEXT form
+
+
+def test_group_by_count_having(triples):
+    q = """
+    SELECT ?n (COUNT(?c) AS ?cnt) WHERE {
+      ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:"))
+    } GROUP BY ?n HAVING (COUNT(?c) >= 2)
+    """
+    rows = sparql_select(triples, q).collect()
+    assert rows and all(r.cnt >= 2 for r in rows)
+    assert set(sparql_select(triples, q).columns) == {"n", "cnt"}
+
+
+def test_group_concat_and_sample(triples):
+    q = """
+    SELECT ?r (GROUP_CONCAT(?name ; SEPARATOR = ",") AS ?members) WHERE {
+      ?n <inRegion> ?r ; <name> ?name .
+    } GROUP BY ?r
+    """
+    rows = sparql_select(triples, q).collect()
+    assert len(rows) == 5
+    members = rows[0].members.split(",")
+    assert members == sorted(members)  # deterministic order
+    q2 = """
+    SELECT ?r (SAMPLE(?name) AS ?one) WHERE {
+      ?n <inRegion> ?r ; <name> ?name .
+    } GROUP BY ?r
+    """
+    assert sparql_select(triples, q2).count() == 5
+
+
+def test_bind_and_projection_expr(triples):
+    q = """
+    SELECT ?name ?len WHERE {
+      ?r <name> ?name . FILTER (STRSTARTS(?r, "region:"))
+      BIND (STRLEN(?name) AS ?len)
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    assert all(r.len == len(r.name) for r in rows)
+
+
+def test_values_inline_data(triples):
+    q = """
+    SELECT ?r ?name WHERE {
+      ?r <name> ?name .
+      VALUES ?name { "ASIA" "EUROPE" }
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    assert sorted(r.name for r in rows) == ["ASIA", "EUROPE"]
+
+
+def test_minus_group(triples):
+    q = """
+    SELECT ?n WHERE {
+      ?n <inRegion> ?r .
+      MINUS { ?s <inNation> ?n . FILTER (STRSTARTS(?s, "supplier:")) }
+    }
+    """
+    df = sparql_select(triples, q)
+    # parity with the hand-built anti-join query
+    import __spark_entry__ as e
+
+    expect = e.queries()["sparql_minus"](df.sparkSession, "/root/testdata/sf0.001").count()
+    assert df.count() == expect
+
+
+def test_filter_exists_and_not_exists(triples):
+    q_e = """
+    SELECT ?n WHERE {
+      ?n <inRegion> ?r .
+      FILTER EXISTS { ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:")) }
+    }
+    """
+    q_ne = """
+    SELECT ?n WHERE {
+      ?n <inRegion> ?r .
+      FILTER NOT EXISTS { ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:")) }
+    }
+    """
+    n_all = sparql_select(triples, "SELECT ?n WHERE { ?n <inRegion> ?r }").count()
+    n_e = sparql_select(triples, q_e).count()
+    n_ne = sparql_select(triples, q_ne).count()
+    assert n_e + n_ne == n_all and n_e > 0
+
+
+def test_property_path_sequence_and_alt(triples):
+    # seq: customer --inNation/inRegion--> region
+    q = "SELECT ?c ?r WHERE { ?c <inNation>/<inRegion> ?r . FILTER (STRSTARTS(?c, \"customer:\")) }"
+    rows = sparql_select(triples, q).collect()
+    assert rows and all(r.r.startswith("region:") for r in rows)
+    # alt + inverse
+    q2 = "SELECT ?a ?b WHERE { ?a (<nextNation>|^<nextNation>) ?b }"
+    n_alt = sparql_select(triples, q2).count()
+    n_fwd = sparql_select(triples, "SELECT ?a ?b WHERE { ?a <nextNation> ?b }").count()
+    assert n_alt == 2 * n_fwd
+
+
+def test_property_path_plus_and_star(triples):
+    n_plus = sparql_select(
+        triples, "SELECT ?a ?b WHERE { ?a <nextNation>+ ?b }"
+    ).count()
+    n_star = sparql_select(
+        triples, "SELECT ?a ?b WHERE { ?a <nextNation>* ?b }"
+    ).count()
+    n_edges = sparql_select(
+        triples, "SELECT ?a ?b WHERE { ?a <nextNation> ?b }"
+    ).count()
+    assert n_plus > n_edges  # closure found multi-hop pairs
+    assert n_star == n_plus + 25  # identity on the 25 chain nodes
+
+
+def test_ask_and_construct(triples):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    assert sparql_query(triples, 'ASK { ?r <name> "ASIA" }').first().ask is True
+    assert sparql_query(triples, 'ASK { ?r <name> "ATLANTIS" }').first().ask is False
+    out = sparql_query(
+        triples,
+        """
+        CONSTRUCT { ?c <inRegionT> ?r } WHERE {
+          ?c <inNation> ?n . ?n <inRegion> ?r .
+          FILTER (STRSTARTS(?c, "customer:"))
+        }
+        """,
+    )
+    assert out.columns == ["subj", "pred", "obj"]
+    rows = out.collect()
+    assert rows and all(r.pred == "inRegionT" for r in rows)
+
+
+def test_nested_group_and_union_inside(triples):
+    q = """
+    SELECT ?who WHERE {
+      { ?who <inNation> ?n . FILTER (STRSTARTS(?who, "supplier:")) }
+      UNION
+      { ?who <inRegion> ?n }
+    }
+    """
+    kinds = {r.who.split(":")[0] for r in sparql_select(triples, q).collect()}
+    assert kinds == {"supplier", "nation"}
+
+
+def test_offset_uses_global_limit_not_window(triples):
+    q = """
+    SELECT ?name WHERE { ?r <name> ?name . FILTER (STRSTARTS(?name, "NATION_")) }
+    ORDER BY ASC(?name) LIMIT 3 OFFSET 2
+    """
+    df = sparql_select(triples, q)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    rows = [r.name for r in df.collect()]
+    assert len(rows) == 3 and rows == sorted(rows)
+
+
+def test_arithmetic_filter_and_if(triples):
+    q = """
+    SELECT ?c ?flag WHERE {
+      ?c <acctbalCents> ?b .
+      FILTER (?b / 100 > 9000)
+      BIND (IF(?b > 950000, "rich", "ok") AS ?flag)
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    assert rows and all(r.flag in ("rich", "ok") for r in rows)
