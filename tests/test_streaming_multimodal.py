@@ -117,3 +117,53 @@ def test_frame_sample_plan(spark):
     plan = frame_sample_plan(media, every_ms=1000)
     one = plan.filter(F.col("media_id") == 2).collect()  # id2: duration (2%10+1)*1000=3000
     assert [r.frame_ts_ms for r in sorted(one, key=lambda r: r.frame_ts_ms)] == [0, 1000, 2000, 3000]
+
+
+def test_streaming_append_is_o_batch_and_replay_idempotent(spark, tmp_path):
+    """VERDICT r01 fix #3: per-batch written rows must be O(batch), not
+    O(table); replaying a batch (checkpoint failure) must not change
+    the table; results must equal the batch-fold semantics."""
+    from rdf_diff_store_spark.operators.versioned import (
+        append_updates,
+        apply_update_batches,
+    )
+    from rdf_diff_store_spark.schemas import CHANGELOG
+
+    table = str(tmp_path / "log")
+    writer = StreamingChangelogWriter(spark, table)
+    b1 = _updates(
+        spark,
+        [
+            ("g1", "2024-01-01 00:00:00", "add", TTL.format(1)),
+            ("g2", "2024-01-01 00:00:00", "add", TTL.format(2)),
+        ],
+    )
+    b2 = _updates(
+        spark,
+        [
+            ("g1", "2024-01-02 00:00:00", "add", TTL.format(1)),  # no-op resend
+            ("g2", "2024-01-02 00:00:00", "add", TTL.format(99)),  # new version
+            ("g1", "2024-01-03 00:00:00", "delete", None),
+            ("g9", "2024-01-03 00:00:00", "delete", None),  # never existed
+        ],
+    )
+    writer.process_batch(b1, 0)
+    writer.process_batch(b2, 1)
+    # O(batch): the second batch dir holds only that batch's 2 survivors
+    n_b1 = spark.read.parquet(f"{table}/batch-s1").count()
+    assert n_b1 == 2, f"batch dir has {n_b1} rows — O(table) rewrite?"
+    # equals the fold semantics
+    folded = apply_update_batches(spark.createDataFrame([], CHANGELOG), [b1, b2])
+    key = lambda r: (r.graph_id, r.ts, r.op)  # noqa: E731
+    assert sorted(map(key, writer.read_changelog().collect())) == sorted(
+        map(key, folded.collect())
+    )
+    # replay of batch 1 (same batch_id) leaves the table unchanged
+    before = sorted(map(key, writer.read_changelog().collect()))
+    writer.process_batch(b2, 1)
+    assert sorted(map(key, writer.read_changelog().collect())) == before
+    # compaction keeps content identical when history is already minimal
+    writer.compact()
+    assert sorted(map(key, writer.read_changelog().collect())) == before
+    snap = snapshot_at(writer.read_changelog(), "2024-01-04 00:00:00")
+    assert [r.graph_id for r in snap.collect()] == ["g2"]
