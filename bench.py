@@ -67,10 +67,15 @@ def bench_kg_pipeline(spark, cpus: int) -> dict:
         .localCheckpoint()
     )
     build_kg(spark, warm)
-    t0 = time.perf_counter()
-    changelog, rec = build_kg(spark, pages)
-    n_quads = next(m["rows"] for m in rec.metrics if m["stage"] == "quads")
-    wall = time.perf_counter() - t0
+    # min of 2 timed reps: run-to-run noise on this host is ±30-90%
+    # (BENCH.md methodology); a single sample mis-ranks rounds
+    wall, n_quads = None, None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        changelog, rec = build_kg(spark, pages)
+        n_quads = next(m["rows"] for m in rec.metrics if m["stage"] == "quads")
+        rep = time.perf_counter() - t0
+        wall = rep if wall is None else min(wall, rep)
     return {
         "kg_pages": n_pages,
         "kg_quads": n_quads,
@@ -100,9 +105,13 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):  # min of 2 reps (±30-90% host noise)
+            t0 = time.perf_counter()
+            force(qs[name](spark, sf_dir))
+            rep = time.perf_counter() - t0
+            best = rep if best is None else min(best, rep)
+        timings[name] = round(best, 3)
 
     kg = bench_kg_pipeline(spark, cpus)
     timings["kg_pipeline"] = kg["kg_wall_sec"]

@@ -78,16 +78,26 @@ def connected_components(
     web-scale case where edges don't fit. Results are identical
     (min-id representative) either way.
     """
-    # byte-aware driver gate: long string ids shrink the row budget
-    probe = edges.select(
-        F.col("src").cast("string").alias("s"), F.col("dst").cast("string").alias("d")
-    ).limit(10_000)
-    avg_len = probe.agg(F.avg(F.length("s") + F.length("d"))).first()[0]
-    est_row_bytes = (avg_len or 16.0) + 96.0  # python tuple/str overhead
-    row_budget = min(driver_threshold, int(driver_max_bytes / est_row_bytes))
-    n_edges = edges.limit(row_budget + 1).count()
-    if n_edges <= row_budget:
-        rows = edges.select("src", "dst").distinct().collect()
+    # ONE distributed evaluation of the (possibly expensive) edges
+    # plan, shared by both paths: the driver union-find collects it,
+    # the iterative path builds its symmetric edge list from it. No
+    # driver-side limit() — a multi-million-row global limit funnels
+    # everything through one task (measured 3× pipeline regression).
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    n_edges = e.count()
+    fits_rows = n_edges <= driver_threshold
+    fits_bytes = False
+    if fits_rows:
+        # byte-aware gate: long string ids shrink the row budget
+        avg_len = (
+            e.limit(10_000)
+            .agg(F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))))
+            .first()[0]
+        )
+        est_row_bytes = (avg_len or 16.0) + 96.0  # python tuple/str overhead
+        fits_bytes = n_edges * est_row_bytes <= driver_max_bytes
+    if fits_rows and fits_bytes:
+        rows = e.collect()
         parent: dict = {}
 
         def find(x):
@@ -110,8 +120,8 @@ def connected_components(
         spark = edges.sparkSession
         schema_type = edges.schema["src"].dataType.simpleString()
         return spark.createDataFrame(out, f"id {schema_type}, component {schema_type}")
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    sym = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     # neighbor lists stay fixed; only labels iterate
     sym = sym.distinct().localCheckpoint()
