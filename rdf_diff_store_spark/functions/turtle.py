@@ -13,9 +13,13 @@ The parser covers what the reference's own tests exercise
 (reference: tests/integration_test.rs:21-31 — @prefix lines, one
 subject, predicate lists with ';', string literals) plus IRIs,
 prefixed names, blank nodes, @lang tags, ^^ datatypes, ',' object
-lists, and multi-statement documents. It is intentionally NOT a full
-Turtle grammar (no collections, no multiline literals) — the engine's
-relational core never depends on it; it only feeds ingest.
+lists, multi-statement documents, multiline (triple-quoted) literals,
+numeric/boolean literal shorthand (typed xsd:integer/decimal/double/
+boolean), RDF collections `( ... )` (expanded to rdf:first/rest/nil
+chains with deterministic `_:genidN` labels), and blank node property
+lists `[ p o ]`. Remaining deliberate gaps vs full Turtle: @base /
+relative IRI resolution, single-quoted literals, and unicode escapes —
+documents using those fail loudly (never silently drop content).
 
 Execution model: the per-document work runs inside Arrow-batched
 pandas UDFs (see `canonicalize_udf` / `parse_triples`), so Python cost
@@ -35,18 +39,27 @@ from pyspark.sql import types as T
 
 CANONICALIZER_VERSION = "1"
 
-_PREFIX_RE = re.compile(r"^@prefix\s+([A-Za-z0-9_\-]*):\s*<([^>]*)>\s*\.\s*$")
 _TOKEN_RE = re.compile(
     r"""
-    (?P<iri><[^>]*>)
+    (?P<mliteral>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
+  | (?P<iri><[^>]*>)
   | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
   | (?P<bnode>_:[A-Za-z0-9_\-]+)
-  | (?P<pname>[A-Za-z0-9_\-]*:[^\s;,."]*)
+  | (?P<double>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+)
+  | (?P<decimal>[+-]?[0-9]*\.[0-9]+)
+  | (?P<integer>[+-]?[0-9]+)
+  | (?P<bool>\b(?:true|false)\b)
+  | (?P<pname>[A-Za-z0-9_\-]*:(?:[^\s;,"()\[\]<>\#]*[^\s;,."()\[\]<>\#])?)
+  | (?P<atkw>@prefix\b)
   | (?P<kw>\ba\b)
-  | (?P<punct>[;,.])
+  | (?P<comment>\#[^\n]*)
+  | (?P<punct>[;,.()\[\]])
     """,
     re.VERBOSE,
 )
+
+_RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 
 _ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
 _UNESCAPE_RE = re.compile(r"\\[ntr\"\\]")
@@ -72,20 +85,12 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
     """
     prefixes: dict[str, str] = {}
     triples: list[tuple[str, str, str, str | None, str | None]] = []
-    # Statements are '.'-terminated but '.' can occur inside IRIs and
-    # literals, so tokenize line-wise first for @prefix, then stream
-    # tokens for the triple statements.
-    body_lines = []
-    for line in doc.split("\n"):
-        stripped = line.strip()
-        if not stripped or stripped.startswith("#"):
-            continue
-        m = _PREFIX_RE.match(stripped)
-        if m:
-            prefixes[m.group(1)] = m.group(2)
-        else:
-            body_lines.append(stripped)
-    body = "\n".join(body_lines)
+    # Tokenize the WHOLE document in one pass: '.'-terminators, '#'
+    # comments and '@prefix' are plain tokens, and literal/IRI tokens
+    # are matched first so '#' or '.' inside them never split anything.
+    # (No line-level preprocessing — it would strip the indentation
+    # inside multiline literals.)
+    body = doc
 
     def expand(pname: str) -> str:
         pfx, _, local = pname.partition(":")
@@ -93,70 +98,154 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
             raise ValueError(f"unknown prefix {pfx!r}")
         return prefixes[pfx] + local
 
+    def _literal_parts(lit: str, triple_quoted: bool) -> tuple[str, str | None, str | None]:
+        q = '"""' if triple_quoted else '"'
+        body_re = r'(?:[^"\\]|\\.|"(?!""))*' if triple_quoted else r'(?:[^"\\]|\\.)*'
+        m = re.match(
+            rf"^{q}({body_re}){q}(?:@([A-Za-z0-9\-]+)|\^\^<([^>]*)>|\^\^([A-Za-z0-9_\-]*:[^\s;,.]+))?$",
+            lit,
+            re.DOTALL,
+        )
+        if not m:
+            raise ValueError(f"bad literal {lit!r}")
+        value = _unescape(m.group(1))
+        lang = m.group(2)
+        dt = m.group(3) or (expand(m.group(4)) if m.group(4) else None)
+        return value, dt or (f"{_XSD_NS}string" if not lang else None), lang
+
     def term(tok: re.Match) -> tuple[str, str | None, str | None]:
         """→ (value, datatype, lang); datatype None for IRIs/bnodes."""
-        if tok.lastgroup == "iri":
+        g = tok.lastgroup
+        if g == "iri":
             return tok.group("iri")[1:-1], None, None
-        if tok.lastgroup == "bnode":
+        if g == "bnode":
             return tok.group("bnode"), None, None
-        if tok.lastgroup == "pname":
+        if g == "pname":
             return expand(tok.group("pname")), None, None
-        if tok.lastgroup == "kw":
-            return "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", None, None
-        if tok.lastgroup == "literal":
-            lit = tok.group("literal")
-            m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9\-]+)|\^\^<([^>]*)>|\^\^([A-Za-z0-9_\-]*:[^\s;,.]+))?$', lit)
-            if not m:
-                raise ValueError(f"bad literal {lit!r}")
-            value = _unescape(m.group(1))
-            lang = m.group(2)
-            dt = m.group(3) or (expand(m.group(4)) if m.group(4) else None)
-            return value, dt or ("__literal__" if not lang else None), lang
+        if g == "kw":
+            return f"{_RDF_NS}type", None, None
+        if g == "literal":
+            return _literal_parts(tok.group("literal"), triple_quoted=False)
+        if g == "mliteral":
+            return _literal_parts(tok.group("mliteral"), triple_quoted=True)
+        # numeric/boolean shorthand → typed literal with the lexical
+        # form preserved (Turtle spec: INTEGER/DECIMAL/DOUBLE/BOOLEAN)
+        if g == "integer":
+            return tok.group(0), f"{_XSD_NS}integer", None
+        if g == "decimal":
+            return tok.group(0), f"{_XSD_NS}decimal", None
+        if g == "double":
+            return tok.group(0), f"{_XSD_NS}double", None
+        if g == "bool":
+            return tok.group(0), f"{_XSD_NS}boolean", None
         raise ValueError(f"unsupported token {tok.group(0)!r}")
 
-    toks = [t for t in _TOKEN_RE.finditer(body)]
+    toks_all = [t for t in _TOKEN_RE.finditer(body)]
     # Reject documents with unlexable content — silently dropping text
     # would break the byte-identical canonical-form contract.
     covered = bytearray(len(body))
-    for t in toks:
+    for t in toks_all:
         for i in range(t.start(), t.end()):
             covered[i] = 1
     leftover = "".join(ch for ch, c in zip(body, covered) if not c and not ch.isspace())
     if leftover:
         raise ValueError(f"unparseable Turtle content: {leftover[:80]!r}")
-    i, n = 0, len(toks)
-    while i < n:
-        subj, _, _ = term(toks[i])
-        i += 1
-        while True:  # predicate groups separated by ';'
-            if i >= n:
-                raise ValueError("truncated statement (expected predicate)")
-            pred, _, _ = term(toks[i])
-            i += 1
+    toks = [t for t in toks_all if t.lastgroup != "comment"]
+
+    pos = [0]
+    n = len(toks)
+    gen = [0]
+
+    def peek() -> re.Match | None:
+        return toks[pos[0]] if pos[0] < n else None
+
+    def advance() -> re.Match:
+        t = peek()
+        if t is None:
+            raise ValueError("truncated statement")
+        pos[0] += 1
+        return t
+
+    def at_punct(ch: str) -> bool:
+        t = peek()
+        return t is not None and t.lastgroup == "punct" and t.group(0) == ch
+
+    def new_bnode() -> str:
+        # synthesized labels for collections / [ ] property lists;
+        # deterministic in parse order so canonicalize stays a pure
+        # function of the document bytes
+        label = f"_:genid{gen[0]}"
+        gen[0] += 1
+        return label
+
+    def parse_node() -> tuple[str, str | None, str | None]:
+        """subject/object position: term, ( collection ), or [ props ]."""
+        if at_punct("("):
+            advance()
+            items = []
+            while not at_punct(")"):
+                items.append(parse_node())
+            advance()  # ')'
+            if not items:
+                return f"{_RDF_NS}nil", None, None
+            head = new_bnode()
+            cur = head
+            for idx, (v, dt, lang) in enumerate(items):
+                triples.append((cur, f"{_RDF_NS}first", v, dt, lang))
+                nxt = new_bnode() if idx < len(items) - 1 else f"{_RDF_NS}nil"
+                triples.append((cur, f"{_RDF_NS}rest", nxt, None, None))
+                cur = nxt
+            return head, None, None
+        if at_punct("["):
+            advance()
+            node = new_bnode()
+            if not at_punct("]"):
+                parse_predicate_object_list(node)
+            if not at_punct("]"):
+                raise ValueError("unterminated blank node property list")
+            advance()  # ']'
+            return node, None, None
+        return term(advance())
+
+    def parse_predicate_object_list(subj: str) -> None:
+        while True:
+            pred, _, _ = term(advance())
             while True:  # object list separated by ','
-                if i >= n:
-                    raise ValueError("truncated statement (expected object)")
-                obj, dt, lang = term(toks[i])
-                i += 1
-                is_literal = dt is not None or lang is not None
-                if dt == "__literal__":
-                    dt = "http://www.w3.org/2001/XMLSchema#string"
-                triples.append((subj, pred, obj if not is_literal else obj, dt, lang))
-                if i < n and toks[i].lastgroup == "punct" and toks[i].group(0) == ",":
-                    i += 1
+                obj, dt, lang = parse_node()
+                triples.append((subj, pred, obj, dt, lang))
+                if at_punct(","):
+                    advance()
                     continue
                 break
-            if i < n and toks[i].lastgroup == "punct" and toks[i].group(0) == ";":
-                i += 1
-                # trailing ';' before '.' is legal Turtle
-                if i < n and toks[i].lastgroup == "punct" and toks[i].group(0) == ".":
-                    i += 1
-                    break
+            if at_punct(";"):
+                advance()
+                # trailing ';' before '.' / ']' is legal Turtle
+                if at_punct(".") or at_punct("]") or peek() is None:
+                    return
                 continue
-            if i < n and toks[i].lastgroup == "punct" and toks[i].group(0) == ".":
-                i += 1
-                break
-            raise ValueError("expected ';' ',' or '.'")
+            return
+
+    while peek() is not None:
+        if peek().lastgroup == "atkw":
+            advance()
+            name_tok = advance()
+            if name_tok.lastgroup != "pname" or not name_tok.group(0).endswith(":"):
+                raise ValueError(f"bad @prefix name {name_tok.group(0)!r}")
+            iri_tok = advance()
+            if iri_tok.lastgroup != "iri":
+                raise ValueError("@prefix needs an <iri>")
+            prefixes[name_tok.group(0)[:-1]] = iri_tok.group(0)[1:-1]
+            if not at_punct("."):
+                raise ValueError("@prefix statement needs a terminating '.'")
+            advance()
+            continue
+        subj, _, _ = parse_node()
+        # `[ p o ] .` — a bare blank node property list statement
+        if not at_punct("."):
+            parse_predicate_object_list(subj)
+        if not at_punct("."):
+            raise ValueError("expected '.' at end of statement")
+        advance()
     return triples
 
 

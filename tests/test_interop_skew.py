@@ -174,3 +174,71 @@ def test_serialize_graph_escapes_match_python_canonicalizer(spark):
     )
     jvm_doc = serialize_graph(parse_triples(changelog)).first()["doc"] + "\n"
     assert jvm_doc == canonicalize(doc)
+
+
+def test_turtle_grammar_breadth():
+    """Round-2 grammar extensions: numeric/boolean shorthand, multiline
+    literals, collections, blank node property lists — all canonical-
+    fixpoint stable."""
+    from rdf_diff_store_spark.functions.turtle import canonicalize, parse_turtle
+
+    doc = """@prefix ex: <http://ex.org/> .
+ex:s ex:count 42 ; ex:ratio 3.14 ; ex:big 1.2e6 ; ex:flag true .
+ex:s ex:note \"\"\"line one
+line "two" end\"\"\"@en .
+ex:s ex:items ( ex:a 1 "x" ) .
+ex:s ex:via [ ex:p ex:o ; ex:q 7 ] .
+"""
+    triples = parse_turtle(doc)
+    by_pred = {}
+    for s, p, o, dt, lang in triples:
+        by_pred.setdefault(p.rsplit("/", 1)[-1], []).append((o, dt, lang))
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    assert by_pred["count"] == [("42", xsd + "integer", None)]
+    assert by_pred["ratio"] == [("3.14", xsd + "decimal", None)]
+    assert by_pred["big"] == [("1.2e6", xsd + "double", None)]
+    assert by_pred["flag"] == [("true", xsd + "boolean", None)]
+    assert by_pred["note"][0][0] == 'line one\nline "two" end'
+    assert by_pred["note"][0][2] == "en"
+    rdf = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    firsts = [t for t in triples if t[1] == rdf + "first"]
+    rests = [t for t in triples if t[1] == rdf + "rest"]
+    assert len(firsts) == 3 and len(rests) == 3
+    assert any(t[2] == rdf + "nil" for t in rests)
+    # [ ... ] property list: inner triples attached to a generated bnode
+    via = by_pred["via"][0][0]
+    assert via.startswith("_:genid")
+    assert ("_:genid%s" % via[7:], "http://ex.org/q", "7", xsd + "integer", None) in triples
+    # canonical fixpoint: canonicalize(canonicalize(doc)) == canonicalize(doc)
+    c1 = canonicalize(doc)
+    assert canonicalize(c1) == c1
+    # and deterministic
+    assert canonicalize(doc) == c1
+
+
+def test_turtle_unparseable_still_fails_loudly():
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.functions.turtle import parse_turtle
+
+    with _pytest.raises(ValueError):
+        parse_turtle("@base <http://ex.org/> .\n<s> <p> <o> .")
+
+
+def test_turtle_multiline_indentation_and_comments_preserved():
+    """Tokenizing the whole doc (no line stripping) keeps indentation
+    inside multiline literals and ignores # comments outside tokens."""
+    from rdf_diff_store_spark.functions.turtle import parse_turtle
+
+    doc = (
+        "@prefix ex: <http://ex.org/> . # decl comment\n"
+        'ex:s ex:note """a\n'
+        '   indented\n'
+        'b""" . # trailing comment\n'
+        '# full-line comment\n'
+        'ex:s ex:tag "x # not a comment" .\n'
+    )
+    triples = parse_turtle(doc)
+    vals = {p.rsplit("/", 1)[-1]: o for _, p, o, _, _ in triples}
+    assert vals["note"] == "a\n   indented\nb"
+    assert vals["tag"] == "x # not a comment"
