@@ -475,6 +475,28 @@ def q_sparql_text_construct(spark, sf_dir):
     )
 
 
+def q_sparql_text_subselect(spark, sf_dir):
+    """String-form SPARQL 1.1 subquery: per-nation customer counts
+    aggregated inside, joined to names outside."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nation_name ?n_cust WHERE {
+          ?n <name> ?nation_name . FILTER (STRSTARTS(?n, "nation:"))
+          { SELECT ?n (COUNT(?c) AS ?n_cust) WHERE {
+              ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:"))
+            } GROUP BY ?n }
+        }
+        """,
+    )
+
+
+def q_sparql_text_describe(spark, sf_dir):
+    """String-form DESCRIBE <nation:0>."""
+    return _sparql_text(spark, sf_dir, "DESCRIBE <nation:0>")
+
+
 def q_sparql_text_offset(spark, sf_dir):
     """String-form ORDER BY + LIMIT + OFFSET — compiled to
     DataFrame.offset (global-sort limit), not a single-partition
@@ -546,6 +568,18 @@ WITH triples AS ({_T})
 SELECT obj AS nation_name FROM triples
 WHERE pred = 'name' AND obj LIKE 'NATION\\_%' ESCAPE '\\'
 ORDER BY nation_name ASC LIMIT 5 OFFSET 3
+""",
+    "sparql_text_subselect": f"""
+WITH triples AS ({_T}),
+names AS (SELECT subj AS n, obj AS nation_name FROM triples
+          WHERE pred = 'name' AND subj LIKE 'nation:%'),
+counts AS (SELECT obj AS n, count(*) AS n_cust FROM triples
+           WHERE pred = 'inNation' AND subj LIKE 'customer:%' GROUP BY obj)
+SELECT nation_name, n_cust FROM names JOIN counts USING (n)
+""",
+    "sparql_text_describe": f"""
+WITH triples AS ({_T})
+SELECT subj, pred, obj FROM triples WHERE subj = 'nation:0' OR obj = 'nation:0'
 """,
 }
 
@@ -1908,6 +1942,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_ask": q_sparql_text_ask,
         "sparql_text_construct": q_sparql_text_construct,
         "sparql_text_offset": q_sparql_text_offset,
+        "sparql_text_subselect": q_sparql_text_subselect,
+        "sparql_text_describe": q_sparql_text_describe,
         "sparql_ask": q_sparql_ask,
         "sparql_construct": q_sparql_construct,
         # relational surface

@@ -165,6 +165,9 @@ def _parse(query: str) -> _Query:
     ts = _Tokens(query)
     prefixes: dict[str, str] = {}
     out = _Query()
+    # late-bound cell: parse_group's subquery branch needs
+    # parse_select_body, which is defined after parse_group
+    _parse_select_body_ref: list = [None]
 
     while ts.peek()[1] == "PREFIX":
         ts.next()
@@ -439,7 +442,18 @@ def _parse(query: str) -> _Query:
                 return g
             if val is None:
                 raise SparqlParseError("unterminated group (missing '}')")
-            if val == "{":
+            if val == "{" and ts.peek(1)[1] == "SELECT":
+                # SPARQL 1.1 subquery: { SELECT ... WHERE { ... } ... }
+                ts.next()
+                ts.next()  # consume SELECT
+                sub = _parse_select_body_ref[0]()
+                g.elements.append(("subselect", sub))
+                if ts.peek()[1] != "}":
+                    raise SparqlParseError("subquery must close its group")
+                ts.next()
+                if ts.peek()[1] == ".":
+                    ts.next()
+            elif val == "{":
                 # nested group, possibly a UNION chain
                 branches = []
                 while ts.peek()[1] == "{":
@@ -518,23 +532,68 @@ def _parse(query: str) -> _Query:
                     raise SparqlParseError(f"unexpected {val!r} in group")
                 g.elements.append(("bgp", patterns))
 
-    # ---- query forms -------------------------------------------------------
-    kind, val = ts.next()
-    if val == "SELECT":
-        out.form = "SELECT"
+    def parse_modifiers(q: _Query) -> None:
+        """GROUP BY / HAVING / ORDER BY / LIMIT / OFFSET; stops at EOF
+        or at the '}' that closes an enclosing subquery group."""
+        while ts.peek()[1] is not None and ts.peek()[1] != "}":
+            kind, val = ts.next()
+            if val == "GROUP":
+                ts.expect("BY")
+                while ts.peek()[0] == "var":
+                    q.group_by.append(ts.next()[1][1:])
+                if not q.group_by:
+                    raise SparqlParseError("GROUP BY needs variables")
+            elif val == "HAVING":
+                ts.expect("(")
+                q.having.append(parse_expr())
+                ts.expect(")")
+            elif val == "ORDER":
+                ts.expect("BY")
+                got = False
+                while True:
+                    k2, v2 = ts.peek()
+                    if v2 in ("ASC", "DESC"):
+                        ts.next()
+                        asc = v2 == "ASC"
+                        ts.expect("(")
+                        var = ts.next()[1][1:]
+                        ts.expect(")")
+                        q.order_by.append((var, asc))
+                        got = True
+                    elif k2 == "var":
+                        ts.next()
+                        q.order_by.append((v2[1:], True))
+                        got = True
+                    else:
+                        break
+                if not got:
+                    raise SparqlParseError("ORDER BY needs variables")
+            elif val == "LIMIT":
+                q.limit = int(ts.next()[1])
+            elif val == "OFFSET":
+                q.offset = int(ts.next()[1])
+            else:
+                raise SparqlParseError(f"unexpected {val!r} after pattern group")
+
+    def parse_select_body() -> _Query:
+        """Everything after the SELECT keyword (projection, WHERE
+        group, solution modifiers) — shared by the top level and
+        { SELECT ... } subqueries."""
+        q = _Query()
+        q.form = "SELECT"
         if ts.peek()[1] == "DISTINCT":
             ts.next()
-            out.distinct = True
+            q.distinct = True
         if ts.peek()[1] == "*":
             ts.next()
-            out.projection = None
+            q.projection = None
         else:
-            out.projection = []
+            q.projection = []
             while True:
                 kind, val = ts.peek()
                 if kind == "var":
                     ts.next()
-                    out.projection.append(("var", val[1:]))
+                    q.projection.append(("var", val[1:]))
                 elif val == "(":
                     ts.next()
                     e = parse_expr()
@@ -543,21 +602,31 @@ def _parse(query: str) -> _Query:
                     if k != "var":
                         raise SparqlParseError("projection needs AS ?var")
                     ts.expect(")")
-                    out.projection.append(("expr", e, v[1:]))
+                    q.projection.append(("expr", e, v[1:]))
                 else:
                     break
-            if not out.projection:
+            if not q.projection:
                 raise SparqlParseError("SELECT needs variables, expressions or *")
         if ts.peek()[1] == "WHERE":
             ts.next()
         ts.expect("{")
-        out.where = parse_group()
+        q.where = parse_group()
+        parse_modifiers(q)
+        return q
+
+    _parse_select_body_ref[0] = parse_select_body
+
+    # ---- query forms -------------------------------------------------------
+    kind, val = ts.next()
+    if val == "SELECT":
+        out = parse_select_body()
     elif val == "ASK":
         out.form = "ASK"
         if ts.peek()[1] == "WHERE":
             ts.next()
         ts.expect("{")
         out.where = parse_group()
+        parse_modifiers(out)
     elif val == "CONSTRUCT":
         out.form = "CONSTRUCT"
         ts.expect("{")
@@ -568,49 +637,23 @@ def _parse(query: str) -> _Query:
         ts.expect("WHERE")
         ts.expect("{")
         out.where = parse_group()
+        parse_modifiers(out)
+    elif val == "DESCRIBE":
+        # DESCRIBE <iri> [...] — every triple with the resource as
+        # subject or object (the reference surface exposes oxigraph's
+        # DESCRIBE; this is its common concise-bounded form)
+        out.form = "DESCRIBE"
+        resources = []
+        while ts.peek()[0] in ("iri", "pname"):
+            k, v = ts.next()
+            resources.append(v[1:-1] if k == "iri" else resolve_pname(v))
+        if not resources:
+            raise SparqlParseError("DESCRIBE needs at least one IRI")
+        out.template = resources  # reuse the field for the IRI list
     else:
         raise SparqlParseError(f"unsupported query form {val!r}")
-
-    # ---- solution modifiers -------------------------------------------------
-    while ts.peek()[1] is not None:
-        kind, val = ts.next()
-        if val == "GROUP":
-            ts.expect("BY")
-            while ts.peek()[0] == "var":
-                out.group_by.append(ts.next()[1][1:])
-            if not out.group_by:
-                raise SparqlParseError("GROUP BY needs variables")
-        elif val == "HAVING":
-            ts.expect("(")
-            out.having.append(parse_expr())
-            ts.expect(")")
-        elif val == "ORDER":
-            ts.expect("BY")
-            got = False
-            while True:
-                k2, v2 = ts.peek()
-                if v2 in ("ASC", "DESC"):
-                    ts.next()
-                    asc = v2 == "ASC"
-                    ts.expect("(")
-                    var = ts.next()[1][1:]
-                    ts.expect(")")
-                    out.order_by.append((var, asc))
-                    got = True
-                elif k2 == "var":
-                    ts.next()
-                    out.order_by.append((v2[1:], True))
-                    got = True
-                else:
-                    break
-            if not got:
-                raise SparqlParseError("ORDER BY needs variables")
-        elif val == "LIMIT":
-            out.limit = int(ts.next()[1])
-        elif val == "OFFSET":
-            out.offset = int(ts.next()[1])
-        else:
-            raise SparqlParseError(f"unexpected {val!r} after pattern group")
+    if ts.peek()[1] is not None:
+        raise SparqlParseError(f"unexpected {ts.peek()[1]!r} after query")
     return out
 
 
@@ -830,6 +873,9 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
                 df = _natural_join(df, pdf)
         elif kind == "group":
             df = _natural_join(df, _compile_group(triples, el[1]))
+        elif kind == "subselect":
+            # SPARQL subquery: evaluate independently, join on shared vars
+            df = _natural_join(df, _compile_select(triples, el[1]))
         elif kind == "union":
             u = None
             for branch in el[1]:
@@ -886,6 +932,12 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     if q.form == "ASK":
         hit = _compile_group(triples, q.where).limit(1).count() > 0
         return triples.sparkSession.createDataFrame([(hit,)], "ask boolean")
+    if q.form == "DESCRIBE":
+        cond = None
+        for r in q.template:  # IRI list (see parser)
+            c = (F.col("subj") == r) | (F.col("obj") == r)
+            cond = c if cond is None else (cond | c)
+        return triples.filter(cond).select("subj", "pred", "obj")
     if q.form == "CONSTRUCT":
         df = _compile_group(triples, q.where)
         parts = []

@@ -306,3 +306,31 @@ def test_arithmetic_filter_and_if(triples):
     """
     rows = sparql_select(triples, q).collect()
     assert rows and all(r.flag in ("rich", "ok") for r in rows)
+
+
+def test_subquery_in_group(triples):
+    """SPARQL 1.1 subquery: aggregate inside, joined to the outer
+    pattern on the shared variable."""
+    q = """
+    SELECT ?nation_name ?n_cust WHERE {
+      ?n <name> ?nation_name .
+      { SELECT ?n (COUNT(?c) AS ?n_cust) WHERE {
+          ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:"))
+        } GROUP BY ?n }
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    assert rows and all(r.n_cust >= 1 for r in rows)
+    assert all(r.nation_name.startswith("NATION_") for r in rows)
+
+
+def test_describe_text_form(triples):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    out = sparql_query(triples, "DESCRIBE <nation:0>")
+    rows = out.collect()
+    assert rows and all(r.subj == "nation:0" or r.obj == "nation:0" for r in rows)
+    import __spark_entry__ as e
+
+    expect = e.queries()["sparql_describe"](out.sparkSession, "/root/testdata/sf0.001").count()
+    assert len(rows) == expect
