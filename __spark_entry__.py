@@ -1574,6 +1574,189 @@ SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
 }
 
 
+def q_doc_paragraph_dedup(spark, sf_dir):
+    """Paragraph-level exact dedup (CCNet/RefinedWeb-style): explode
+    sentence-ish units, hash, keep the first (doc_id, position)
+    occurrence corpus-wide; report per-doc kept/total counts. All
+    JVM-side: split + posexplode + md5 + min_by hash-agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    paras = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\. ")).alias("pos", "para"),
+    ).filter(F.length(F.trim("para")) > 0)
+    firsts = (
+        paras.select(F.md5(F.trim("para")).alias("h"), "doc_id", "pos")
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "pos")).alias("keep"))
+        .select("h", F.col("keep.doc_id").alias("doc_id"), F.col("keep.pos").alias("pos"))
+    )
+    kept = firsts.groupBy("doc_id").agg(F.count("*").alias("n_kept"))
+    total = paras.groupBy("doc_id").agg(F.count("*").alias("n_paras"))
+    return total.join(kept, "doc_id", "left_outer").select(
+        "doc_id", "n_paras", F.coalesce("n_kept", F.lit(0)).alias("n_kept")
+    )
+
+
+def q_doc_repetition_ratio(spark, sf_dir):
+    """Gopher-style repetition signal: fraction of duplicate word
+    bigrams per document (high → boilerplate/spam). Pure array
+    expressions — no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.greatest(F.size(words) - 1, F.lit(1))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(" ", F.element_at(words, i), F.element_at(words, i + 1)),
+    )
+    dup_frac = (F.size(bigrams) - F.size(F.array_distinct(bigrams))) / F.size(bigrams)
+    return docs.select("doc_id", F.round(dup_frac, 6).alias("dup_bigram_frac"))
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank (5 fixed iterations, d=0.85) over the nextNation chain
+    graph — the iterative-join operator shape (SURVEY §2B property
+    paths / GraphFrames-style). Fixed iteration count makes it exactly
+    reproducible in recursive SQL."""
+    t = triples_from_tpch(spark, sf_dir)
+    edges = t.filter(F.col("pred") == "nextNation").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("n"))
+        .unionByName(edges.select(F.col("dst").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ranks = nodes.select("n", F.lit(1.0).alias("rank"))
+    for _ in range(5):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.n)
+            .join(out_deg, "src")
+            .select(F.col("dst").alias("n"), (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("n")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, "n", "left_outer").select(
+            "n",
+            (F.lit(0.15) + F.lit(0.85) * F.coalesce(F.col("c"), F.lit(0.0))).alias("rank"),
+        ).localCheckpoint()
+    return ranks.select(F.col("n").alias("node"), F.round("rank", 6).alias("pagerank"))
+
+
+def q_graph_triangles(spark, sf_dir):
+    """Triangle counting on the nations-sharing-a-region clique graph —
+    ordered-edge join-join (each triangle counted once)."""
+    t = triples_from_tpch(spark, sf_dir)
+    nr = t.filter(F.col("pred") == "inRegion").select(
+        F.col("subj").alias("nation"), F.col("obj").alias("region")
+    )
+    e = (
+        nr.alias("a")
+        .join(nr.alias("b"), "region")
+        .filter(F.col("a.nation") < F.col("b.nation"))
+        .select(F.col("a.nation").alias("u"), F.col("b.nation").alias("v"))
+        .distinct()
+    )
+    tri = (
+        e.alias("e1")
+        .join(e.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e.alias("e3"),
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+    )
+    return tri.agg(F.count("*").alias("n_triangles"))
+
+
+def q_window_ntile(spark, sf_dir):
+    """NTILE quartiles of order value per order status + lead/lag
+    deltas — the remaining ranked-window surface."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 1000)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(
+            F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2
+        ).alias("delta_prev"),
+    )
+
+
+_ORACLE_PIPELINE_EXTRA = {
+    "doc_paragraph_dedup": r"""
+WITH split AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+withpos AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(parts)),
+                               i -> struct_pack(pos := i - 1, para := parts[i]))) AS u
+  FROM split
+),
+paras AS (
+  SELECT doc_id, u.pos AS pos, u.para AS para
+  FROM withpos WHERE length(trim(u.para)) > 0
+),
+firsts AS (
+  SELECT md5(trim(para)) AS h, min(struct_pack(doc_id := doc_id, pos := pos)) AS keep
+  FROM paras GROUP BY 1
+),
+kept AS (SELECT keep.doc_id AS doc_id, count(*) AS n_kept FROM firsts GROUP BY 1),
+total AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id)
+SELECT t.doc_id, t.n_paras, coalesce(k.n_kept, 0) AS n_kept
+FROM total t LEFT JOIN kept k ON t.doc_id = k.doc_id
+""",
+    "doc_repetition_ratio": r"""
+WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+b AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                            i -> ws[i] || ' ' || ws[i + 1]) AS bg
+      FROM w)
+SELECT doc_id,
+       round((len(bg) - len(list_distinct(bg))) * 1.0 / len(bg), 6) AS dup_bigram_frac
+FROM b
+""",
+    # 5 unrolled PageRank iterations (recursive CTEs can't cleanly
+    # re-reference the full previous rank vector); the chain graph has
+    # in-degree <= 1 so float summation order is a non-issue
+    "graph_pagerank": f"""
+WITH triples AS ({_T}),
+edges AS (SELECT subj AS src, obj AS dst FROM triples WHERE pred = 'nextNation'),
+nodes AS (SELECT src AS n FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+pr0 AS (SELECT n, 1.0::DOUBLE AS rank FROM nodes)
+"""
+    + "".join(
+        f""", pr{i + 1} AS (
+  SELECT nodes.n, 0.15 + 0.85 * coalesce(s.c, 0.0) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS n, sum(p.rank / d.deg) AS c
+    FROM edges e JOIN pr{i} p ON p.n = e.src JOIN deg d ON d.src = e.src
+    GROUP BY e.dst) s ON s.n = nodes.n)
+"""
+        for i in range(5)
+    )
+    + """
+SELECT n AS node, round(rank, 6) AS pagerank FROM pr5
+""",
+    "graph_triangles": f"""
+WITH triples AS ({_T}),
+nr AS (SELECT subj AS nation, obj AS region FROM triples WHERE pred = 'inRegion'),
+e AS (SELECT DISTINCT a.nation AS u, b.nation AS v
+      FROM nr a JOIN nr b ON a.region = b.region AND a.nation < b.nation)
+SELECT count(*) AS n_triangles
+FROM e e1 JOIN e e2 ON e1.v = e2.u JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v
+""",
+    "window_ntile": """
+SELECT o_orderkey, o_orderstatus,
+       ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile,
+       round(o_totalprice - lag(o_totalprice) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey), 2) AS delta_prev
+FROM orders WHERE o_orderkey < 1000
+""",
+}
+
+
 # ---------------------------------------------------------------------------
 # TPC-H breadth + remaining SPARQL builtin rows (SURVEY.md §2B)
 
@@ -2191,6 +2374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_fingerprints": q_doc_winnow_fingerprints,
         "doc_lang_id": q_doc_lang_id,
         "doc_fingerprint": q_doc_fingerprint,
+        "doc_paragraph_dedup": q_doc_paragraph_dedup,
+        "doc_repetition_ratio": q_doc_repetition_ratio,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_triangles": q_graph_triangles,
+        "window_ntile": q_window_ntile,
         # TPC-H breadth + SPARQL builtin rows
         "tpch_q4": q_tpch_q4,
         "tpch_q16": q_tpch_q16,
@@ -2231,4 +2419,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_RELATIONAL_EXTRA)
     out.update(_ORACLE_DOCS_EXTRA)
     out.update(_ORACLE_BREADTH)
+    out.update(_ORACLE_PIPELINE_EXTRA)
     return out
