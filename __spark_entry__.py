@@ -58,17 +58,21 @@ def _ntz_us(c) -> F.Column:
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: replay the events stream as a versioned graph
     changelog, reconstruct the snapshot at T_LATE, expand to triples
-    (mapInPandas Turtle parse), and aggregate triple counts per
-    predicate — the reference's snapshot + query lifecycle
-    (SURVEY.md §3.1) end-to-end in one plan."""
+    (mapInPandas Turtle parse), and evaluate a SPARQL STRING against
+    it — the reference's exact request lifecycle
+    (GET /api/sparql/{ts}?query=..., SURVEY.md §3.1) end-to-end."""
     sf_dir = "/root/testdata/sf0.001"
     from rdf_diff_store_spark.operators.versioned import snapshot_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
 
     changelog = changelog_from_events(spark, sf_dir)
     triples = snapshot_triples(changelog, T_LATE)
-    return triples.groupBy("pred").agg(
-        F.count("*").alias("n_triples"),
-        F.countDistinct("subj").alias("n_subjects"),
+    return sparql_query(
+        triples,
+        """
+        SELECT ?pred (COUNT(?s) AS ?n_triples) (COUNT(DISTINCT ?s) AS ?n_subjects)
+        WHERE { ?s ?pred ?o } GROUP BY ?pred
+        """,
     )
 
 
@@ -1005,6 +1009,25 @@ def q_version_history(spark, sf_dir):
     )
 
 
+def q_sparql_over_snapshot(spark, sf_dir):
+    """The reference's complete request lifecycle as ONE oracle-checked
+    query: changelog → snapshot_at(T_MID) → triples (mapInPandas
+    parse) → SPARQL string evaluated by the text front-end
+    (GET /api/sparql/{ts}?query=..., src/bin/rdf-query-cache.rs:44-79)."""
+    from rdf_diff_store_spark.operators.versioned import snapshot_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    triples = snapshot_triples(changelog_from_events(spark, sf_dir), T_MID)
+    return sparql_query(
+        triples,
+        """
+        SELECT ?s ?v WHERE {
+          ?s <http://ex.org/value> ?v . FILTER (?v >= 500000)
+        }
+        """,
+    )
+
+
 def q_ntriples_ingest(spark, sf_dir):
     """Format-dispatched ingest (O-13 + models::Graph.format,
     src/models/graph.rs:14-22): the events payloads declared as
@@ -1046,6 +1069,13 @@ FROM changelog GROUP BY graph_id
     "snapshot_as_turtle": f"""
 WITH snap AS ({_snapshot_sql(T_MID)})
 SELECT graph_id, payload AS doc FROM snap
+""",
+    "sparql_over_snapshot": f"""
+WITH snap AS ({_snapshot_sql(T_MID)}),
+triples AS (SELECT regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+                   regexp_extract(payload, '"([^"]*)"', 1) AS obj
+            FROM snap)
+SELECT subj AS s, obj AS v FROM triples WHERE CAST(obj AS DOUBLE) >= 500000
 """,
     # canonicalize() of an already-canonical single N-Triples line is
     # that line + trailing newline, so the oracle hash is
@@ -2350,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_history": q_version_history,
         "snapshot_as_turtle": q_snapshot_as_turtle,
         "ntriples_ingest": q_ntriples_ingest,
+        "sparql_over_snapshot": q_sparql_over_snapshot,
         # SPARQL extras
         "sparql_path_alt_inverse": q_sparql_path_alt_inverse,
         "sparql_path_star": q_sparql_path_star,
