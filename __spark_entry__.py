@@ -1714,7 +1714,51 @@ def q_window_ntile(spark, sf_dir):
     )
 
 
+def q_session_window_agg(spark, sf_dir):
+    """Session windows (30-min inactivity gap) via F.session_window —
+    the streaming stateful-window operator run over the bounded table
+    (identical semantics, oracle-checkable). Complements `sessionize`
+    (which pins the lag+cumsum formulation) by exercising Spark's
+    native session-window operator."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        ev.groupBy("user_id", win)
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            _ntz_us(F.col("session_window.start")).alias("sess_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 _ORACLE_PIPELINE_EXTRA = {
+    # session = maximal run of events per user with gaps < 30 min;
+    # window end extends 30 min past the last event (Spark semantics),
+    # but we only output the start, which both formulations agree on
+    "session_window_agg": """
+WITH lagged AS (
+  SELECT user_id, ts, value,
+         -- Spark session_window ends are EXCLUSIVE (last_ts + gap), so
+         -- an event exactly gap later starts a new session: split >=
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM lagged
+)
+SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, sess_id
+""",
     "doc_paragraph_dedup": r"""
 WITH split AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
 withpos AS (
@@ -2410,6 +2454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "window_ntile": q_window_ntile,
+        "session_window_agg": q_session_window_agg,
         # TPC-H breadth + SPARQL builtin rows
         "tpch_q4": q_tpch_q4,
         "tpch_q16": q_tpch_q16,
