@@ -56,12 +56,19 @@ def mentions_of(extracted: DataFrame) -> DataFrame:
 
 
 def first_capture(extracted: DataFrame) -> DataFrame:
-    """One row per url: the earliest capture's text (dedup corpus)."""
-    w = Window.partitionBy("url").orderBy("warc_ts")
+    """One row per url: the earliest capture's text (dedup corpus).
+    min_by hash-agg, not a window: partial+final combine means the
+    shuffle carries at most one row per (url, input partition) instead
+    of sorting every capture — the same latest-wins trick snapshot_at
+    uses (text tiebreak keeps ties deterministic)."""
     return (
-        extracted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("url", "warc_ts", "text")
+        extracted.groupBy("url")
+        .agg(
+            F.min_by(
+                F.struct("warc_ts", "text"), F.struct("warc_ts", "text")
+            ).alias("f")
+        )
+        .select("url", F.col("f.warc_ts").alias("warc_ts"), F.col("f.text").alias("text"))
     )
 
 
@@ -125,6 +132,8 @@ def quads_of(mentions: DataFrame, extracted: DataFrame, entity_map: DataFrame) -
         )
         .distinct()
     )
+    # extracted is one row per (url, warc_ts) already — projections of
+    # it need NO distinct (each removed distinct was a full shuffle)
     lang_quads = extracted.select(
         F.col("url").alias("graph_id"),
         F.col("url").alias("subj"),
@@ -133,7 +142,7 @@ def quads_of(mentions: DataFrame, extracted: DataFrame, entity_map: DataFrame) -
         F.lit("http://www.w3.org/2001/XMLSchema#string").alias("obj_dt"),
         F.lit(None).cast("string").alias("obj_lang"),
         "warc_ts",
-    ).distinct()
+    )
     # content fingerprint: ties the graph version to the page body, so
     # content changes produce new versions while byte-identical
     # re-crawls compact away (idempotent-write contract)
@@ -147,7 +156,7 @@ def quads_of(mentions: DataFrame, extracted: DataFrame, entity_map: DataFrame) -
         F.lit("http://www.w3.org/2001/XMLSchema#string").alias("obj_dt"),
         F.lit(None).cast("string").alias("obj_lang"),
         "warc_ts",
-    ).distinct()
+    )
     return mention_quads.unionByName(lang_quads).unionByName(fp_quads)
 
 
@@ -168,7 +177,9 @@ def changelog_of(quads: DataFrame, pages: DataFrame) -> DataFrame:
     adds = (
         quads.select(F.col("graph_id"), F.col("warc_ts").alias("ts"), line.alias("line"))
         .groupBy("graph_id", "ts")
-        .agg(F.concat_ws("\n", F.array_sort(F.collect_list("line"))).alias("payload"))
+        # collect_set: a graph is a SET of triples — re-sent rows or
+        # duplicate quads can never change the canonical payload
+        .agg(F.concat_ws("\n", F.array_sort(F.collect_set("line"))).alias("payload"))
         .select(
             "graph_id",
             "ts",
@@ -213,7 +224,7 @@ def build_kg(
     rec = StageRecorder(spark, work_dir)
     extracted = rec.stage("extract", extract_pages(pages))
     mentions = rec.stage("mentions", mentions_of(extracted))
-    firsts = first_capture(extracted).localCheckpoint()
+    firsts = rec.stage("first_capture", first_capture(extracted))
     # mentions of the first capture only: re-tokenizing the 1-per-url
     # frame is cheaper than a dense_rank window over every capture's
     # mention rows
