@@ -1028,6 +1028,24 @@ def q_sparql_over_snapshot(spark, sf_dir):
     )
 
 
+def q_sparql_text_graph(spark, sf_dir):
+    """GRAPH clause over the versioned store: bind each named graph's
+    id while matching inside it (the reference's named-graph axis is
+    the per-graph file; here it's the graph_id column)."""
+    from rdf_diff_store_spark.operators.versioned import snapshot_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    triples = snapshot_triples(changelog_from_events(spark, sf_dir), T_MID)
+    return sparql_query(
+        triples,
+        """
+        SELECT ?g ?v WHERE {
+          GRAPH ?g { ?s <http://ex.org/value> ?v . FILTER (?v >= 500000) }
+        }
+        """,
+    )
+
+
 def q_ntriples_ingest(spark, sf_dir):
     """Format-dispatched ingest (O-13 + models::Graph.format,
     src/models/graph.rs:14-22): the events payloads declared as
@@ -1076,6 +1094,11 @@ triples AS (SELECT regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
                    regexp_extract(payload, '"([^"]*)"', 1) AS obj
             FROM snap)
 SELECT subj AS s, obj AS v FROM triples WHERE CAST(obj AS DOUBLE) >= 500000
+""",
+    "sparql_text_graph": f"""
+WITH snap AS ({_snapshot_sql(T_MID)})
+SELECT graph_id AS g, regexp_extract(payload, '"([^"]*)"', 1) AS v
+FROM snap WHERE CAST(regexp_extract(payload, '"([^"]*)"', 1) AS DOUBLE) >= 500000
 """,
     # canonicalize() of an already-canonical single N-Triples line is
     # that line + trailing newline, so the oracle hash is
@@ -2425,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_as_turtle": q_snapshot_as_turtle,
         "ntriples_ingest": q_ntriples_ingest,
         "sparql_over_snapshot": q_sparql_over_snapshot,
+        "sparql_text_graph": q_sparql_text_graph,
         # SPARQL extras
         "sparql_path_alt_inverse": q_sparql_path_alt_inverse,
         "sparql_path_star": q_sparql_path_star,

@@ -38,13 +38,23 @@ class Var:
 Pattern = tuple  # (s, p, o) of Var | str
 
 
-def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
+def _pattern_df(triples: DataFrame, pattern: Pattern, graph=None) -> DataFrame:
     """One triple pattern → scan with constant filters pushed down and
-    variable positions projected to variable-named columns."""
+    variable positions projected to variable-named columns.
+
+    `graph` scopes the pattern to a named graph (SPARQL GRAPH clause)
+    over the view's graph_id column: a string filters, a Var binds
+    graph_id as that variable (so patterns in one GRAPH group unify on
+    it through the natural join)."""
     cond = None
     proj = []
     seen: dict[str, str] = {}
     extra_cond = []
+    if isinstance(graph, Var):
+        seen[graph.name] = "graph_id"
+        proj.append(F.col("graph_id").alias(graph.name))
+    elif graph is not None:
+        cond = F.col("graph_id") == F.lit(graph)
     for col, term in zip(_TERM_COLS, pattern):
         if isinstance(term, Var):
             if term.name in seen:  # repeated variable inside one pattern
@@ -63,12 +73,13 @@ def _pattern_df(triples: DataFrame, pattern: Pattern) -> DataFrame:
     return df.select(*proj) if proj else df.select(F.lit(1).alias("_match")).limit(1)
 
 
-def bgp(triples: DataFrame, patterns: list[Pattern]) -> DataFrame:
+def bgp(triples: DataFrame, patterns: list[Pattern], graph=None) -> DataFrame:
     """Basic graph pattern: natural join of the pattern scans on their
-    shared variables (n-1 equi-joins; Catalyst reorders / broadcasts)."""
+    shared variables (n-1 equi-joins; Catalyst reorders / broadcasts).
+    `graph` applies GRAPH-clause scoping to every pattern."""
     out = None
     for p in patterns:
-        pdf = _pattern_df(triples, p)
+        pdf = _pattern_df(triples, p, graph=graph)
         if out is None:
             out = pdf
         else:

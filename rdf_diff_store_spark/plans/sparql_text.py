@@ -70,7 +70,7 @@ _TOKEN = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
-       |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE
+       |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*)
@@ -471,6 +471,21 @@ def _parse(query: str) -> _Query:
                     g.elements.append(("group", branches[0]))
                 if ts.peek()[1] == ".":
                     ts.next()
+            elif val == "GRAPH":
+                ts.next()
+                k, v = ts.next()
+                if k == "var":
+                    gterm = Var(v[1:])
+                elif k == "iri":
+                    gterm = v[1:-1]
+                elif k == "pname":
+                    gterm = resolve_pname(v)
+                else:
+                    raise SparqlParseError("GRAPH needs ?var or an IRI")
+                ts.expect("{")
+                g.elements.append(("graph_scope", gterm, parse_group()))
+                if ts.peek()[1] == ".":
+                    ts.next()
             elif val == "OPTIONAL":
                 ts.next()
                 ts.expect("{")
@@ -855,7 +870,7 @@ def _natural_join(left: DataFrame | None, right: DataFrame) -> DataFrame:
     return left.join(right, shared) if shared else left.crossJoin(right)
 
 
-def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
+def _compile_group(triples: DataFrame, g: _Group, graph=None) -> DataFrame:
     spark = triples.sparkSession
     df: DataFrame | None = None
     deferred_filters: list = []  # plain filters apply to the whole group
@@ -865,36 +880,52 @@ def _compile_group(triples: DataFrame, g: _Group) -> DataFrame:
         if kind == "bgp":
             for s, p, o in el[1]:
                 if isinstance(p, Var):
-                    pdf = _pattern_df(triples, (s, p, o))
+                    pdf = _pattern_df(triples, (s, p, o), graph=graph)
                 elif p[0] == "iri":
-                    pdf = _pattern_df(triples, (s, p[1], o))
+                    pdf = _pattern_df(triples, (s, p[1], o), graph=graph)
+                elif isinstance(graph, Var):
+                    raise SparqlParseError(
+                        "property paths inside GRAPH ?var are not supported "
+                        "(use a constant graph IRI)"
+                    )
                 else:
                     pdf = _path_pattern_df(triples, s, p, o)
                 df = _natural_join(df, pdf)
+        elif kind == "graph_scope":
+            _, gterm, sub = el
+            if isinstance(gterm, Var):
+                sub_df = _compile_group(triples, sub, graph=gterm)
+            else:
+                # constant graph: scope the scan itself — the filter
+                # pushes down to the source
+                sub_df = _compile_group(
+                    triples.filter(F.col("graph_id") == F.lit(gterm)), sub
+                )
+            df = _natural_join(df, sub_df)
         elif kind == "group":
-            df = _natural_join(df, _compile_group(triples, el[1]))
+            df = _natural_join(df, _compile_group(triples, el[1], graph=graph))
         elif kind == "subselect":
             # SPARQL subquery: evaluate independently, join on shared vars
             df = _natural_join(df, _compile_select(triples, el[1]))
         elif kind == "union":
             u = None
             for branch in el[1]:
-                b = _compile_group(triples, branch)
+                b = _compile_group(triples, branch, graph=graph)
                 u = b if u is None else _union(u, b)
             df = _natural_join(df, u)
         elif kind == "optional":
-            right = _compile_group(triples, el[1])
+            right = _compile_group(triples, el[1], graph=graph)
             if df is None:
                 raise SparqlParseError("OPTIONAL with no preceding pattern")
             df = _optional(df, right)
         elif kind == "minus":
-            right = _compile_group(triples, el[1])
+            right = _compile_group(triples, el[1], graph=graph)
             if df is None:
                 raise SparqlParseError("MINUS with no preceding pattern")
             df = _minus(df, right)
         elif kind == "exists_filter":
             _, positive, sub = el
-            right = _compile_group(triples, sub)
+            right = _compile_group(triples, sub, graph=graph)
             if df is None:
                 raise SparqlParseError("EXISTS with no preceding pattern")
             df = _exists(df, right) if positive else _minus(df, right)

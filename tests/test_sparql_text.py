@@ -334,3 +334,28 @@ def test_describe_text_form(triples):
 
     expect = e.queries()["sparql_describe"](out.sparkSession, "/root/testdata/sf0.001").count()
     assert len(rows) == expect
+
+
+def test_graph_clause_var_and_const(spark):
+    """GRAPH ?g binds graph_id; GRAPH <iri> scopes (and pushes the
+    filter into the scan)."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    rows = [
+        ("g1", "http://e/a", "http://e/p", "1"),
+        ("g1", "http://e/b", "http://e/p", "2"),
+        ("g2", "http://e/a", "http://e/p", "3"),
+    ]
+    t = spark.createDataFrame(rows, ["graph_id", "subj", "pred", "obj"])
+    q_var = "SELECT ?g ?s ?v WHERE { GRAPH ?g { ?s <http://e/p> ?v } }"
+    got = {(r.g, r.s, r.v) for r in sparql_query(t, q_var).collect()}
+    assert got == {("g1", "http://e/a", "1"), ("g1", "http://e/b", "2"), ("g2", "http://e/a", "3")}
+    q_const = "SELECT ?s ?v WHERE { GRAPH <g2> { ?s <http://e/p> ?v } }"
+    got2 = {(r.s, r.v) for r in sparql_query(t, q_const).collect()}
+    assert got2 == {("http://e/a", "3")}
+    # graph var unifies across patterns in the scope
+    q_join = """
+    SELECT ?g WHERE { GRAPH ?g { <http://e/a> <http://e/p> ?x .
+                                 <http://e/b> <http://e/p> ?y } }
+    """
+    assert [r.g for r in sparql_query(t, q_join).collect()] == ["g1"]
