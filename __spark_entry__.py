@@ -1737,6 +1737,37 @@ def q_window_ntile(spark, sf_dir):
     )
 
 
+def q_doc_stratified_sample(spark, sf_dir):
+    """Deterministic per-language stratified sampling — hash-gate on
+    md5(doc_id) so the SAME subset falls out on every run and engine
+    (seedless reproducibility; rand()-based sampling can't be
+    replayed). en keeps 1/16, other languages 1/4."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = F.when(F.col("lang") == "en", h1 == "0").otherwise(
+        h1.isin("0", "1", "2", "3")
+    )
+    return docs.filter(keep).select("doc_id", "lang")
+
+
+def q_doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram shingle with the held-out eval set (doc_id < 10) — shingle
+    md5 semi join, the standard train/test-overlap sweep before a
+    training run."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_doc_shingles_col()).alias("shingle")
+    ).select("doc_id", F.md5("shingle").alias("h"))
+    eval_sh = sh.filter(F.col("doc_id") < 10).select("h").distinct()
+    train = sh.filter(F.col("doc_id") >= 10)
+    return (
+        train.join(F.broadcast(eval_sh), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+
+
 def q_session_window_agg(spark, sf_dir):
     """Session windows (30-min inactivity gap) via F.session_window —
     the streaming stateful-window operator run over the bounded table
@@ -1781,6 +1812,19 @@ sess AS (
 SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM sess GROUP BY user_id, sess_id
+""",
+    "doc_stratified_sample": """
+SELECT doc_id, lang FROM documents
+WHERE CASE WHEN lang = 'en' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+           ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3') END
+""",
+    "doc_decontaminate": f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, md5(u.s) AS h
+       FROM sh, unnest(shingles) AS u(s)),
+eval_h AS (SELECT DISTINCT h FROM ex WHERE doc_id < 10)
+SELECT DISTINCT doc_id FROM ex
+WHERE doc_id >= 10 AND h IN (SELECT h FROM eval_h)
 """,
     "doc_paragraph_dedup": r"""
 WITH split AS (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
@@ -2479,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "window_ntile": q_window_ntile,
         "session_window_agg": q_session_window_agg,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_decontaminate": q_doc_decontaminate,
         # TPC-H breadth + SPARQL builtin rows
         "tpch_q4": q_tpch_q4,
         "tpch_q16": q_tpch_q16,
