@@ -67,10 +67,10 @@ def bench_kg_pipeline(spark, cpus: int) -> dict:
         .localCheckpoint()
     )
     build_kg(spark, warm)
-    # min of 2 timed reps: run-to-run noise on this host is ±30-90%
+    # min of 3 timed reps: run-to-run noise on this host is ±30-90%
     # (BENCH.md methodology); a single sample mis-ranks rounds
     wall, n_quads = None, None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         changelog, rec = build_kg(spark, pages)
         n_quads = next(m["rows"] for m in rec.metrics if m["stage"] == "quads")
