@@ -216,6 +216,26 @@ def _parse(query: str) -> _Query:
             if val == "^":
                 ts.next()
                 return ("inv", primary())
+            if val == "!":
+                # negated property set: !iri or !(p|q|^r)
+                ts.next()
+                inner = primary()
+
+                def flatten(p):
+                    if p[0] == "iri":
+                        return [p[1]], []
+                    if p[0] == "inv" and p[1][0] == "iri":
+                        return [], [p[1][1]]
+                    if p[0] == "alt":
+                        f1, r1 = flatten(p[1])
+                        f2, r2 = flatten(p[2])
+                        return f1 + f2, r1 + r2
+                    raise SparqlParseError(
+                        "negated property set allows only IRIs / ^IRIs / |"
+                    )
+
+                fwd, rev = flatten(inner)
+                return ("nps", fwd, rev)
             kind, val = ts.next()
             if kind == "iri":
                 return ("iri", val[1:-1])
@@ -809,6 +829,24 @@ def _compile_path(triples: DataFrame, path) -> DataFrame:
         return triples.filter(F.col("pred") == path[1]).select(
             F.col("subj").alias("src"), F.col("obj").alias("dst")
         )
+    if op == "nps":
+        # SPARQL negated property set: forward edges whose predicate is
+        # not in the forward set, plus reversed edges whose predicate
+        # is not in the reverse set
+        _, fwd, rev = path
+        parts = []
+        if fwd or not rev:
+            f = triples
+            if fwd:
+                f = f.filter(~F.col("pred").isin(fwd))
+            parts.append(f.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+        if rev:
+            r = triples.filter(~F.col("pred").isin(rev))
+            parts.append(r.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out
     if op == "inv":
         e = _compile_path(triples, path[1])
         return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -1075,6 +1113,19 @@ def _rewrite_having(ast, idx: int, _counter=[0]):  # noqa: B006
         return tuple(walk(x) if isinstance(x, tuple) else x for x in a)
 
     return walk(ast), extra
+
+
+def sparql_json(triples: DataFrame, query: str, limit: int | None = None) -> str:
+    """Evaluate a SPARQL string and serialize the result in the
+    reference's response format — SPARQL 1.1 Results JSON for
+    SELECT/CONSTRUCT/DESCRIBE, the boolean envelope for ASK
+    (src/query.rs:111, QueryResultsFormat::Json)."""
+    from rdf_diff_store_spark.functions.results import ask_json, to_sparql_json
+
+    df = sparql_query(triples, query)
+    if df.columns == ["ask"]:
+        return ask_json(bool(df.first()["ask"]))
+    return to_sparql_json(df, limit=limit)
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

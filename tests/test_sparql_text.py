@@ -359,3 +359,40 @@ def test_graph_clause_var_and_const(spark):
                                  <http://e/b> <http://e/p> ?y } }
     """
     assert [r.g for r in sparql_query(t, q_join).collect()] == ["g1"]
+
+
+def test_negated_property_set(spark):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    rows = [
+        ("g", "a", "knows", "b"),
+        ("g", "a", "hates", "c"),
+        ("g", "b", "likes", "a"),
+    ]
+    t = spark.createDataFrame(rows, ["graph_id", "subj", "pred", "obj"])
+    got = {(r.s, r.o) for r in sparql_query(t, "SELECT ?s ?o WHERE { ?s !<hates> ?o }").collect()}
+    assert got == {("a", "b"), ("b", "a")}
+    # !(p|^q): forward not-p plus reversed not-q
+    got2 = {
+        (r.s, r.o)
+        for r in sparql_query(
+            t, "SELECT ?s ?o WHERE { ?s !(<hates>|^<likes>) ?o }"
+        ).collect()
+    }
+    assert got2 == {("a", "b"), ("b", "a"), ("b", "a"), ("c", "a")} - {("x", "x")}
+
+
+def test_sparql_json_response_format(spark, triples):
+    import json as _json
+
+    from rdf_diff_store_spark.plans.sparql_text import sparql_json
+
+    doc = _json.loads(
+        sparql_json(triples, 'SELECT ?n WHERE { ?n <name> "ASIA" }')
+    )
+    assert doc["head"]["vars"] == ["n"]
+    assert doc["results"]["bindings"][0]["n"]["value"] == "region:2" or doc[
+        "results"
+    ]["bindings"][0]["n"]["value"].startswith("region:")
+    ask = _json.loads(sparql_json(triples, 'ASK { ?r <name> "ASIA" }'))
+    assert ask == {"head": {}, "boolean": True}
