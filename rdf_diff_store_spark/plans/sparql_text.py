@@ -71,6 +71,7 @@ _TOKEN = re.compile(
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
        |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH
+       |FROM|NAMED
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*)
@@ -150,6 +151,8 @@ class _Query:
     # ("agg", fn, expr_ast|None, distinct, alias, sep) | ("expr", ast, alias)
     template: list = field(default_factory=list)  # CONSTRUCT triples
     where: _Group | None = None
+    from_graphs: list = field(default_factory=list)  # FROM <iri> (default graph)
+    from_named: list = field(default_factory=list)  # FROM NAMED <iri>
     group_by: list = field(default_factory=list)
     having: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, asc)
@@ -610,6 +613,22 @@ def _parse(query: str) -> _Query:
             else:
                 raise SparqlParseError(f"unexpected {val!r} after pattern group")
 
+    def parse_dataset(q: _Query) -> None:
+        """FROM <iri> ... / FROM NAMED <iri> ... (dataset clause)."""
+        while ts.peek()[1] == "FROM":
+            ts.next()
+            target = q.from_graphs
+            if ts.peek()[1] == "NAMED":
+                ts.next()
+                target = q.from_named
+            k, v = ts.next()
+            if k == "iri":
+                target.append(v[1:-1])
+            elif k == "pname":
+                target.append(resolve_pname(v))
+            else:
+                raise SparqlParseError("FROM needs an IRI")
+
     def parse_select_body() -> _Query:
         """Everything after the SELECT keyword (projection, WHERE
         group, solution modifiers) — shared by the top level and
@@ -642,6 +661,7 @@ def _parse(query: str) -> _Query:
                     break
             if not q.projection:
                 raise SparqlParseError("SELECT needs variables, expressions or *")
+        parse_dataset(q)
         if ts.peek()[1] == "WHERE":
             ts.next()
         ts.expect("{")
@@ -657,6 +677,7 @@ def _parse(query: str) -> _Query:
         out = parse_select_body()
     elif val == "ASK":
         out.form = "ASK"
+        parse_dataset(out)
         if ts.peek()[1] == "WHERE":
             ts.next()
         ts.expect("{")
@@ -669,6 +690,7 @@ def _parse(query: str) -> _Query:
         parse_triples_into(tmpl)
         ts.expect("}")
         out.template = tmpl
+        parse_dataset(out)
         ts.expect("WHERE")
         ts.expect("{")
         out.where = parse_group()
@@ -908,7 +930,7 @@ def _natural_join(left: DataFrame | None, right: DataFrame) -> DataFrame:
     return left.join(right, shared) if shared else left.crossJoin(right)
 
 
-def _compile_group(triples: DataFrame, g: _Group, graph=None) -> DataFrame:
+def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame | None = None) -> DataFrame:
     spark = triples.sparkSession
     df: DataFrame | None = None
     deferred_filters: list = []  # plain filters apply to the whole group
@@ -931,39 +953,40 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None) -> DataFrame:
                 df = _natural_join(df, pdf)
         elif kind == "graph_scope":
             _, gterm, sub = el
+            base = named if named is not None else triples  # FROM NAMED scope
             if isinstance(gterm, Var):
-                sub_df = _compile_group(triples, sub, graph=gterm)
+                sub_df = _compile_group(base, sub, graph=gterm, named=named)
             else:
                 # constant graph: scope the scan itself — the filter
                 # pushes down to the source
                 sub_df = _compile_group(
-                    triples.filter(F.col("graph_id") == F.lit(gterm)), sub
+                    base.filter(F.col("graph_id") == F.lit(gterm)), sub, named=named
                 )
             df = _natural_join(df, sub_df)
         elif kind == "group":
-            df = _natural_join(df, _compile_group(triples, el[1], graph=graph))
+            df = _natural_join(df, _compile_group(triples, el[1], graph=graph, named=named))
         elif kind == "subselect":
             # SPARQL subquery: evaluate independently, join on shared vars
             df = _natural_join(df, _compile_select(triples, el[1]))
         elif kind == "union":
             u = None
             for branch in el[1]:
-                b = _compile_group(triples, branch, graph=graph)
+                b = _compile_group(triples, branch, graph=graph, named=named)
                 u = b if u is None else _union(u, b)
             df = _natural_join(df, u)
         elif kind == "optional":
-            right = _compile_group(triples, el[1], graph=graph)
+            right = _compile_group(triples, el[1], graph=graph, named=named)
             if df is None:
                 raise SparqlParseError("OPTIONAL with no preceding pattern")
             df = _optional(df, right)
         elif kind == "minus":
-            right = _compile_group(triples, el[1], graph=graph)
+            right = _compile_group(triples, el[1], graph=graph, named=named)
             if df is None:
                 raise SparqlParseError("MINUS with no preceding pattern")
             df = _minus(df, right)
         elif kind == "exists_filter":
             _, positive, sub = el
-            right = _compile_group(triples, sub, graph=graph)
+            right = _compile_group(triples, sub, graph=graph, named=named)
             if df is None:
                 raise SparqlParseError("EXISTS with no preceding pattern")
             df = _exists(df, right) if positive else _minus(df, right)
@@ -992,6 +1015,23 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None) -> DataFrame:
 # public API
 
 
+def _dataset_views(triples: DataFrame, q: _Query):
+    """FROM / FROM NAMED dataset clause → (default view, named view).
+    FROM restricts the default graph to the union of the listed
+    graphs; FROM NAMED restricts what GRAPH clauses may range over."""
+    default = (
+        triples.filter(F.col("graph_id").isin(q.from_graphs))
+        if q.from_graphs
+        else triples
+    )
+    named = (
+        triples.filter(F.col("graph_id").isin(q.from_named))
+        if q.from_named
+        else None
+    )
+    return default, named
+
+
 def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     """Evaluate a SPARQL query string (SELECT / ASK / CONSTRUCT)
     against a (subj, pred, obj) triples DataFrame — the full request
@@ -999,7 +1039,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     (src/bin/rdf-query-cache.rs:44-53)."""
     q = _parse(query)
     if q.form == "ASK":
-        hit = _compile_group(triples, q.where).limit(1).count() > 0
+        default, named = _dataset_views(triples, q)
+        hit = _compile_group(default, q.where, named=named).limit(1).count() > 0
         return triples.sparkSession.createDataFrame([(hit,)], "ask boolean")
     if q.form == "DESCRIBE":
         cond = None
@@ -1008,7 +1049,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
             cond = c if cond is None else (cond | c)
         return triples.filter(cond).select("subj", "pred", "obj")
     if q.form == "CONSTRUCT":
-        df = _compile_group(triples, q.where)
+        default, named = _dataset_views(triples, q)
+        df = _compile_group(default, q.where, named=named)
         parts = []
         for s, p, o in q.template:
             def emit(t, alias):
@@ -1029,7 +1071,8 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
 
 
 def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
-    df = _compile_group(triples, q.where)
+    default, named = _dataset_views(triples, q)
+    df = _compile_group(default, q.where, named=named)
 
     has_aggs = q.group_by or any(
         item[0] == "expr" and item[1][0] == "aggfn" for item in (q.projection or [])

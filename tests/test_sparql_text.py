@@ -396,3 +396,20 @@ def test_sparql_json_response_format(spark, triples):
     ]["bindings"][0]["n"]["value"].startswith("region:")
     ask = _json.loads(sparql_json(triples, 'ASK { ?r <name> "ASIA" }'))
     assert ask == {"head": {}, "boolean": True}
+
+
+def test_from_and_from_named_dataset_clause(spark):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    rows = [
+        ("g1", "a", "p", "1"),
+        ("g2", "a", "p", "2"),
+        ("g3", "a", "p", "3"),
+    ]
+    t = spark.createDataFrame(rows, ["graph_id", "subj", "pred", "obj"])
+    # FROM merges only the listed graphs into the default graph
+    q = "SELECT ?v FROM <g1> FROM <g3> WHERE { ?s <p> ?v }"
+    assert sorted(r.v for r in sparql_query(t, q).collect()) == ["1", "3"]
+    # FROM NAMED restricts what GRAPH ranges over
+    q2 = "SELECT ?g ?v FROM NAMED <g2> WHERE { GRAPH ?g { ?s <p> ?v } }"
+    assert [(r.g, r.v) for r in sparql_query(t, q2).collect()] == [("g2", "2")]
