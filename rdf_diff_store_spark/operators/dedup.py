@@ -126,16 +126,8 @@ def lsh_candidate_pairs(
     the equivalent is writing the signature table once, which real
     LSH pipelines do anyway.
     """
-    rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else shingle_frame(df, id_col, text_col, shingle_n)
-    sig = sh.select(
-        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
-    ).localCheckpoint()  # eager, same reason as shingle_frame
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
-    )
-    band_rows = sig.select("_id", F.posexplode(band_keys).alias("band", "band_hash"))
+    band_rows = band_rows_frame(sh, num_hashes=num_hashes, bands=bands)
     a = band_rows.select(F.col("band"), F.col("band_hash"), F.col("_id").alias("id_a"))
     b = band_rows.select(F.col("band"), F.col("band_hash"), F.col("_id").alias("id_b"))
     return (
@@ -144,6 +136,26 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def band_rows_frame(
+    shingles: DataFrame, num_hashes: int = 16, bands: int = 8
+) -> DataFrame:
+    """(_id, band, band_hash) LSH band rows from a materialized
+    shingle frame — the shared building block of batch candidate-pair
+    banding (lsh_candidate_pairs) and streaming near-dup suppression
+    (streaming/neardup.py). Signatures are materialized first (eager
+    localCheckpoint) so ProjectCollapse can't inline the MinHash tree
+    into every band expression."""
+    sig = shingles.select(
+        "_id", minhash_signature(F.col("_sh"), num_hashes).alias("_sig")
+    ).localCheckpoint()
+    rows_per_band = num_hashes // bands
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.xxhash64(F.slice(F.col("_sig"), b * rows_per_band + 1, rows_per_band)),
+    )
+    return sig.select("_id", F.posexplode(band_keys).alias("band", "band_hash"))
 
 
 def jaccard_on_pairs(
