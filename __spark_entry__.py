@@ -1737,6 +1737,59 @@ def q_window_ntile(spark, sf_dir):
     )
 
 
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of embedding vectors (the storage
+    path for billion-vector corpora: 4x smaller, dot products stay
+    proportional). Per-vector scale = 127/max|x|; all array
+    expressions, no UDF. Output: checksum + scale per vector."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    absmax = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / absmax
+    q = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(q, F.lit(0), lambda acc, v: acc + v).alias("q_sum"),
+        F.array_max(q).alias("q_max"),
+        F.array_min(q).alias("q_min"),
+    )
+
+
+def q_corpus_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary: top-20 lowercased tokens by document
+    frequency — the explode-count-rank shape every corpus audit runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))).alias("w")
+    ).filter(F.length("w") > 0)
+    return (
+        words.groupBy("w")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("w"))
+        .limit(20)
+    )
+
+
+def q_sql_over_snapshot(spark, sf_dir):
+    """O-14's SQL-string surface: an arbitrary SQL query text evaluated
+    against the registered snapshot views (plans/sql_api.py) — the
+    Spark-SQL sibling of the SPARQL text front-end."""
+    from rdf_diff_store_spark.plans.sql_api import execute_sql
+
+    changelog = changelog_from_events(spark, sf_dir)
+    return execute_sql(
+        spark,
+        changelog,
+        T_MID,
+        """
+        SELECT pred, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects
+        FROM snapshot_triples GROUP BY pred
+        """,
+    )
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic per-language stratified sampling — hash-gate on
     md5(doc_id) so the SAME subset falls out on every run and engine
@@ -1812,6 +1865,37 @@ sess AS (
 SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM sess GROUP BY user_id, sess_id
+""",
+    "embedding_quantize_int8": """
+WITH q AS (
+  SELECT vec_id,
+         127.0 / list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale,
+         list_transform(embedding,
+                        x -> CAST(round(x::DOUBLE * 127.0 /
+                             list_max(list_transform(embedding, y -> abs(y::DOUBLE)))) AS INT)) AS qv
+  FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS INT) AS q_sum,
+       list_max(qv) AS q_max, list_min(qv) AS q_min
+FROM q
+""",
+    "corpus_vocab_topk": r"""
+WITH words AS (
+  SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\s+'))) AS w
+  FROM documents
+)
+SELECT w, count(*) AS doc_freq FROM words WHERE length(w) > 0
+GROUP BY w ORDER BY doc_freq DESC, w LIMIT 20
+""",
+    "sql_over_snapshot": f"""
+WITH snap AS ({_snapshot_sql(T_MID)}),
+triples AS (SELECT regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+                   '> <' AS _sep,
+                   regexp_extract(payload, '> <([^>]*)>', 1) AS pred
+            FROM snap)
+SELECT pred, count(*) AS n_triples, count(DISTINCT subj) AS n_subjects
+FROM triples GROUP BY pred
 """,
     "doc_stratified_sample": """
 SELECT doc_id, lang FROM documents
@@ -2525,6 +2609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_decontaminate": q_doc_decontaminate,
+        "embedding_quantize_int8": q_embedding_quantize_int8,
+        "corpus_vocab_topk": q_corpus_vocab_topk,
+        "sql_over_snapshot": q_sql_over_snapshot,
         # TPC-H breadth + SPARQL builtin rows
         "tpch_q4": q_tpch_q4,
         "tpch_q16": q_tpch_q16,
