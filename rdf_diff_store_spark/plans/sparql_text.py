@@ -58,7 +58,7 @@ from rdf_diff_store_spark.plans.algebra import (
 )
 
 _FN_KWS = (
-    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STR|CONCAT"
+    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STR|CONCAT|SUBSTR|REPLACE"
     "|ABS|ROUND|CEIL|FLOOR|COALESCE|IF|BOUND"
 )
 _AGG_KWS = "GROUP_CONCAT|COUNT|SUM|AVG|MIN|MAX|SAMPLE"
@@ -792,6 +792,13 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             return a[0].cast("string")
         if fn == "CONCAT":
             return F.concat(*a)
+        if fn == "SUBSTR":
+            # SPARQL SUBSTR is 1-based like F.substring
+            start = int(args[1][1])
+            length = int(args[2][1]) if len(args) > 2 else 2_147_483_647
+            return F.substring(a[0], start, length)
+        if fn == "REPLACE":
+            return F.regexp_replace(a[0], args[1][1], args[2][1])
         if fn == "ABS":
             return F.abs(a[0])
         if fn == "ROUND":

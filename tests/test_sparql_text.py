@@ -413,3 +413,16 @@ def test_from_and_from_named_dataset_clause(spark):
     # FROM NAMED restricts what GRAPH ranges over
     q2 = "SELECT ?g ?v FROM NAMED <g2> WHERE { GRAPH ?g { ?s <p> ?v } }"
     assert [(r.g, r.v) for r in sparql_query(t, q2).collect()] == [("g2", "2")]
+
+
+def test_substr_replace_builtins(triples):
+    q = """
+    SELECT ?name ?abbr ?spaced WHERE {
+      ?r <name> ?name . FILTER (STRSTARTS(?r, "region:"))
+      BIND (SUBSTR(?name, 1, 3) AS ?abbr)
+      BIND (REPLACE(?name, "A", "@") AS ?spaced)
+    }
+    """
+    rows = sparql_select(triples, q).collect()
+    assert rows and all(r.abbr == r.name[:3] for r in rows)
+    assert all(r.spaced == r.name.replace("A", "@") for r in rows)
