@@ -97,6 +97,9 @@ class StreamingChangelogWriter:
             int(d.split("-", 1)[1])
             for d in os.listdir(self.state_dir)
             if d.startswith("v-")
+            # a crash mid-write leaves a partial dir without _SUCCESS;
+            # treating it as committed would read torn state
+            and os.path.exists(os.path.join(self.state_dir, d, "_SUCCESS"))
         ]
         return max(versions) if versions else None
 

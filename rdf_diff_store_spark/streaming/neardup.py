@@ -61,6 +61,8 @@ class StreamingNearDupFilter:
             int(d.split("-s", 1)[1])
             for d in os.listdir(self.bands_dir)
             if d.startswith("batch-s")
+            # partial (crashed) writes lack _SUCCESS — not committed
+            and os.path.exists(os.path.join(self.bands_dir, d, "_SUCCESS"))
         ]
         return max(vs) if vs else None
 

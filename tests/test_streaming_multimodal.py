@@ -167,3 +167,24 @@ def test_streaming_append_is_o_batch_and_replay_idempotent(spark, tmp_path):
     assert sorted(map(key, writer.read_changelog().collect())) == before
     snap = snapshot_at(writer.read_changelog(), "2024-01-04 00:00:00")
     assert [r.graph_id for r in snap.collect()] == ["g2"]
+
+
+def test_crashed_partial_state_dir_ignored(spark, tmp_path):
+    """A state dir without _SUCCESS (crash mid-write) must not be
+    treated as the committed latest version."""
+    import os
+
+    table = str(tmp_path / "log_crash")
+    writer = StreamingChangelogWriter(spark, table)
+    writer.process_batch(
+        _updates(spark, [("g1", "2024-01-01 00:00:00", "add", TTL.format(1))]), 0
+    )
+    assert writer._latest_state_version() == 0
+    os.makedirs(f"{writer.state_dir}/v-7")  # torn write, no _SUCCESS
+    assert writer._latest_state_version() == 0
+    # next batch commits as v-1, not v-8
+    writer.process_batch(
+        _updates(spark, [("g2", "2024-01-02 00:00:00", "add", TTL.format(2))]), 1
+    )
+    assert writer._latest_state_version() == 1
+    assert writer.read_changelog().count() == 2
