@@ -100,8 +100,15 @@ def union(a: DataFrame, b: DataFrame) -> DataFrame:
 
 
 def minus(a: DataFrame, b: DataFrame) -> DataFrame:
-    """MINUS ≙ left anti join on shared variables."""
+    """MINUS ≙ left anti join on shared variables.
+
+    SPARQL MINUS removes μ1 only when some μ2 is compatible AND their
+    domains OVERLAP — with no shared variables nothing is ever removed
+    (an empty-key anti join would instead wipe the left side whenever
+    the right is non-empty)."""
     shared = [c for c in b.columns if c in a.columns]
+    if not shared:
+        return a
     return a.join(b, shared, "left_anti")
 
 

@@ -387,7 +387,7 @@ def _parse(query: str) -> _Query:
 
     # ---- group graph patterns ---------------------------------------------
     def parse_triples_into(bgp_patterns: list):
-        stop = {"}", None, "OPTIONAL", "FILTER", "MINUS", "BIND", "VALUES", "{"}
+        stop = {"}", None, "OPTIONAL", "FILTER", "MINUS", "BIND", "VALUES", "GRAPH", "{"}
         while True:
             kind, val = ts.peek()
             if val in stop or (kind is None):
@@ -773,9 +773,24 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         return _compile_expr(e).isin([i[1] for i in items])
     if op == "fn":
         _, fn, args = ast
+
+        def lit_str(i: int, what: str) -> str:
+            if len(args) <= i or args[i][0] != "str":
+                raise SparqlParseError(f"{fn} {what} must be a string literal")
+            return args[i][1]
+
+        def regex_flags(i: int) -> str:
+            """Optional SPARQL regex flags argument → inline (?ims) prefix."""
+            if len(args) <= i:
+                return ""
+            flags = lit_str(i, "flags")
+            if not set(flags) <= set("ims"):
+                raise SparqlParseError(f"{fn} unsupported regex flags {flags!r}")
+            return f"(?{flags})" if flags else ""
+
         a = [_compile_expr(x, numeric=fn in _NUMERIC_FNS) for x in args]
         if fn == "REGEX":
-            return a[0].rlike(args[1][1])
+            return a[0].rlike(regex_flags(2) + lit_str(1, "pattern"))
         if fn == "STRSTARTS":
             return a[0].startswith(a[1])
         if fn == "STRENDS":
@@ -794,11 +809,15 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             return F.concat(*a)
         if fn == "SUBSTR":
             # SPARQL SUBSTR is 1-based like F.substring
+            if args[1][0] != "num" or (len(args) > 2 and args[2][0] != "num"):
+                raise SparqlParseError("SUBSTR start/length must be numeric literals")
             start = int(args[1][1])
             length = int(args[2][1]) if len(args) > 2 else 2_147_483_647
             return F.substring(a[0], start, length)
         if fn == "REPLACE":
-            return F.regexp_replace(a[0], args[1][1], args[2][1])
+            return F.regexp_replace(
+                a[0], regex_flags(3) + lit_str(1, "pattern"), lit_str(2, "replacement")
+            )
         if fn == "ABS":
             return F.abs(a[0])
         if fn == "ROUND":
@@ -897,9 +916,12 @@ def _compile_path(triples: DataFrame, path) -> DataFrame:
         e = _compile_path(triples, path[1])
         if op == "plus":
             return transitive_closure(e)
+        # zero-length path semantics (W3C 18.4 ZeroLengthPath): every
+        # TERM IN THE GRAPH matches itself — not just endpoints of
+        # p-edges (a graph with no p-edges still yields identity rows)
         nodes = (
-            e.select(F.col("src").alias("n"))
-            .unionByName(e.select(F.col("dst").alias("n")))
+            triples.select(F.col("subj").alias("n"))
+            .unionByName(triples.select(F.col("obj").alias("n")))
             .distinct()
         )
         ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
@@ -996,7 +1018,20 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
             right = _compile_group(triples, sub, graph=graph, named=named)
             if df is None:
                 raise SparqlParseError("EXISTS with no preceding pattern")
-            df = _exists(df, right) if positive else _minus(df, right)
+            # NOT EXISTS differs from MINUS exactly when no variables
+            # are shared: NOT EXISTS still removes rows if the inner
+            # pattern has ANY solution (empty-key anti join), MINUS
+            # keeps everything (algebra.minus guards that case)
+            if positive:
+                df = _exists(df, right)
+            else:
+                shared = [c for c in right.columns if c in df.columns]
+                if shared:
+                    df = df.join(right, shared, "left_anti")
+                else:
+                    # no shared vars: NOT EXISTS removes every row iff
+                    # the inner pattern has any solution at all
+                    df = df.join(right.limit(1), F.lit(True), "left_anti")
         elif kind == "filter":
             deferred_filters.append(el[1])
         elif kind == "bind":
@@ -1007,7 +1042,28 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
         elif kind == "values":
             _, vars_, rows = el
             vdf = spark.createDataFrame(rows, ", ".join(f"{v} string" for v in vars_))
-            df = _natural_join(df, F.broadcast(vdf))
+            has_undef = any(v is None for r in rows for v in r)
+            if df is None or not has_undef:
+                # no UNDEF (or VALUES is the whole group): plain
+                # natural join is exact
+                df = _natural_join(df, F.broadcast(vdf))
+            else:
+                # UNDEF leaves a variable UNCONSTRAINED for that row —
+                # a null in an equi-join key would instead match
+                # nothing. Null-tolerant condition join: a shared var
+                # matches if the VALUES cell is NULL or equal.
+                shared = [v for v in vars_ if v in df.columns]
+                new = [v for v in vars_ if v not in df.columns]
+                right = vdf.select(*[F.col(v).alias(f"_val_{v}") for v in vars_])
+                cond = F.lit(True)
+                for v in shared:
+                    cond = cond & (
+                        F.col(f"_val_{v}").isNull() | (F.col(v) == F.col(f"_val_{v}"))
+                    )
+                joined = df.join(F.broadcast(right), cond)
+                keep = [F.col(c) for c in df.columns]
+                keep += [F.col(f"_val_{v}").alias(v) for v in new]
+                df = joined.select(*keep)
         else:  # pragma: no cover
             raise SparqlParseError(f"unknown group element {kind!r}")
 
@@ -1154,13 +1210,15 @@ def _rewrite_having(ast, idx: int, _counter=[0]):  # noqa: B006
     extra: list = []
 
     def walk(a):
+        if isinstance(a, list):  # fn arg lists carry sub-expressions too
+            return [walk(x) for x in a]
         if not isinstance(a, tuple):
             return a
         if a[0] == "aggfn":
             name = f"_having_{idx}_{len(extra)}"
             extra.append(_compile_agg(a, name))
             return ("var", name)
-        return tuple(walk(x) if isinstance(x, tuple) else x for x in a)
+        return tuple(walk(x) for x in a)
 
     return walk(ast), extra
 
@@ -1172,8 +1230,11 @@ def sparql_json(triples: DataFrame, query: str, limit: int | None = None) -> str
     (src/query.rs:111, QueryResultsFormat::Json)."""
     from rdf_diff_store_spark.functions.results import ask_json, to_sparql_json
 
+    # dispatch on the PARSED query form, not on output column names —
+    # a SELECT projecting a variable named ?ask is still a SELECT
+    form = _parse(query).form
     df = sparql_query(triples, query)
-    if df.columns == ["ask"]:
+    if form == "ASK":
         return ask_json(bool(df.first()["ask"]))
     return to_sparql_json(df, limit=limit)
 

@@ -176,12 +176,24 @@ class StreamingChangelogWriter:
 
         from rdf_diff_store_spark.operators.versioned import _normalize_history
 
+        if not os.path.isdir(self.table_dir):
+            return  # nothing written yet
         folded = _normalize_history(self.read_changelog())
         tmp = f"{self.table_dir}__compacting"
         folded.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(self.table_dir)
-        os.makedirs(self.table_dir)
-        shutil.move(tmp, os.path.join(self.table_dir, "batch-compacted"))
+        # move the compacted segment IN first, then drop the old
+        # segments — there is never a moment with no table on disk,
+        # and a crash mid-cleanup only leaves duplicates, which the
+        # set-semantics read absorbs
+        old = [
+            os.path.join(self.table_dir, d)
+            for d in os.listdir(self.table_dir)
+            if d.startswith("batch-")
+        ]
+        seq = sum(1 for d in old if "compacted" in d)
+        shutil.move(tmp, os.path.join(self.table_dir, f"batch-compacted-{seq}"))
+        for d in old:
+            shutil.rmtree(d, ignore_errors=True)
 
     def start(
         self,

@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-_BANDS_SCHEMA = "_id long, band int, band_hash long"
+_EMPTY_BANDS_SCHEMA = "band int, band_hash long"
 
 
 class StreamingNearDupFilter:
@@ -68,13 +68,16 @@ class StreamingNearDupFilter:
 
     def _read_state(self, upto: int | None) -> DataFrame:
         if upto is None:
-            return self.spark.createDataFrame([], _BANDS_SCHEMA)
+            return self.spark.createDataFrame([], _EMPTY_BANDS_SCHEMA)
         paths = [
             os.path.join(self.bands_dir, d)
             for d in os.listdir(self.bands_dir)
             if d.startswith("batch-s") and int(d.split("-s", 1)[1]) <= upto
         ]
-        return self.spark.read.schema(_BANDS_SCHEMA).parquet(*paths)
+        # schema inferred from the files: _id's type follows id_col
+        # (long doc ids, string urls, ...) — a hardcoded schema would
+        # break the read for any non-long id
+        return self.spark.read.parquet(*paths)
 
     def read_kept(self) -> DataFrame:
         return (
@@ -117,10 +120,13 @@ class StreamingNearDupFilter:
             .select("_id")
             .distinct()
         )
-        # dup within the batch: the min id per bucket wins
-        firsts = rows.groupBy("band", "band_hash").agg(F.min("_id").alias("_first"))
+        # dup within the batch: the min id per bucket wins — but only
+        # among docs NOT already suppressed by state (a state-suppressed
+        # doc must not claim buckets and swallow its batch-mates)
+        alive = rows.join(hit_state, "_id", "left_anti")
+        firsts = alive.groupBy("band", "band_hash").agg(F.min("_id").alias("_first"))
         dup_in_batch = (
-            rows.join(firsts, ["band", "band_hash"])
+            alive.join(firsts, ["band", "band_hash"])
             .filter(F.col("_id") != F.col("_first"))
             .select("_id")
             .distinct()

@@ -250,7 +250,18 @@ def test_property_path_plus_and_star(triples):
         triples, "SELECT ?a ?b WHERE { ?a <nextNation> ?b }"
     ).count()
     assert n_plus > n_edges  # closure found multi-hop pairs
-    assert n_star == n_plus + 25  # identity on the 25 chain nodes
+    # zero-length path matches EVERY term in the graph (W3C 18.4),
+    # not just the chain nodes
+    n_terms = sparql_select(
+        triples,
+        "SELECT DISTINCT ?t WHERE { { ?t ?p ?o } UNION { ?s ?p2 ?t } }",
+    ).count()
+    assert n_star == n_plus + n_terms
+    # a term with NO p-edges still matches itself through p?
+    n_opt = sparql_select(
+        triples, "SELECT ?a ?b WHERE { ?a <nextNation>? ?b }"
+    ).count()
+    assert n_opt == n_edges + n_terms
 
 
 def test_ask_and_construct(triples):
@@ -426,3 +437,54 @@ def test_substr_replace_builtins(triples):
     rows = sparql_select(triples, q).collect()
     assert rows and all(r.abbr == r.name[:3] for r in rows)
     assert all(r.spaced == r.name.replace("A", "@") for r in rows)
+
+
+def test_review_fixes_minus_values_graph_having(spark):
+    """Round-2 review regressions: disjoint MINUS keeps rows; VALUES
+    UNDEF leaves vars unconstrained; GRAPH after triples parses;
+    HAVING with aggregates nested in functions; sparql_json on a var
+    named ?ask; REGEX flags."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_json, sparql_query
+
+    rows = [
+        ("g1", "a", "p", "x"),
+        ("g1", "b", "p", "y"),
+        ("g1", "c", "q", "z"),
+    ]
+    t = spark.createDataFrame(rows, ["graph_id", "subj", "pred", "obj"])
+    # MINUS with no shared vars: nothing removed
+    q = "SELECT ?s WHERE { ?s <p> ?o . MINUS { ?x <q> ?y } }"
+    assert sorted(r.s for r in sparql_query(t, q).collect()) == ["a", "b"]
+    # NOT EXISTS with no shared vars: removes everything (inner matches)
+    q2 = "SELECT ?s WHERE { ?s <p> ?o . FILTER NOT EXISTS { ?x <q> ?y } }"
+    assert sparql_query(t, q2).count() == 0
+    # VALUES with UNDEF: unconstrained column
+    q3 = 'SELECT ?s ?o WHERE { ?s <p> ?o . VALUES (?s ?o) { ("a" UNDEF) } }'
+    assert [(r.s, r.o) for r in sparql_query(t, q3).collect()] == [("a", "x")]
+    # GRAPH clause after triple patterns in the same group
+    q4 = "SELECT ?s ?v WHERE { ?s <p> ?v . GRAPH <g1> { ?s <q> ?z } }"
+    assert sparql_query(t, q4).count() == 0  # no subj has both p and q
+    q4b = "SELECT ?s WHERE { ?s <q> ?v . GRAPH <g1> { ?s <q> ?v } }"
+    assert [r.s for r in sparql_query(t, q4b).collect()] == ["c"]
+    # HAVING with an aggregate inside a function call
+    q5 = """
+    SELECT ?p (COUNT(?s) AS ?n) WHERE { ?s ?p ?o }
+    GROUP BY ?p HAVING (ABS(COUNT(?s)) >= 2)
+    """
+    got = sparql_query(t, q5).collect()
+    assert [(r.p, r.n) for r in got] == [("p", 2)]
+    # sparql_json with a variable literally named ?ask
+    import json as _json
+
+    doc = _json.loads(sparql_json(t, "SELECT ?ask WHERE { ?ask <p> ?o }"))
+    assert "results" in doc and len(doc["results"]["bindings"]) == 2
+    # REGEX case-insensitive flag
+    q6 = 'SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, "^X$", "i")) }'
+    assert [r.s for r in sparql_query(t, q6).collect()] == ["a"]
+    # REGEX with a variable pattern fails loudly instead of silently
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
+
+    with _pytest.raises(SparqlParseError, match="string literal"):
+        sparql_query(t, "SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, ?s)) }")

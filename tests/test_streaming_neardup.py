@@ -60,3 +60,23 @@ def test_suppressed_docs_do_not_extend_cluster(spark, tmp_path):
     # state contains only doc 1's buckets
     state = f._read_state(f._latest_version())
     assert state.select("_id").distinct().count() == 1
+
+
+def test_string_ids_and_state_suppressed_doc_claims_nothing(spark, tmp_path):
+    """Review regressions: non-long id columns work (schema inferred,
+    not hardcoded long), and a doc suppressed by STATE never claims
+    buckets — neither in state nor as a within-batch bucket winner."""
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near_a = a.replace("gamma", "lambda")  # near-dup of a → suppressed
+    fresh = "entirely separate prose regarding orchestral arrangements and tempo markings throughout"
+    f = StreamingNearDupFilter(
+        spark, str(tmp_path / "kept_str"), id_col="url", text_col="text"
+    )
+    docs = lambda rows: spark.createDataFrame(rows, "url string, text string")  # noqa: E731
+    f.process_batch(docs([("u1", a)]), 0)
+    f.process_batch(docs([("u2", near_a), ("u3", fresh)]), 1)
+    kept = sorted(r.url for r in f.read_kept().collect())
+    assert kept == ["u1", "u3"]  # string ids flow through both state reads
+    # the no-swallowing invariant: suppressed u2 claimed NO buckets
+    state = f._read_state(f._latest_version())
+    assert sorted(r._id for r in state.select("_id").distinct().collect()) == ["u1", "u3"]
