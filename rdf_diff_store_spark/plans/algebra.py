@@ -50,6 +50,7 @@ def _pattern_df(triples: DataFrame, pattern: Pattern, graph=None) -> DataFrame:
     proj = []
     seen: dict[str, str] = {}
     extra_cond = []
+    has_typing = "obj_lang" in triples.columns and "obj_dt" in triples.columns
     if isinstance(graph, Var):
         seen[graph.name] = "graph_id"
         proj.append(F.col("graph_id").alias(graph.name))
@@ -62,6 +63,13 @@ def _pattern_df(triples: DataFrame, pattern: Pattern, graph=None) -> DataFrame:
             else:
                 seen[term.name] = col
                 proj.append(F.col(col).alias(term.name))
+                if col == "obj" and has_typing:
+                    # carry the literal's typing so LANG()/DATATYPE()
+                    # can see it and joins distinguish "x"@en from
+                    # "x"@de / <x> (hidden columns, stripped from
+                    # SELECT * output)
+                    proj.append(F.col("obj_lang").alias(f"_lang_{term.name}"))
+                    proj.append(F.col("obj_dt").alias(f"_dt_{term.name}"))
         else:
             c = F.col(col) == F.lit(term)
             cond = c if cond is None else (cond & c)

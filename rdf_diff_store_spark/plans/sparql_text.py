@@ -58,7 +58,7 @@ from rdf_diff_store_spark.plans.algebra import (
 )
 
 _FN_KWS = (
-    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STR|CONCAT|SUBSTR|REPLACE"
+    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STR|CONCAT|SUBSTR|REPLACE|LANG|DATATYPE"
     "|ABS|ROUND|CEIL|FLOOR|COALESCE|IF|BOUND"
 )
 _AGG_KWS = "GROUP_CONCAT|COUNT|SUM|AVG|MIN|MAX|SAMPLE"
@@ -70,7 +70,7 @@ _TOKEN = re.compile(
   | (?P<string>"(?:[^"\\]|\\.)*")
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
-       |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH
+       |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH|REDUCED
        |FROM|NAMED
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
@@ -635,7 +635,9 @@ def _parse(query: str) -> _Query:
         { SELECT ... } subqueries."""
         q = _Query()
         q.form = "SELECT"
-        if ts.peek()[1] == "DISTINCT":
+        if ts.peek()[1] in ("DISTINCT", "REDUCED"):
+            # REDUCED permits (doesn't require) dedup — dedup is the
+            # cheaper answer in a distributed engine
             ts.next()
             q.distinct = True
         if ts.peek()[1] == "*":
@@ -832,6 +834,16 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             return F.when(_compile_expr(args[0]), a[1]).otherwise(a[2])
         if fn == "BOUND":
             return a[0].isNotNull()
+        if fn in ("LANG", "DATATYPE"):
+            # typing rides in hidden _lang_/_dt_ columns projected by
+            # the pattern scan when the triples view carries
+            # obj_lang/obj_dt (object-position variables only)
+            if args[0][0] != "var":
+                raise SparqlParseError(f"{fn} needs a variable argument")
+            v = args[0][1]
+            if fn == "LANG":
+                return F.coalesce(F.col(f"_lang_{v}"), F.lit(""))
+            return F.col(f"_dt_{v}")
     raise SparqlParseError(f"unsupported expression op {op!r}")
 
 
@@ -1188,6 +1200,12 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
                     cols.append(_compile_expr(expr).alias(alias))
             df = df.select(*cols)
 
+    if q.projection is None:
+        # SELECT *: hidden helper columns (_match, _lang_*, _dt_*)
+        # never appear in results
+        hidden = [c for c in df.columns if c.startswith("_")]
+        if hidden:
+            df = df.drop(*hidden)
     if q.distinct:
         df = df.distinct()
     sort_cols = [F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]

@@ -488,3 +488,36 @@ def test_review_fixes_minus_values_graph_having(spark):
 
     with _pytest.raises(SparqlParseError, match="string literal"):
         sparql_query(t, "SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, ?s)) }")
+
+
+def test_lang_datatype_builtins_and_reduced(spark):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    rows = [
+        ("g", "s1", "p", "hello", None, "en"),
+        ("g", "s2", "p", "hallo", None, "de"),
+        ("g", "s3", "p", "42", "http://www.w3.org/2001/XMLSchema#integer", None),
+    ]
+    t = spark.createDataFrame(
+        rows, ["graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"]
+    )
+    q = """
+    SELECT ?s ?l ?dt WHERE {
+      ?s <p> ?o . BIND (LANG(?o) AS ?l) BIND (DATATYPE(?o) AS ?dt)
+    }
+    """
+    got = {(r.s, r.l, r.dt) for r in sparql_query(t, q).collect()}
+    assert got == {
+        ("s1", "en", None),
+        ("s2", "de", None),
+        ("s3", "", "http://www.w3.org/2001/XMLSchema#integer"),
+    }
+    # FILTER on LANG
+    q2 = 'SELECT ?s WHERE { ?s <p> ?o . FILTER (LANG(?o) = "en") }'
+    assert [r.s for r in sparql_query(t, q2).collect()] == ["s1"]
+    # SELECT * strips hidden typing columns
+    star = sparql_query(t, "SELECT * WHERE { ?s <p> ?o }")
+    assert all(not c.startswith("_") for c in star.columns)
+    # REDUCED accepted (deduplicates)
+    q3 = "SELECT REDUCED ?p WHERE { ?s ?p ?o }"
+    assert sparql_query(t, q3).count() == 1
