@@ -1790,6 +1790,33 @@ def q_sql_over_snapshot(spark, sf_dir):
     )
 
 
+def q_doc_simhash_portable(spark, sf_dir):
+    """Portable 16-bit SimHash: bit k of a token = parity of hex digit
+    k of md5(token) (md5 hex is byte-identical across engines — the
+    same trick as the portable MinHash oracle); signature bit k = sign
+    of the token-vote sum. The production path is the 64-bit xxhash64
+    Arrow UDF (operators.dedup.simhash_signature); this twin makes the
+    SimHash FAMILY oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    words = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
+    odd = F.lit("13579bdf")
+
+    def vote(k):
+        # +1 if hex digit k of md5(word) is odd, else -1
+        return F.aggregate(
+            words,
+            F.lit(0),
+            lambda acc, w: acc
+            + F.when(odd.contains(F.substring(F.md5(w), k, 1)), 1).otherwise(-1),
+        )
+
+    bits = [F.when(vote(k + 1) > 0, F.lit(1 << k)).otherwise(F.lit(0)) for k in range(16)]
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return docs.select("doc_id", sig.alias("simhash16"))
+
+
 def q_doc_stratified_sample(spark, sf_dir):
     """Deterministic per-language stratified sampling — hash-gate on
     md5(doc_id) so the SAME subset falls out on every run and engine
@@ -1865,6 +1892,22 @@ sess AS (
 SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM sess GROUP BY user_id, sess_id
+""",
+    "doc_simhash_portable": r"""
+WITH w AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+  FROM documents WHERE doc_id < 200
+),
+bits AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, 16), k ->
+           CASE WHEN list_sum(list_transform(ws, t ->
+                  CASE WHEN strpos('13579bdf', substr(md5(t), k, 1)) > 0
+                       THEN 1 ELSE -1 END)) > 0
+                THEN (2 ** (k - 1))::BIGINT ELSE 0 END) AS bs
+  FROM w
+)
+SELECT doc_id, CAST(list_sum(bs) AS INT) AS simhash16 FROM bits
 """,
     "embedding_quantize_int8": """
 WITH q AS (
@@ -2609,6 +2652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_agg": q_session_window_agg,
         "doc_stratified_sample": q_doc_stratified_sample,
         "doc_decontaminate": q_doc_decontaminate,
+        "doc_simhash_portable": q_doc_simhash_portable,
         "embedding_quantize_int8": q_embedding_quantize_int8,
         "corpus_vocab_topk": q_corpus_vocab_topk,
         "sql_over_snapshot": q_sql_over_snapshot,
