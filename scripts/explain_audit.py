@@ -116,6 +116,16 @@ def main() -> None:
         )
     )
 
+    # 6b. the session carries the scale-critical runtime configuration
+    for conf, want in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        got = spark.conf.get(conf, "unset")
+        checks.append((f"session conf {conf}={want}", got == want, f"got {got}"))
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)
