@@ -242,3 +242,37 @@ def test_turtle_multiline_indentation_and_comments_preserved():
     vals = {p.rsplit("/", 1)[-1]: o for _, p, o, _, _ in triples}
     assert vals["note"] == "a\n   indented\nb"
     assert vals["tag"] == "x # not a comment"
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            _iri,
+            _iri,
+            st.one_of(
+                _iri.map(lambda x: (x, None, None)),
+                st.tuples(_literal, st.sampled_from(["en", "de", "pt-BR"])).map(
+                    lambda t: (t[0], None, t[1])
+                ),
+                st.tuples(_literal, _iri).map(lambda t: (t[0], t[1], None)),
+                _literal.map(
+                    lambda v: (v, "http://www.w3.org/2001/XMLSchema#string", None)
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_turtle_fixpoint_with_lang_and_datatypes(triples):
+    """Round-trip fixpoint extended to @lang literals and ^^datatypes
+    (the triple-identity dimensions the round-2 diff fix depends on)."""
+    lines = sorted(
+        {serialize_triple(s, p, o, dt_, lang) for s, p, (o, dt_, lang) in triples}
+    )
+    doc = "\n".join(lines) + "\n"
+    c1 = canonicalize(doc)
+    assert canonicalize(c1) == c1
+    reparsed = parse_turtle(c1)
+    assert sorted(serialize_triple(*t) for t in reparsed) == c1.rstrip("\n").split("\n")
