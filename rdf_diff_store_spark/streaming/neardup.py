@@ -120,17 +120,43 @@ class StreamingNearDupFilter:
             .select("_id")
             .distinct()
         )
-        # dup within the batch: the min id per bucket wins — but only
-        # among docs NOT already suppressed by state (a state-suppressed
-        # doc must not claim buckets and swallow its batch-mates)
+        # dup within the batch: sequential first-doc-wins semantics —
+        # a doc is suppressed iff some bucket of it is claimed by a
+        # KEPT smaller-id batch-mate. One min-per-bucket round is not
+        # enough: a doc that loses bucket B1 could still be the min of
+        # B2 and wrongly swallow a batch-mate (r02 ADVICE low), so
+        # iterate the suppression to a fixpoint over the in-batch
+        # collision edges. Rounds = longest suppression chain
+        # (typically 1-2); each round decides at least the globally
+        # smallest undecided id, so it terminates.
         alive = rows.join(hit_state, "_id", "left_anti")
-        firsts = alive.groupBy("band", "band_hash").agg(F.min("_id").alias("_first"))
-        dup_in_batch = (
-            alive.join(firsts, ["band", "band_hash"])
-            .filter(F.col("_id") != F.col("_first"))
-            .select("_id")
+        edges = (
+            alive.select("band", "band_hash", F.col("_id").alias("small"))
+            .join(
+                alive.select("band", "band_hash", F.col("_id").alias("big")),
+                ["band", "band_hash"],
+            )
+            .filter(F.col("small") < F.col("big"))
+            .select("small", "big")
             .distinct()
+            .localCheckpoint()
         )
+        undecided = alive.select("_id").distinct().localCheckpoint()
+        kept_in_batch = self.spark.createDataFrame([], undecided.schema)
+        dup_in_batch = self.spark.createDataFrame([], undecided.schema)
+        while undecided.count() > 0:
+            blockers = edges.join(
+                kept_in_batch.withColumnRenamed("_id", "small"), "small", "left_semi"
+            ).select(F.col("big").alias("_id"))
+            newly_supp = undecided.join(blockers, "_id", "left_semi")
+            remaining = undecided.join(newly_supp, "_id", "left_anti")
+            pending = edges.join(
+                remaining.withColumnRenamed("_id", "small"), "small", "left_semi"
+            ).select(F.col("big").alias("_id"))
+            newly_kept = remaining.join(pending, "_id", "left_anti")
+            kept_in_batch = kept_in_batch.unionByName(newly_kept).localCheckpoint()
+            dup_in_batch = dup_in_batch.unionByName(newly_supp).localCheckpoint()
+            undecided = remaining.join(newly_kept, "_id", "left_anti").localCheckpoint()
         dups = hit_state.unionByName(dup_in_batch).distinct()
         kept = batch.join(
             dups.withColumnRenamed("_id", self.id_col), self.id_col, "left_anti"

@@ -1,0 +1,287 @@
+"""Round-3 regression tests: the r02 ADVICE bugs (typed-column join
+keys, VALUES-first UNDEF, within-batch neardup fixpoint), seeded
+property-path evaluation, the SPARQL builtin tail, and the Turtle
+@base / escape / single-quote breadth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+TYPED_SCHEMA = (
+    "graph_id string, subj string, pred string, obj string, "
+    "obj_lang string, obj_dt string"
+)
+XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+@pytest.fixture(scope="module")
+def typed_triples(spark):
+    rows = [
+        ("g", "a1", "knows", "x", None, None),
+        ("g", "a2", "knows", "x", None, None),
+        ("g", "a1", "name", "Al", None, XSD + "string"),
+        ("g", "b1", "label", "hi", "en", None),
+        ("g", "b2", "label", "hi", "de", None),
+        ("g", "c1", "sees", "hi", "en", None),
+        ("g", "n1", "count", "42", None, XSD + "integer"),
+    ]
+    return spark.createDataFrame(rows, TYPED_SCHEMA)
+
+
+def _q(t, q):
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    return sparql_query(t, q)
+
+
+class TestTypedJoinKeys:
+    """r02 ADVICE high: hidden _lang_/_dt_ columns must not be
+    null-unsafe equi-join keys (IRIs carry NULL typing)."""
+
+    def test_shared_object_var_joins_irIs(self, typed_triples):
+        rows = _q(
+            typed_triples, "SELECT ?a ?b WHERE { ?a <knows> ?x . ?b <knows> ?x }"
+        ).collect()
+        assert sorted((r.a, r.b) for r in rows) == [
+            ("a1", "a1"), ("a1", "a2"), ("a2", "a1"), ("a2", "a2"),
+        ]
+
+    def test_optional_matches_instead_of_null_extending(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            "SELECT ?a ?n WHERE { ?a <knows> ?x . OPTIONAL { ?a <name> ?n } }",
+        ).collect()
+        assert sorted((r.a, r.n) for r in rows) == [("a1", "Al"), ("a2", None)]
+
+    def test_minus_removes_through_shared_typed_var(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?a WHERE { ?a <knows> ?x . '
+            'MINUS { ?a <knows> ?x . FILTER(?a = "a1") } }',
+        ).collect()
+        assert sorted(r.a for r in rows) == ["a2"]
+
+    def test_lang_typed_literals_still_distinct_in_joins(self, typed_triples):
+        rows = _q(
+            typed_triples, "SELECT ?p ?q WHERE { ?p <label> ?v . ?q <sees> ?v }"
+        ).collect()
+        assert sorted((r.p, r.q) for r in rows) == [("b1", "c1")]
+
+
+class TestValuesUndefPosition:
+    """r02 ADVICE medium: VALUES with UNDEF is position-independent."""
+
+    def test_values_before_patterns(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?a ?x WHERE { VALUES (?a ?x) { ("a1" UNDEF) } ?a <knows> ?x }',
+        ).collect()
+        assert [(r.a, r.x) for r in rows] == [("a1", "x")]
+
+    def test_values_after_patterns_unchanged(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?a ?x WHERE { ?a <knows> ?x VALUES (?a ?x) { ("a1" UNDEF) } }',
+        ).collect()
+        assert [(r.a, r.x) for r in rows] == [("a1", "x")]
+
+    def test_values_only_group(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?v ?w WHERE { VALUES (?v ?w) { ("p" UNDEF) (UNDEF "q") } }',
+        ).collect()
+        assert sorted([(r.v, r.w) for r in rows], key=str) == sorted(
+            [("p", None), (None, "q")], key=str
+        )
+
+
+class TestSeededPaths:
+    def test_bound_subject_plus(self, spark):
+        rows = [("g", c, "p", n) for c, n in [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")]]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        assert sorted(r.o for r in _q(t, "SELECT ?o WHERE { <a> <p>+ ?o }").collect()) == ["b", "c", "d"]
+        assert sorted(r.o for r in _q(t, "SELECT ?o WHERE { <a> <p>* ?o }").collect()) == ["a", "b", "c", "d"]
+        assert sorted(r.s for r in _q(t, "SELECT ?s WHERE { ?s <p>+ <d> }").collect()) == ["a", "b", "c"]
+        assert _q(t, "ASK { <a> <p>+ <d> }").first().ask is True
+        assert _q(t, "ASK { <d> <p>+ <a> }").first().ask is False
+
+    def test_seeded_matches_full_closure(self, spark):
+        # same answers as the unbounded evaluation, restricted to seed
+        import random
+
+        rng = random.Random(7)
+        edges = [("g", f"n{rng.randrange(30)}", "p", f"n{rng.randrange(30)}") for _ in range(60)]
+        t = spark.createDataFrame(edges, "graph_id string, subj string, pred string, obj string")
+        full = {
+            (r.s, r.o)
+            for r in _q(t, "SELECT ?s ?o WHERE { ?s <p>+ ?o }").collect()
+        }
+        seed = edges[0][1]
+        seeded = sorted(r.o for r in _q(t, f"SELECT ?o WHERE {{ <{seed}> <p>+ ?o }}").collect())
+        assert seeded == sorted(o for s, o in full if s == seed)
+
+
+class TestBuiltinTail:
+    def test_hashes(self, typed_triples):
+        r = _q(
+            typed_triples,
+            'SELECT (MD5("abc") AS ?m) (SHA1("abc") AS ?s1) (SHA256("abc") AS ?s2) '
+            "WHERE { ?a <knows> ?x } LIMIT 1",
+        ).first()
+        assert r.m == "900150983cd24fb0d6963f7d28e17f72"
+        assert r.s1 == "a9993e364706816aba3e25717850c26c9cd0d89d"
+        assert r.s2.startswith("ba7816bf")
+
+    def test_datetime_accessors(self, spark):
+        t = spark.createDataFrame(
+            [("g", "e", "at", "2021-03-04T10:20:30", None, XSD + "dateTime")],
+            TYPED_SCHEMA,
+        )
+        r = _q(
+            t,
+            "SELECT ?y ?mo ?d ?h ?mi ?s (TZ(?w) AS ?tz) WHERE { ?e <at> ?w . "
+            "BIND(YEAR(?w) AS ?y) BIND(MONTH(?w) AS ?mo) BIND(DAY(?w) AS ?d) "
+            "BIND(HOURS(?w) AS ?h) BIND(MINUTES(?w) AS ?mi) BIND(SECONDS(?w) AS ?s) }",
+        ).first()
+        assert (r.y, r.mo, r.d, r.h, r.mi, r.s, r.tz) == (2021, 3, 4, 10, 20, 30, "")
+
+    def test_str_before_after_encode(self, typed_triples):
+        r = _q(
+            typed_triples,
+            'SELECT (STRBEFORE("ab-cd", "-") AS ?b) (STRAFTER("ab-cd", "-") AS ?a) '
+            '(STRBEFORE("ab", "x") AS ?miss) (ENCODE_FOR_URI("a b~*") AS ?e) '
+            "WHERE { ?s <knows> ?x } LIMIT 1",
+        ).first()
+        assert (r.b, r.a, r.miss, r.e) == ("ab", "cd", "", "a%20b~%2A")
+
+    def test_type_predicates(self, typed_triples):
+        rows = _q(
+            typed_triples, "SELECT ?s WHERE { ?s ?p ?o . FILTER(isIRI(?o)) }"
+        ).collect()
+        assert sorted(r.s for r in rows) == ["a1", "a2"]
+        rows = _q(
+            typed_triples, "SELECT ?s WHERE { ?s ?p ?o . FILTER(isNumeric(?o)) }"
+        ).collect()
+        assert [r.s for r in rows] == ["n1"]
+        rows = _q(
+            typed_triples,
+            'SELECT ?s WHERE { ?s <label> ?o . FILTER(LANGMATCHES(LANG(?o), "en")) }',
+        ).collect()
+        assert [r.s for r in rows] == ["b1"]
+
+    def test_sameterm_and_nondeterministic_fns_parse(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?x WHERE { ?s <knows> ?x . FILTER(sameTerm(?x, "x")) }',
+        ).collect()
+        assert len(rows) == 2
+        r = _q(
+            typed_triples,
+            "SELECT (STRUUID() AS ?u) (RAND() AS ?r) (NOW() AS ?n) "
+            "WHERE { ?s <knows> ?x } LIMIT 1",
+        ).first()
+        assert len(r.u) == 36 and 0.0 <= r.r < 1.0 and r.n is not None
+
+    def test_order_by_expression(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            "SELECT ?s ?o WHERE { ?s ?p ?o } ORDER BY DESC(STRLEN(?o)) ?s LIMIT 2",
+        ).collect()
+        # len-2 objects first ("Al","hi","42"), tie broken by ?s asc
+        assert [r.s for r in rows] == ["a1", "b1"]
+
+    def test_substr_replace_variable_args(self, typed_triples):
+        r = _q(
+            typed_triples,
+            'SELECT (SUBSTR("abcdef", STRLEN("ab")) AS ?t) '
+            '(REPLACE("aXbXc", STR("X"), STR("-")) AS ?r) '
+            "WHERE { ?s <knows> ?x } LIMIT 1",
+        ).first()
+        assert (r.t, r.r) == ("bcdef", "a-b-c")
+
+    def test_blank_node_pattern(self, typed_triples):
+        rows = _q(typed_triples, "SELECT ?x WHERE { _:b <knows> ?x }").collect()
+        assert sorted(r.x for r in rows) == ["x", "x"]
+        # blank node label never leaks into SELECT * output
+        cols = _q(typed_triples, "SELECT * WHERE { _:b <knows> ?x }").columns
+        assert cols == ["x"]
+
+
+class TestTurtleBreadth:
+    def test_base_relative_iris_and_escapes(self):
+        from rdf_diff_store_spark.functions.turtle import parse_turtle
+
+        doc = (
+            "@base <http://ex.org/dir/> .\n"
+            "@prefix p: <vocab#> .\n"
+            '<item1> p:name "caf\\u00e9" ;\n'
+            "        p:note 'it\\'s' ;\n"
+            "        p:long '''multi\nline'''@en .\n"
+            '<#frag> p:name "x" .\n'
+            "</abs/path> a p:Thing .\n"
+        )
+        got = sorted(parse_turtle(doc))
+        assert (
+            "http://ex.org/dir/item1",
+            "http://ex.org/dir/vocab#name",
+            "café",
+            XSD + "string",
+            None,
+        ) in got
+        assert ("http://ex.org/dir/item1", "http://ex.org/dir/vocab#note", "it's", XSD + "string", None) in got
+        assert ("http://ex.org/dir/item1", "http://ex.org/dir/vocab#long", "multi\nline", None, "en") in got
+        assert ("http://ex.org/dir/#frag", "http://ex.org/dir/vocab#name", "x", XSD + "string", None) in got
+        assert any(s == "http://ex.org/abs/path" for s, *_ in got)
+
+    def test_unicode_escape_in_iri(self):
+        from rdf_diff_store_spark.functions.turtle import parse_turtle
+
+        got = parse_turtle('<http://ex.org/\\u00e9> <http://ex.org/p> "v" .')
+        assert got[0][0] == "http://ex.org/é"
+
+    def test_canonical_roundtrip_with_base(self):
+        from rdf_diff_store_spark.functions.turtle import canonicalize
+
+        doc = '@base <http://ex.org/> .\n<a> <p> "caf\\u00e9" .'
+        c1 = canonicalize(doc)
+        assert canonicalize(c1) == c1  # canonical form is a fixpoint
+        assert "<http://ex.org/a>" in c1
+
+
+class TestNearDupFixpoint:
+    def test_no_transitive_swallow_within_batch(self, spark, tmp_path):
+        """r02 ADVICE low: a doc suppressed in one bucket must not win
+        another bucket and swallow a batch-mate. Compare against the
+        sequential reference simulation."""
+        from rdf_diff_store_spark.operators.dedup import band_rows_frame, shingle_frame
+        from rdf_diff_store_spark.streaming.neardup import StreamingNearDupFilter
+
+        # crafted chain: d0~d1 (share bucket), d1~d2, but d0 !~ d2 —
+        # sequential: d0 kept, d1 suppressed (collides d0), d2 KEPT
+        # (its only collision is with suppressed d1)
+        base = "the quick brown fox jumps over the lazy dog " * 3
+        mid = base + " alpha beta gamma delta epsilon zeta eta theta"
+        far = "alpha beta gamma delta epsilon zeta eta theta " * 3
+        docs = [(0, base), (1, mid), (2, far)]
+        f = StreamingNearDupFilter(spark, str(tmp_path / "out"), num_hashes=16, bands=8)
+        batch = spark.createDataFrame(docs, "doc_id long, text string")
+
+        # sequential reference: process in id order
+        sh = shingle_frame(batch, id_col="doc_id", text_col="text")
+        rows = band_rows_frame(sh, 16, 8).collect()
+        buckets: dict[tuple, int] = {}
+        seq_kept = []
+        by_id: dict[int, list] = {}
+        for r in rows:
+            by_id.setdefault(r._id, []).append((r.band, r.band_hash))
+        for did in sorted(by_id):
+            if any(b in buckets for b in by_id[did]):
+                continue
+            seq_kept.append(did)
+            for b in by_id[did]:
+                buckets.setdefault(b, did)
+
+        f.process_batch(batch, 0)
+        kept = sorted(r.doc_id for r in f.read_kept().collect())
+        assert kept == seq_kept
