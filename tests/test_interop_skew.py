@@ -217,12 +217,18 @@ ex:s ex:via [ ex:p ex:o ; ex:q 7 ] .
 
 
 def test_turtle_unparseable_still_fails_loudly():
+    """Out-of-subset content must raise, never silently drop (@base
+    itself is SUPPORTED since r03 — use genuinely-invalid inputs)."""
     import pytest as _pytest
 
     from rdf_diff_store_spark.functions.turtle import parse_turtle
 
     with _pytest.raises(ValueError):
-        parse_turtle("@base <http://ex.org/> .\n<s> <p> <o> .")
+        parse_turtle("<s> <p> %%garbage%% .")
+    with _pytest.raises(ValueError):
+        parse_turtle('@base "not-an-iri" .\n<s> <p> <o> .')
+    with _pytest.raises(ValueError):
+        parse_turtle("<s> <p> <o>")  # missing terminator
 
 
 def test_turtle_multiline_indentation_and_comments_preserved():

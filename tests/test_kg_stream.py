@@ -66,10 +66,25 @@ def test_streaming_kg_matches_batch_adds(spark, tmp_path):
     s_batch = {(r.graph_id, r.content_hash) for r in latest_batch.collect()}
     assert s_stream == s_batch
 
-    # replaying the whole feed into the same table is a no-op
+    # replaying the whole feed under a FRESH stream checkpoint (case
+    # (c) of the writer contract: old data re-fed in different batch
+    # shapes) may leave exact-duplicate raw rows — reads no longer pay
+    # a whole-table dropDuplicates for it (r03). The guarantees that
+    # must hold: snapshot semantics are unchanged even before
+    # compaction (max_by is duplicate-insensitive), and compact()
+    # restores the row-for-row minimal history.
     n_before = streamed.count()
+    snap_before = {
+        (r.graph_id, r.content_hash) for r in snapshot_at(streamed, T_END).collect()
+    }
     writer2 = StreamingKgWriter(spark, str(tmp_path / "changelog"), emap)
     q2 = writer2.start(read_pages_stream(spark, src), str(tmp_path / "ckpt2"), trigger_seconds=1)
     q2.processAllAvailable()
     q2.stop()
+    replayed = writer2.read_changelog()
+    snap_after = {
+        (r.graph_id, r.content_hash) for r in snapshot_at(replayed, T_END).collect()
+    }
+    assert snap_after == snap_before
+    writer2.compact()
     assert writer2.read_changelog().count() == n_before

@@ -234,6 +234,34 @@ class TestTurtleBreadth:
         assert ("http://ex.org/dir/#frag", "http://ex.org/dir/vocab#name", "x", XSD + "string", None) in got
         assert any(s == "http://ex.org/abs/path" for s, *_ in got)
 
+    def test_sparql_style_directives(self):
+        from rdf_diff_store_spark.functions.turtle import parse_turtle
+
+        doc = (
+            "BASE <http://ex.org/b/>\n"
+            "prefix q: <http://ex.org/q#>\n"
+            '<rel> q:p "v" .\n'
+        )
+        got = parse_turtle(doc)
+        assert got == [
+            ("http://ex.org/b/rel", "http://ex.org/q#p", "v",
+             XSD + "string", None)
+        ]
+
+    def test_strlang_strdt_bind(self, typed_triples):
+        rows = _q(
+            typed_triples,
+            'SELECT ?y (LANG(?y) AS ?l) WHERE { ?s <name> ?x . '
+            'BIND(STRLANG(STR(?x), "en") AS ?y) }',
+        ).collect()
+        assert [(r.y, r.l) for r in rows] == [("Al", "en")]
+        r = _q(
+            typed_triples,
+            "SELECT (DATATYPE(?y) AS ?d) WHERE { ?s <name> ?x . "
+            'BIND(STRDT("42", <' + XSD + "integer>) AS ?y) }",
+        ).first()
+        assert r.d == XSD + "integer"
+
     def test_unicode_escape_in_iri(self):
         from rdf_diff_store_spark.functions.turtle import parse_turtle
 
@@ -247,6 +275,86 @@ class TestTurtleBreadth:
         c1 = canonicalize(doc)
         assert canonicalize(c1) == c1  # canonical form is a fixpoint
         assert "<http://ex.org/a>" in c1
+
+
+class TestImageDecode:
+    def test_real_png_decode_when_pil_present(self, spark):
+        """With PIL installed, image_features decodes a real PNG; the
+        deterministic fallback keeps the path tested without it."""
+        pil = pytest.importorskip("PIL.Image")
+        import io
+
+        from rdf_diff_store_spark.operators.multimodal import image_features
+
+        buf = io.BytesIO()
+        pil.new("RGB", (5, 7)).save(buf, format="PNG")
+        media = spark.createDataFrame(
+            [(1, "image", "image/png", bytearray(buf.getvalue()), None, None, None)],
+            "media_id long, kind string, mime string, payload binary, "
+            "width int, height int, duration_ms long",
+        )
+        r = image_features(media).first()
+        assert (r.dec_width, r.dec_height) == (5, 7)
+
+    def test_fallback_is_deterministic(self, spark):
+        from rdf_diff_store_spark.operators.multimodal import _decode_image
+
+        # sha-derived bytes are not a valid image → deterministic fake
+        assert _decode_image(b"\x10\x20junk") == (64 + 0x10 % 64, 64 + 0x20 % 64)
+
+
+class TestBucketedStreamingState:
+    @staticmethod
+    def _updates(spark, rows):
+        return (
+            spark.createDataFrame(
+                rows, "graph_id string, ts string, op string, payload string"
+            )
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("format", F.lit(None).cast("string"))
+        )
+
+    def test_state_rewrite_is_bucket_local(self, spark, tmp_path):
+        """A batch touching one graph must rewrite only that graph's
+        bucket — not the whole O(#graphs) state table."""
+        import os
+
+        from rdf_diff_store_spark.streaming.ingest import StreamingChangelogWriter
+
+        table = str(tmp_path / "log")
+        w = StreamingChangelogWriter(spark, table, n_buckets=8)
+        ttl = '<http://e/{0}> <http://e/p> "{0}" .'
+        many = [
+            (f"g{i}", "2024-01-01 00:00:00", "add", ttl.format(i)) for i in range(40)
+        ]
+        w.process_batch(self._updates(spark, many), 0)
+        one = [("g0", "2024-01-02 00:00:00", "add", ttl.format("new"))]
+        w.process_batch(self._updates(spark, one), 1)
+        v1 = os.path.join(w.state_dir, "v-1")
+        buckets_written = [d for d in os.listdir(v1) if d.startswith("bucket=")]
+        assert len(buckets_written) == 1  # one graph → one bucket
+        rows_v1 = spark.read.parquet(os.path.join(v1, buckets_written[0])).count()
+        assert rows_v1 < 40, "v-1 rewrote (close to) the whole state table"
+        # and the resolved state is still complete + correct
+        state = w._read_state(1)
+        assert state.count() == 40
+        g0 = state.filter(F.col("graph_id") == "g0").first()
+        assert "new" in g0.payload
+
+    def test_changed_bucket_count_on_restart_is_ignored(self, spark, tmp_path):
+        from rdf_diff_store_spark.streaming.ingest import StreamingChangelogWriter
+
+        table = str(tmp_path / "log")
+        w = StreamingChangelogWriter(spark, table, n_buckets=4)
+        w.process_batch(
+            self._updates(
+                spark,
+                [("g1", "2024-01-01 00:00:00", "add", '<http://e/1> <http://e/p> "1" .')],
+            ),
+            0,
+        )
+        w2 = StreamingChangelogWriter(spark, table, n_buckets=64)
+        assert w2.n_buckets == 4  # recorded table property wins
 
 
 class TestNearDupFixpoint:
