@@ -2750,6 +2750,242 @@ def q_turtle_base_escapes(spark, sf_dir):
     )
 
 
+# -- TPC-H completion (q2/q8/q11/q20/q21 adaptations) -----------------
+# The testdata schema has no partsupp table and no l_commitdate /
+# l_receiptdate columns; each adaptation preserves the ORIGINAL's plan
+# shape (min-per-group join for q2, market-share conditional agg for
+# q8, scalar-subquery HAVING for q11, correlated semi-join chain for
+# q20, multi-supplier EXISTS/NOT-EXISTS for q21) over the columns that
+# exist. Spark-side: dims broadcast, facts shuffle on join keys.
+
+
+def q_tpch_q2(spark, sf_dir):
+    """Q2-style: per small part, the EUROPE supplier with the minimum
+    account balance among its lineitem-linked suppliers (stand-in for
+    min ps_supplycost)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        sup.join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", F.col("n_name").alias("nation_name"))
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).join(
+        sn, li.l_suppkey == sn.s_suppkey
+    )
+    best = j.groupBy("p_partkey").agg(F.min("s_acctbal").alias("min_bal"))
+    return (
+        j.join(best, "p_partkey")
+        .filter(F.col("s_acctbal") == F.col("min_bal"))
+        .groupBy("p_partkey", "p_name")  # dedup suppliers tied on min
+        .agg(
+            F.min("s_name").alias("s_name"),
+            F.min("nation_name").alias("nation_name"),
+            F.round(F.min("s_acctbal"), 2).cast("double").alias("s_acctbal"),
+        )
+    )
+
+
+def q_tpch_q8(spark, sf_dir):
+    """Q8-style national market share: NATION_7 suppliers' revenue
+    share within ASIA-customer orders per order year."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cn = cust.join(
+        F.broadcast(
+            nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        ),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey")
+    supn = sup.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_nk"), F.col("n_name").alias("supp_nation"))),
+        sup.s_nationkey == F.col("sn_nk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cn, orders.o_custkey == cn.c_custkey, "left_semi")
+        .join(supn, li.l_suppkey == supn.s_suppkey)
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(F.lit(0).cast("decimal(18,2)")))
+                / F.sum(rev),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+    )
+
+
+def q_tpch_q11(spark, sf_dir):
+    """Q11-style important stock: parts whose lineitem value exceeds
+    0.1% of the corpus-wide total (scalar-subquery HAVING)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    val = _dec("p_retailprice") * _dec("l_quantity")
+    per_part = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_partkey")
+        .agg(F.sum(val).alias("value"))
+    )
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * 0.001)
+        .select("p_partkey", F.round("value", 2).cast("double").alias("value"))
+    )
+
+
+def q_tpch_q20(spark, sf_dir):
+    """Q20-style: suppliers shipping more than half of any green
+    part's total shipped quantity (correlated semi-join chain)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").startswith("part_1"))
+    sup = load_table(spark, sf_dir, "supplier")
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+    per_sp = li_p.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("sq"))
+    per_p = li_p.groupBy("l_partkey").agg(F.sum("l_quantity").alias("tq"))
+    heavy = (
+        per_sp.join(per_p, "l_partkey")
+        .filter(F.col("sq") > F.col("tq") * 0.5)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return sup.join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+def q_tpch_q21(spark, sf_dir):
+    """Q21-style waiting orders: in multi-supplier finalized orders,
+    the UNIQUE supplier with the latest shipdate (EXISTS another
+    supplier / NOT EXISTS another equally-late supplier)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    sup = load_table(spark, sf_dir, "supplier")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.count_distinct("l_suppkey").alias("n_sup"),
+    )
+    last = (
+        lo.join(per_order.filter(F.col("n_sup") >= 2), "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .groupBy("l_orderkey")
+        .agg(F.count_distinct("l_suppkey").alias("n_last"), F.min("l_suppkey").alias("the_sup"))
+        .filter(F.col("n_last") == 1)  # NOT EXISTS another equally-late supplier
+    )
+    return (
+        last.join(sup, last.the_sup == sup.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+
+
+def q_doc_chunking(spark, sf_dir):
+    """Token-bounded sliding-window chunking (50-token chunks, 10
+    overlap) — functions/text.py::chunk_documents, pure JVM, no
+    shuffle."""
+    from rdf_diff_store_spark.functions.text import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=50, overlap=10)
+
+
+_ORACLE_TPCH_TAIL = {
+    "doc_chunking": """
+WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        greatest(CAST(ceil((len(toks) - 10) / 40.0) AS BIGINT), 1) AS n
+      FROM t),
+idx AS (SELECT doc_id, toks,
+          unnest(generate_series(0, CAST(n - 1 AS BIGINT))) AS i
+        FROM c)
+SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[CAST(i * 40 + 1 AS BIGINT) : CAST(i * 40 + 50 AS BIGINT)], ' ') AS chunk_text
+FROM idx
+""",
+    "tpch_q2": """
+WITH lp AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sn AS (SELECT s_suppkey, s_name, s_acctbal, n.n_name AS nation_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'EUROPE'),
+j AS (SELECT p.p_partkey, p.p_name, sn.* FROM lp
+      JOIN part p ON lp.l_partkey = p.p_partkey AND p.p_size <= 5
+      JOIN sn ON lp.l_suppkey = sn.s_suppkey),
+best AS (SELECT p_partkey, min(s_acctbal) AS min_bal FROM j GROUP BY p_partkey)
+SELECT j.p_partkey, j.p_name, min(j.s_name) AS s_name,
+       min(j.nation_name) AS nation_name,
+       CAST(round(min(j.s_acctbal), 2) AS DOUBLE) AS s_acctbal
+FROM j JOIN best ON j.p_partkey = best.p_partkey AND j.s_acctbal = best.min_bal
+GROUP BY j.p_partkey, j.p_name
+""",
+    "tpch_q8": """
+WITH asia_cust AS (
+  SELECT c_custkey FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey WHERE r.r_name = 'ASIA'),
+j AS (
+  SELECT year(o.o_orderdate) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS rev,
+         n.n_name AS supp_nation
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE o.o_custkey IN (SELECT c_custkey FROM asia_cust))
+SELECT o_year,
+       CAST(round(sum(CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE CAST(0 AS DECIMAL(18,2)) END) / sum(rev), 6) AS DOUBLE) AS mkt_share
+FROM j GROUP BY o_year
+""",
+    "tpch_q11": """
+WITH per_part AS (
+  SELECT l.l_partkey AS p_partkey,
+         sum(CAST(p.p_retailprice AS DECIMAL(18,2)) * CAST(l.l_quantity AS DECIMAL(18,2))) AS value
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY l.l_partkey)
+SELECT p_partkey, CAST(round(value, 2) AS DOUBLE) AS value FROM per_part
+WHERE value > (SELECT sum(value) FROM per_part) * 0.001
+""",
+    "tpch_q20": """
+WITH li_p AS (
+  SELECT l_partkey, l_suppkey, l_quantity FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'part\\_1%' ESCAPE '\\')),
+per_sp AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS sq FROM li_p GROUP BY 1, 2),
+per_p AS (SELECT l_partkey, sum(l_quantity) AS tq FROM li_p GROUP BY 1)
+SELECT s.s_suppkey, s.s_name FROM supplier s
+WHERE s.s_suppkey IN (
+  SELECT per_sp.l_suppkey FROM per_sp JOIN per_p ON per_sp.l_partkey = per_p.l_partkey
+  WHERE per_sp.sq > per_p.tq * 0.5)
+""",
+    "tpch_q21": """
+WITH lo AS (
+  SELECT l.* FROM lineitem l
+  WHERE l.l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')),
+per_order AS (
+  SELECT l_orderkey, max(l_shipdate) AS max_ship, count(DISTINCT l_suppkey) AS n_sup
+  FROM lo GROUP BY l_orderkey),
+last AS (
+  SELECT lo.l_orderkey, count(DISTINCT lo.l_suppkey) AS n_last, min(lo.l_suppkey) AS the_sup
+  FROM lo JOIN per_order p ON lo.l_orderkey = p.l_orderkey
+  WHERE p.n_sup >= 2 AND lo.l_shipdate = p.max_ship
+  GROUP BY lo.l_orderkey HAVING count(DISTINCT lo.l_suppkey) = 1)
+SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM last JOIN supplier s ON last.the_sup = s.s_suppkey
+GROUP BY s.s_suppkey, s.s_name
+""",
+}
+
+
 _ORACLE_R3 = {
     "sparql_text_shared_obj_var": f"""
 WITH triples AS ({_T})
@@ -2957,6 +3193,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         # -- documents extras (driver-green) --------------------------
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        # -- TPC-H completion (r03; next round's window material) -----
+        "tpch_q2": q_tpch_q2,
+        "tpch_q8": q_tpch_q8,
+        "tpch_q11": q_tpch_q11,
+        "tpch_q20": q_tpch_q20,
+        "tpch_q21": q_tpch_q21,
+        "doc_chunking": q_doc_chunking,
     }
 
 
@@ -2975,4 +3218,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_BREADTH)
     out.update(_ORACLE_PIPELINE_EXTRA)
     out.update(_ORACLE_R3)
+    out.update(_ORACLE_TPCH_TAIL)
     return out

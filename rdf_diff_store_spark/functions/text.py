@@ -149,3 +149,53 @@ def fingerprint(text: Column) -> Column:
     """64-bit content fingerprint (xxhash64 of the normalized text) —
     the rolling-hash document fingerprint analog, JVM-side."""
     return F.xxhash64(F.lower(F.trim(text)))
+
+
+def chunk_documents(
+    docs: "DataFrame",
+    chunk_tokens: int = 100,
+    overlap: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Token-bounded sliding-window chunking — the standard
+    training-data preprocessing step that turns long documents into
+    model-context-sized pieces (chunk i covers whitespace tokens
+    [i*(chunk_tokens-overlap), +chunk_tokens)).
+
+    Entirely JVM expressions: split → one transform over a chunk-index
+    sequence → posexplode. The token array is bound ONCE as a lambda
+    variable (operators.dedup.bind_once) — referenced naively inside
+    the transform lambda, ProjectCollapse would re-split the text per
+    chunk (CLAUDE.md). At 100 TB this runs embarrassingly parallel:
+    no shuffle at all, output partitioning follows the input.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from rdf_diff_store_spark.operators.dedup import bind_once
+
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+
+    def chunks_of(toks):
+        n_chunks = F.greatest(
+            F.ceil((F.size(toks) - F.lit(overlap)) / F.lit(float(step))),
+            F.lit(1),
+        )
+        return F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * step + 1, chunk_tokens), " "
+            ),
+        )
+
+    # trim first: leading/trailing whitespace would otherwise produce
+    # empty boundary tokens (and engines disagree on keeping them)
+    toks_expr = F.split(F.trim(F.col(text_col)), r"\s+")
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(bind_once(toks_expr, chunks_of)).alias(
+            "chunk_idx", "chunk_text"
+        ),
+    )

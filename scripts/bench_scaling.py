@@ -40,10 +40,11 @@ pages = (generate_pages(spark, n_urls=n_urls, n_crawls=4,
                         n_entities=max(n_urls // 10, 50), partitions=64)
          .select("url", "warc_ts", "html", "text", "lang").localCheckpoint())
 n_pages = pages.count()
-warm = (generate_pages(spark, n_urls=max(n_urls // 40, 50), n_crawls=4,
-                       n_entities=max(n_urls // 400, 20), partitions=8)
-        .select("url", "warc_ts", "html", "text", "lang").localCheckpoint())
-build_kg(spark, warm)
+# full-scale warmup rep, discarded: a small-scale warmup compiles
+# DIFFERENT AQE plan shapes (broadcast/coalesce) so the first timed
+# rep still paid JIT+codegen — the r02 local[2] leg never converged
+# (walls 229->143->104->118). Same fix as bench.py (r03).
+build_kg(spark, pages)
 walls = []
 for _ in range(reps):
     t0 = time.perf_counter()

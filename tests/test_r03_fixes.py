@@ -357,6 +357,35 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestChunking:
+    def test_sliding_window_chunks(self, spark):
+        from rdf_diff_store_spark.functions.text import chunk_documents
+
+        toks = " ".join(f"t{i}" for i in range(25))
+        docs = spark.createDataFrame(
+            [(1, toks), (2, "a b"), (3, "  x  ")], "doc_id long, text string"
+        )
+        out = {
+            (r.doc_id, r.chunk_idx): r.chunk_text
+            for r in chunk_documents(docs, chunk_tokens=10, overlap=4).collect()
+        }
+        # doc 1: 25 tokens, step 6 → ceil((25-4)/6)=4 chunks
+        assert sorted(k for k in out if k[0] == 1) == [(1, i) for i in range(4)]
+        assert out[(1, 0)].split() == [f"t{i}" for i in range(10)]
+        assert out[(1, 1)].split() == [f"t{i}" for i in range(6, 16)]
+        assert out[(1, 3)].split() == [f"t{i}" for i in range(18, 25)]  # tail short
+        # short docs → exactly one chunk; surrounding whitespace trimmed
+        assert out[(2, 0)] == "a b"
+        assert out[(3, 0)] == "x"
+
+    def test_overlap_must_be_smaller(self, spark):
+        from rdf_diff_store_spark.functions.text import chunk_documents
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            chunk_documents(docs, chunk_tokens=5, overlap=5)
+
+
 class TestNearDupFixpoint:
     def test_no_transitive_swallow_within_batch(self, spark, tmp_path):
         """r02 ADVICE low: a doc suppressed in one bucket must not win
