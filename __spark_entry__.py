@@ -2893,6 +2893,34 @@ def q_tpch_q21(spark, sf_dir):
     )
 
 
+def q_sparql_text_group_expr(spark, sf_dir):
+    """GROUP BY (expr AS ?var) — SPARQL GroupCondition expression form
+    (late r03)."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?l (COUNT(*) AS ?c) WHERE {
+          ?n <name> ?nm . FILTER (STRSTARTS(?n, "nation:"))
+        } GROUP BY (STRLEN(?nm) AS ?l)
+        """,
+    )
+
+
+def q_sparql_text_order_hidden(spark, sf_dir):
+    """ORDER BY a variable the SELECT drops — SPARQL sorts SOLUTIONS
+    before projection (18.5); compiled as pre-projection sort."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?nm WHERE {
+          ?n <name> ?nm . ?n <inRegion> ?r . FILTER (STRSTARTS(?n, "nation:"))
+        } ORDER BY DESC(?r) ASC(?nm) LIMIT 5
+        """,
+    )
+
+
 def q_doc_chunking(spark, sf_dir):
     """Token-bounded sliding-window chunking (50-token chunks, 10
     overlap) — functions/text.py::chunk_documents, pure JVM, no
@@ -2904,6 +2932,17 @@ def q_doc_chunking(spark, sf_dir):
 
 
 _ORACLE_TPCH_TAIL = {
+    "sparql_text_group_expr": f"""
+WITH triples AS ({_T})
+SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
+FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "sparql_text_order_hidden": f"""
+WITH triples AS ({_T}),
+names AS (SELECT subj AS n, obj AS nm FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%'),
+regions AS (SELECT subj AS n, obj AS r FROM triples WHERE pred = 'inRegion')
+SELECT nm FROM names JOIN regions USING (n) ORDER BY r DESC, nm ASC LIMIT 5
+""",
     "doc_chunking": """
 WITH t AS (SELECT doc_id, str_split_regex(trim(text), '\\s+') AS toks FROM documents),
 c AS (SELECT doc_id, toks,
@@ -3200,6 +3239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q20": q_tpch_q20,
         "tpch_q21": q_tpch_q21,
         "doc_chunking": q_doc_chunking,
+        "sparql_text_group_expr": q_sparql_text_group_expr,
+        "sparql_text_order_hidden": q_sparql_text_order_hidden,
     }
 
 

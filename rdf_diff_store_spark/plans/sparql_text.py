@@ -43,7 +43,7 @@ column; numeric comparisons/arithmetic cast the bound column to double.
 from __future__ import annotations
 
 import re
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -162,6 +162,7 @@ class _Query:
     from_graphs: list = field(default_factory=list)  # FROM <iri> (default graph)
     from_named: list = field(default_factory=list)  # FROM NAMED <iri>
     group_by: list = field(default_factory=list)
+    group_exprs: list = field(default_factory=list)  # (expr_ast, alias) pre-group BINDs
     having: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (var, asc)
     limit: int | None = None
@@ -592,8 +593,22 @@ def _parse(query: str) -> _Query:
             kind, val = ts.next()
             if val == "GROUP":
                 ts.expect("BY")
-                while ts.peek()[0] == "var":
-                    q.group_by.append(ts.next()[1][1:])
+                while True:
+                    if ts.peek()[0] == "var":
+                        q.group_by.append(ts.next()[1][1:])
+                    elif ts.peek()[1] == "(":
+                        # GroupCondition ::= '(' Expression 'AS' Var ')'
+                        ts.next()
+                        e = parse_expr()
+                        ts.expect("AS")
+                        k, v = ts.next()
+                        if k != "var":
+                            raise SparqlParseError("GROUP BY (expr AS ?var)")
+                        ts.expect(")")
+                        q.group_exprs.append((e, v[1:]))
+                        q.group_by.append(v[1:])
+                    else:
+                        break
                 if not q.group_by:
                     raise SparqlParseError("GROUP BY needs variables")
             elif val == "HAVING":
@@ -1344,6 +1359,29 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
     return _compile_select(triples, q)
 
 
+def _order_key_vars(order_by) -> list[str]:
+    """Variable names referenced by ORDER BY keys (plain or inside
+    expression ASTs)."""
+    out: list[str] = []
+
+    def walk(a):
+        if isinstance(a, tuple):
+            if a[0] == "var" and isinstance(a[1], str):
+                out.append(a[1])
+            for x in a[1:]:
+                walk(x)
+        elif isinstance(a, list):
+            for x in a:
+                walk(x)
+
+    for k, _asc in order_by:
+        if isinstance(k, str):
+            out.append(k)
+        else:
+            walk(k)
+    return out
+
+
 def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
     default, named = _dataset_views(triples, q)
     df = _compile_group(default, q.where, named=named)
@@ -1354,6 +1392,8 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
     if has_aggs:
         if q.projection is None:
             raise SparqlParseError("aggregate queries need an explicit projection")
+        for e, alias in q.group_exprs:  # GROUP BY (expr AS ?v)
+            df = df.withColumn(alias, _compile_expr(e))
         agg_cols, group_vars, post_select = [], list(q.group_by), []
         for item in q.projection:
             if item[0] == "var":
@@ -1397,6 +1437,30 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
                 else:
                     _, expr, alias = item
                     cols.append(_compile_expr(expr).alias(alias))
+            # SPARQL orders SOLUTIONS before projection (18.5): sort
+            # keys may reference vars the SELECT drops. When they do
+            # (and no DISTINCT intervenes — dedup would both destroy
+            # and be destroyed by a pre-projection order), sort first;
+            # select preserves row order.
+            if q.order_by and not q.distinct:
+                proj_names = {
+                    it[1] if it[0] == "var" else it[2] for it in q.projection
+                }
+                if any(
+                    v in df.columns and v not in proj_names
+                    for v in _order_key_vars(q.order_by)
+                ):
+                    df = df.orderBy(
+                        *[
+                            (F.col(v) if isinstance(v, str) else _compile_expr(v)).asc()
+                            if asc
+                            else (
+                                F.col(v) if isinstance(v, str) else _compile_expr(v)
+                            ).desc()
+                            for v, asc in q.order_by
+                        ]
+                    )
+                    q = replace(q, order_by=[])
             df = df.select(*cols)
 
     if q.projection is None:

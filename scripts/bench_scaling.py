@@ -12,9 +12,15 @@ Each level runs the warmed KG pipeline REPS times in one JVM and takes
 the minimum wall (standard noise filter — the sandbox shows ±30%
 run-to-run variance from host contention).
 
+Workload size matters (Amdahl): each build carries a ~14 s
+core-count-independent fraction (driver-bound CC rounds, checkpoint
+barriers), so efficiency RISES with scale — 0.685 at 891k pages,
+0.836 at 1.78M (BENCH.md r03 table). Default n_urls is therefore
+400k; smaller runs understate the engine.
+
 Usage: python scripts/bench_scaling.py [sf_dir]
 Env: SPARK_GRAFT_SCALE_N (default 2), SPARK_GRAFT_KG_URLS
-(default 200000), SPARK_GRAFT_SCALE_REPS (default 4).
+(default 400000), SPARK_GRAFT_SCALE_REPS (default 4).
 """
 
 from __future__ import annotations
@@ -33,7 +39,7 @@ from rdf_diff_store_spark.sources.pages import generate_pages
 from rdf_diff_store_spark.pipeline.kg import build_kg
 
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
-n_urls = int(os.environ.get("SPARK_GRAFT_KG_URLS", "200000"))
+n_urls = int(os.environ.get("SPARK_GRAFT_KG_URLS", "400000"))
 reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "4"))
 spark = get_spark("bench-scaling", cpus=cpus)
 pages = (generate_pages(spark, n_urls=n_urls, n_crawls=4,

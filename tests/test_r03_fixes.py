@@ -357,6 +357,35 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestGroupOrderExtensions:
+    def test_group_by_expression(self, spark):
+        rows = [("g", s, "name", n) for s, n in [("a", "Ann"), ("b", "Bob"), ("c", "Cy")]]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            (x.l, x.c)
+            for x in _q(
+                t,
+                "SELECT ?l (COUNT(*) AS ?c) WHERE { ?s <name> ?n } "
+                "GROUP BY (STRLEN(?n) AS ?l)",
+            ).collect()
+        )
+        assert r == [(2, 1), (3, 2)]
+
+    def test_order_by_non_projected_var(self, spark):
+        rows = [
+            ("g", "a", "score", "3"), ("g", "b", "score", "1"), ("g", "c", "score", "2"),
+            ("g", "a", "name", "Ann"), ("g", "b", "name", "Bob"), ("g", "c", "name", "Cy"),
+        ]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = [
+            x.n
+            for x in _q(
+                t, "SELECT ?n WHERE { ?s <score> ?v . ?s <name> ?n } ORDER BY DESC(?v)"
+            ).collect()
+        ]
+        assert r == ["Ann", "Cy", "Bob"]
+
+
 class TestChunking:
     def test_sliding_window_chunks(self, spark):
         from rdf_diff_store_spark.functions.text import chunk_documents
