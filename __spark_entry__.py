@@ -2921,6 +2921,30 @@ def q_sparql_text_order_hidden(spark, sf_dir):
     )
 
 
+def q_sparql_text_graph_path(spark, sf_dir):
+    """Property path inside GRAPH ?var — per-graph keyed closure
+    (graph_id rides the doubling-join keys; late r03, closing the last
+    raises-by-design case in the SPARQL surface). The nextNation edges
+    are split into two named graphs by nation-key parity so each graph
+    closes independently."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    t = triples_from_tpch(spark, sf_dir)
+    t2 = t.withColumn(
+        "graph_id",
+        F.when(
+            F.col("pred") == "nextNation",
+            F.concat(
+                F.lit("g"),
+                (F.substring("subj", 8, 10).cast("int") % 2).cast("string"),
+            ),
+        ).otherwise(F.col("graph_id")),
+    )
+    return sparql_query(
+        t2, "SELECT ?g ?s ?reach WHERE { GRAPH ?g { ?s <nextNation>+ ?reach } }"
+    )
+
+
 def q_doc_chunking(spark, sf_dir):
     """Token-bounded sliding-window chunking (50-token chunks, 10
     overlap) — functions/text.py::chunk_documents, pure JVM, no
@@ -2936,6 +2960,19 @@ _ORACLE_TPCH_TAIL = {
 WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "sparql_text_graph_path": f"""
+WITH RECURSIVE triples AS ({_T}),
+edges AS (
+  SELECT 'g' || CAST(CAST(substr(subj, 8) AS INT) % 2 AS VARCHAR) AS g,
+         subj AS src, obj AS dst
+  FROM triples WHERE pred = 'nextNation'),
+reach AS (
+  SELECT g, src, dst FROM edges
+  UNION
+  SELECT r.g, r.src, e.dst FROM reach r JOIN edges e ON e.g = r.g AND e.src = r.dst
+)
+SELECT g, src AS s, dst AS reach FROM reach
 """,
     "sparql_text_order_hidden": f"""
 WITH triples AS ({_T}),
@@ -3241,6 +3278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunking": q_doc_chunking,
         "sparql_text_group_expr": q_sparql_text_group_expr,
         "sparql_text_order_hidden": q_sparql_text_order_hidden,
+        "sparql_text_graph_path": q_sparql_text_graph_path,
     }
 
 

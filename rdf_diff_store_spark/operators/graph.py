@@ -27,20 +27,33 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame, max_iterations: int = 20, key_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """All pairs (src, dst) connected by a directed path (p+ semantics).
 
-    `edges` has columns (src, dst). Result is distinct (src, dst)
-    reachability pairs, path length >= 1.
-    """
-    closure = edges.select("src", "dst").distinct().localCheckpoint()
+    `edges` has columns (src, dst) plus any `key_cols`. Result is
+    distinct (key..., src, dst) reachability pairs, path length >= 1.
+    `key_cols` scope the closure per key — e.g. a graph_id column for
+    SPARQL paths inside GRAPH ?var, where each named graph closes
+    independently. The keys ride the same doubling joins (they're part
+    of the shuffle key, so per-graph closure co-locates for free)."""
+    keys = list(key_cols)
+    closure = edges.select(*keys, "src", "dst").distinct().localCheckpoint()
     prev_count = closure.count()
     for _ in range(max_iterations):
         # doubling: paths = closure ∪ (closure ⋈ closure)
+        cond = F.col("a.dst") == F.col("b.src")
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
         hops = (
             closure.alias("a")
-            .join(closure.alias("b"), F.col("a.dst") == F.col("b.src"))
-            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+            .join(closure.alias("b"), cond)
+            .select(
+                *[F.col(f"a.{k}").alias(k) for k in keys],
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+            )
         )
         new_closure = closure.unionByName(hops).distinct().localCheckpoint()
         # carry the previous count forward — recounting `closure` would

@@ -1021,13 +1021,21 @@ def _compile_agg(ast, alias: str) -> Column:
 # property-path compilation
 
 
-def _compile_path(triples: DataFrame, path) -> DataFrame:
-    """Path AST → DataFrame of (src, dst) endpoint pairs."""
+def _compile_path(triples: DataFrame, path, per_graph: bool = False) -> DataFrame:
+    """Path AST → DataFrame of (src, dst) endpoint pairs.
+
+    `per_graph=True` carries graph_id through every step (joins, unions
+    and closures key on it), so the path evaluates INDEPENDENTLY inside
+    each named graph — the GRAPH ?var semantics. The graph column rides
+    the same shuffle keys, so per-graph evaluation co-locates free."""
     op = path[0]
+    g = ["graph_id"] if per_graph else []
+
+    def ends(df, s, o):
+        return df.select(*g, F.col(s).alias("src"), F.col(o).alias("dst"))
+
     if op == "iri":
-        return triples.filter(F.col("pred") == path[1]).select(
-            F.col("subj").alias("src"), F.col("obj").alias("dst")
-        )
+        return ends(triples.filter(F.col("pred") == path[1]), "subj", "obj")
     if op == "nps":
         # SPARQL negated property set: forward edges whose predicate is
         # not in the forward set, plus reversed edges whose predicate
@@ -1038,51 +1046,58 @@ def _compile_path(triples: DataFrame, path) -> DataFrame:
             f = triples
             if fwd:
                 f = f.filter(~F.col("pred").isin(fwd))
-            parts.append(f.select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+            parts.append(ends(f, "subj", "obj"))
         if rev:
-            r = triples.filter(~F.col("pred").isin(rev))
-            parts.append(r.select(F.col("obj").alias("src"), F.col("subj").alias("dst")))
+            parts.append(ends(triples.filter(~F.col("pred").isin(rev)), "obj", "subj"))
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
         return out
     if op == "inv":
-        e = _compile_path(triples, path[1])
-        return e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        e = _compile_path(triples, path[1], per_graph)
+        return e.select(*g, F.col("dst").alias("src"), F.col("src").alias("dst"))
     if op == "seq":
-        a = _compile_path(triples, path[1]).alias("a")
-        b = _compile_path(triples, path[2]).alias("b")
-        return a.join(b, F.col("a.dst") == F.col("b.src")).select(
-            F.col("a.src").alias("src"), F.col("b.dst").alias("dst")
+        a = _compile_path(triples, path[1], per_graph).alias("a")
+        b = _compile_path(triples, path[2], per_graph).alias("b")
+        cond = F.col("a.dst") == F.col("b.src")
+        if per_graph:
+            cond = cond & (F.col("a.graph_id") == F.col("b.graph_id"))
+        return a.join(b, cond).select(
+            *[F.col(f"a.{k}").alias(k) for k in g],
+            F.col("a.src").alias("src"),
+            F.col("b.dst").alias("dst"),
         )
     if op == "alt":
         return (
-            _compile_path(triples, path[1])
-            .unionByName(_compile_path(triples, path[2]))
+            _compile_path(triples, path[1], per_graph)
+            .unionByName(_compile_path(triples, path[2], per_graph))
             .distinct()
         )
     if op in ("plus", "star", "opt"):
         from rdf_diff_store_spark.operators.graph import transitive_closure
 
-        e = _compile_path(triples, path[1])
+        e = _compile_path(triples, path[1], per_graph)
         if op == "plus":
-            return transitive_closure(e)
+            return transitive_closure(e, key_cols=tuple(g))
         # zero-length path semantics (W3C 18.4 ZeroLengthPath): every
         # TERM IN THE GRAPH matches itself — not just endpoints of
         # p-edges (a graph with no p-edges still yields identity rows)
         nodes = (
-            triples.select(F.col("subj").alias("n"))
-            .unionByName(triples.select(F.col("obj").alias("n")))
+            triples.select(*g, F.col("subj").alias("n"))
+            .unionByName(triples.select(*g, F.col("obj").alias("n")))
             .distinct()
         )
-        ident = nodes.select(F.col("n").alias("src"), F.col("n").alias("dst"))
-        base = transitive_closure(e) if op == "star" else e
+        ident = nodes.select(*g, F.col("n").alias("src"), F.col("n").alias("dst"))
+        base = transitive_closure(e, key_cols=tuple(g)) if op == "star" else e
         return base.unionByName(ident).distinct()
     raise SparqlParseError(f"unsupported path op {op!r}")
 
 
-def _path_pattern_df(triples: DataFrame, s, path, o) -> DataFrame:
+def _path_pattern_df(triples: DataFrame, s, path, o, graph_var=None) -> DataFrame:
     """Triple pattern whose predicate is a non-trivial path.
+
+    `graph_var` (GRAPH ?var scope) evaluates the path independently
+    per named graph and binds the graph id as that variable.
 
     Closure paths (p+/p*) with a BOUND endpoint evaluate as a seeded
     frontier BFS (operators/graph.py::seeded_closure) instead of
@@ -1090,6 +1105,27 @@ def _path_pattern_df(triples: DataFrame, s, path, o) -> DataFrame:
     100×-scale graph must not materialize all-pairs reachability for
     a one-seed walk (r02 VERDICT #2)."""
     bound_s, bound_o = not isinstance(s, Var), not isinstance(o, Var)
+    if graph_var is not None:
+        # GRAPH ?var scope: the path evaluates independently per named
+        # graph — graph_id rides every join/closure key. (The seeded
+        # fast path below is per-seed; per-graph seeding would need
+        # keyed frontiers — the keyed closure is correct for all
+        # shapes, bound endpoints filter it.)
+        df = _compile_path(triples, path, per_graph=True)
+        df = df.withColumnRenamed("graph_id", graph_var.name)
+        if bound_s:
+            df = df.filter(F.col("src") == F.lit(s))
+        if bound_o:
+            df = df.filter(F.col("dst") == F.lit(o))
+        proj = [F.col(graph_var.name)]
+        if isinstance(s, Var):
+            proj.append(F.col("src").alias(s.name))
+        if isinstance(o, Var):
+            if isinstance(s, Var) and o.name == s.name:
+                df = df.filter(F.col("src") == F.col("dst"))
+            else:
+                proj.append(F.col("dst").alias(o.name))
+        return df.select(*proj)
     if (
         isinstance(path, tuple)
         and path[0] in ("plus", "star")
@@ -1169,10 +1205,8 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
                 elif p[0] == "iri":
                     pdf = _pattern_df(triples, (s, p[1], o), graph=graph)
                 elif isinstance(graph, Var):
-                    raise SparqlParseError(
-                        "property paths inside GRAPH ?var are not supported "
-                        "(use a constant graph IRI)"
-                    )
+                    # paths inside GRAPH ?var: per-graph keyed closure
+                    pdf = _path_pattern_df(triples, s, p, o, graph_var=graph)
                 else:
                     pdf = _path_pattern_df(triples, s, p, o)
                 df = _natural_join(df, pdf)

@@ -357,6 +357,25 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestGraphVarPaths:
+    def test_per_graph_closure(self, spark):
+        rows = [("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
+                ("g2", "a", "p", "z"), ("g2", "x", "q", "y")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            (x.g, x.o)
+            for x in _q(t, "SELECT ?g ?o WHERE { GRAPH ?g { <a> <p>+ ?o } }").collect()
+        )
+        # closure never leaks across graphs: a→c only inside g1
+        assert r == [("g1", "b"), ("g1", "c"), ("g2", "z")]
+        r2 = {
+            (x.g, x.s, x.o)
+            for x in _q(t, "SELECT ?g ?s ?o WHERE { GRAPH ?g { ?s <p>* ?o } }").collect()
+        }
+        assert ("g2", "x", "x") in r2  # zero-length identity is per-graph
+        assert ("g1", "a", "c") in r2 and ("g2", "a", "c") not in r2
+
+
 class TestGroupOrderExtensions:
     def test_group_by_expression(self, spark):
         rows = [("g", s, "name", n) for s, n in [("a", "Ann"), ("b", "Bob"), ("c", "Cy")]]
