@@ -2921,6 +2921,39 @@ def q_sparql_text_order_hidden(spark, sf_dir):
     )
 
 
+def q_rollup_agg(spark, sf_dir):
+    """ROLLUP grouping-sets extension (SURVEY §2B window/grouping-set
+    row): order counts at (status, priority), (status), and grand
+    total in one pass — partial+final hash agg, no extra shuffle per
+    level."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("o_orderstatus", "o_orderpriority", "n")
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """Crawl-URL canonicalization (functions/text.py::normalize_url):
+    fragment strip + case-fold scheme/authority + default-port drop,
+    pure JVM. URLs are synthesized deterministically from doc columns
+    (TESTDATA has no url column; the OPERATOR is the deliverable)."""
+    from rdf_diff_store_spark.functions.text import normalize_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("HTTP://Example.COM:80/"),
+        F.col("source"),
+        F.lit("/d"),
+        F.col("doc_id").cast("string"),
+        F.lit("?q=1#frag"),
+    )
+    return docs.select(
+        "doc_id", raw.alias("url"), normalize_url(raw).alias("url_norm")
+    )
+
+
 def q_sparql_text_graph_path(spark, sf_dir):
     """Property path inside GRAPH ?var — per-graph keyed closure
     (graph_id rides the doubling-join keys; late r03, closing the last
@@ -2960,6 +2993,33 @@ _ORACLE_TPCH_TAIL = {
 WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "rollup_agg": """
+SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+    "url_normalize": """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTP://Example.COM:80/' || source || '/d' || CAST(doc_id AS VARCHAR) || '?q=1#frag' AS url
+  FROM documents),
+step AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS u1
+  FROM raw),
+cased AS (
+  SELECT doc_id, url,
+         CASE WHEN regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1) = ''
+              THEN u1
+              ELSE lower(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1))
+                   || substr(u1, length(regexp_extract(u1, '^([A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*)', 1)) + 1)
+         END AS u2
+  FROM step)
+SELECT doc_id, url,
+       regexp_replace(
+         regexp_replace(u2, '^(http://[^/?#:]*):80([/?#].*)?$', '\\1\\2'),
+         '^(https://[^/?#:]*):443([/?#].*)?$', '\\1\\2') AS url_norm
+FROM cased
 """,
     "sparql_text_graph_path": f"""
 WITH RECURSIVE triples AS ({_T}),
@@ -3279,6 +3339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_group_expr": q_sparql_text_group_expr,
         "sparql_text_order_hidden": q_sparql_text_order_hidden,
         "sparql_text_graph_path": q_sparql_text_graph_path,
+        "rollup_agg": q_rollup_agg,
+        "url_normalize": q_url_normalize,
     }
 
 

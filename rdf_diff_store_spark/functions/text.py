@@ -199,3 +199,22 @@ def chunk_documents(
             "chunk_idx", "chunk_text"
         ),
     )
+
+
+def normalize_url(url: "Column") -> "Column":
+    """Crawl-frontier URL canonicalization, all JVM expressions:
+    1. strip the fragment (never sent to servers),
+    2. lowercase the scheme://authority prefix (case-insensitive per
+       RFC 3986 §6.2.2.1; path/query stay case-SENSITIVE),
+    3. drop the default port (:80 for http, :443 for https).
+    Dedup on the normalized form collapses trivially-distinct crawl
+    URLs without touching path semantics. No Python, no shuffle —
+    composes into any frontier/dedup pipeline for free."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    u = F.regexp_replace(url, "#.*$", "")
+    prefix = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(prefix) + 1, F.lit(2_147_483_647))
+    u = F.when(prefix == "", u).otherwise(F.concat(F.lower(prefix), rest))
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
+    return F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")

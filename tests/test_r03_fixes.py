@@ -357,6 +357,22 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestUrlNormalize:
+    def test_canonical_steps(self, spark):
+        from rdf_diff_store_spark.functions.text import normalize_url
+
+        cases = [
+            ("HTTP://Ex.COM:80/Path?Q=1#frag", "http://ex.com/Path?Q=1"),
+            ("https://A.b:443/", "https://a.b/"),
+            ("https://a.b:8443/x", "https://a.b:8443/x"),  # non-default port kept
+            ("http://a.b/CaSe", "http://a.b/CaSe"),  # path stays case-sensitive
+            ("no-scheme-text#f", "no-scheme-text"),
+        ]
+        df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+        got = [r.n for r in df.select(normalize_url(F.col("u")).alias("n")).collect()]
+        assert got == [want for _, want in cases]
+
+
 class TestGraphVarPaths:
     def test_per_graph_closure(self, spark):
         rows = [("g1", "a", "p", "b"), ("g1", "b", "p", "c"),
