@@ -2921,6 +2921,15 @@ def q_sparql_text_order_hidden(spark, sf_dir):
     )
 
 
+def q_sparql_text_describe_var(spark, sf_dir):
+    """DESCRIBE ?v WHERE { ... } — resources from variable bindings,
+    concise-bounded description via two broadcastable semi joins (no
+    driver collect; late r03)."""
+    return _sparql_text(
+        spark, sf_dir, "DESCRIBE ?n WHERE { ?n <inRegion> <region:2> }"
+    )
+
+
 def q_rollup_agg(spark, sf_dir):
     """ROLLUP grouping-sets extension (SURVEY §2B window/grouping-set
     row): order counts at (status, priority), (status), and grand
@@ -2993,6 +3002,12 @@ _ORACLE_TPCH_TAIL = {
 WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "sparql_text_describe_var": f"""
+WITH triples AS ({_T}),
+res AS (SELECT DISTINCT subj AS r FROM triples WHERE pred = 'inRegion' AND obj = 'region:2')
+SELECT DISTINCT t.subj, t.pred, t.obj FROM triples t
+WHERE t.subj IN (SELECT r FROM res) OR t.obj IN (SELECT r FROM res)
 """,
     "rollup_agg": """
 SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n
@@ -3341,6 +3356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_graph_path": q_sparql_text_graph_path,
         "rollup_agg": q_rollup_agg,
         "url_normalize": q_url_normalize,
+        "sparql_text_describe_var": q_sparql_text_describe_var,
     }
 
 

@@ -738,15 +738,30 @@ def _parse(query: str) -> _Query:
     elif val == "DESCRIBE":
         # DESCRIBE <iri> [...] — every triple with the resource as
         # subject or object (the reference surface exposes oxigraph's
-        # DESCRIBE; this is its common concise-bounded form)
+        # DESCRIBE; this is its common concise-bounded form).
+        # DESCRIBE ?v [...] WHERE { ... } — the resources are the
+        # distinct bindings of the listed variables.
         out.form = "DESCRIBE"
-        resources = []
-        while ts.peek()[0] in ("iri", "pname"):
+        resources: list = []
+        desc_vars: list = []
+        while ts.peek()[0] in ("iri", "pname", "var"):
             k, v = ts.next()
-            resources.append(v[1:-1] if k == "iri" else resolve_pname(v))
-        if not resources:
-            raise SparqlParseError("DESCRIBE needs at least one IRI")
+            if k == "var":
+                desc_vars.append(v[1:])
+            else:
+                resources.append(v[1:-1] if k == "iri" else resolve_pname(v))
+        if not resources and not desc_vars:
+            raise SparqlParseError("DESCRIBE needs at least one IRI or variable")
+        if desc_vars:
+            if ts.peek()[1] == "WHERE":
+                ts.next()
+            ts.expect("{")
+            out.where = parse_group()
+            parse_modifiers(out)
+        elif ts.peek()[1] == "WHERE":
+            raise SparqlParseError("DESCRIBE <iri> takes no WHERE clause here")
         out.template = resources  # reuse the field for the IRI list
+        out.projection = desc_vars or None  # reuse for the var list
     else:
         raise SparqlParseError(f"unsupported query form {val!r}")
     if ts.peek()[1] is not None:
@@ -1366,6 +1381,29 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         hit = _compile_group(default, q.where, named=named).limit(1).count() > 0
         return triples.sparkSession.createDataFrame([(hit,)], "ask boolean")
     if q.form == "DESCRIBE":
+        if q.projection:  # DESCRIBE ?v WHERE { ... }: var bindings
+            default, named = _dataset_views(triples, q)
+            sol = _compile_group(default, q.where, named=named)
+            res = None
+            for v in q.projection:
+                part = sol.select(F.col(v).alias("_r"))
+                res = part if res is None else res.unionByName(part)
+            if q.template:  # mixed DESCRIBE <iri> ?v WHERE { ... }
+                consts = triples.sparkSession.createDataFrame(
+                    [(r,) for r in q.template], "_r string"
+                )
+                res = res.unionByName(consts)
+            res = res.distinct()
+            # concise-bounded form WITHOUT a collect: two equi semi
+            # joins (subject hit / object hit) — broadcast-able, so a
+            # DESCRIBE of few resources never shuffles the triples
+            by_subj = triples.join(res, F.col("subj") == F.col("_r"), "left_semi")
+            by_obj = triples.join(res, F.col("obj") == F.col("_r"), "left_semi")
+            return (
+                by_subj.unionByName(by_obj)
+                .select("subj", "pred", "obj")
+                .distinct()  # a triple can hit on both ends
+            )
         cond = None
         for r in q.template:  # IRI list (see parser)
             c = (F.col("subj") == r) | (F.col("obj") == r)

@@ -357,6 +357,25 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestDescribeVar:
+    def test_describe_variable_and_mixed(self, spark):
+        rows = [("g", "a", "knows", "b"), ("g", "b", "knows", "c"),
+                ("g", "c", "name", "Cy"), ("g", "d", "name", "Dee")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            tuple(x)
+            for x in _q(t, "DESCRIBE ?x WHERE { ?x <name> ?n }")
+            .select("subj", "pred", "obj").collect()
+        )
+        assert r == [("b", "knows", "c"), ("c", "name", "Cy"), ("d", "name", "Dee")]
+        r2 = sorted(
+            tuple(x)
+            for x in _q(t, 'DESCRIBE <a> ?x WHERE { ?x <name> ?n . FILTER(?n = "Cy") }')
+            .select("subj", "pred", "obj").collect()
+        )
+        assert ("a", "knows", "b") in r2 and ("b", "knows", "c") in r2
+
+
 class TestUrlNormalize:
     def test_canonical_steps(self, spark):
         from rdf_diff_store_spark.functions.text import normalize_url

@@ -26,6 +26,9 @@ EPOCH_QUERIES = [
     "sessionize",
     "asof_join",
     "event_time_windows",
+    # r03: date-accessor builtins (YEAR/MONTH/DAY/HOURS over lexical
+    # xsd:dateTime — must stay on timestamp_ntz, never session-tz)
+    "sparql_text_builtins_datetime",
 ]
 
 
