@@ -374,6 +374,11 @@ def _parse(query: str) -> _Query:
             if nxt[1] in ("=", "!=", "<", "<=", ">", ">="):
                 op = ts.next()[1]
                 return ("cmp", op, e, add_expr())
+            negated = False
+            if nxt[1] == "NOT" and ts.peek(1)[1] == "IN":
+                ts.next()
+                negated = True
+                nxt = ts.peek()
             if nxt[1] == "IN":
                 ts.next()
                 ts.expect("(")
@@ -382,7 +387,8 @@ def _parse(query: str) -> _Query:
                     ts.next()
                     items.append(primary())
                 ts.expect(")")
-                return ("in", e, items)
+                node = ("in", e, items)
+                return ("not", node) if negated else node
             return e
 
         def and_expr():
@@ -825,7 +831,15 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         }[o]
     if op == "in":
         _, e, items = ast
-        return _compile_expr(e).isin([i[1] for i in items])
+        # compile each member: a variable item must compare against the
+        # COLUMN (isin over raw AST payloads would treat "?b" as the
+        # literal string "b"); Catalyst folds the all-literal case back
+        # into an InSet anyway
+        ce = _compile_expr(e)
+        cond = F.lit(False)
+        for i in items:
+            cond = cond | (ce == _compile_expr(i))
+        return cond
     if op == "fn":
         _, fn, args = ast
 

@@ -357,6 +357,32 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestInExpressions:
+    def test_in_with_variable_member(self, spark):
+        """IN members compile as expressions — a variable member must
+        compare against the COLUMN, not the literal string of its name."""
+        rows = [("g", "a", "p", "x"), ("g", "b", "p", "y"), ("g", "c", "p", "c")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            x.s
+            for x in _q(
+                t, 'SELECT ?s WHERE { ?s <p> ?o . FILTER(?s IN (?o, "a")) }'
+            ).collect()
+        )
+        assert r == ["a", "c"]
+
+    def test_not_in(self, spark):
+        rows = [("g", "a", "p", "x"), ("g", "b", "p", "y"), ("g", "c", "p", "z")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            x.s
+            for x in _q(
+                t, 'SELECT ?s WHERE { ?s <p> ?o . FILTER(?o NOT IN ("x", "z")) }'
+            ).collect()
+        )
+        assert r == ["b"]
+
+
 class TestDescribeVar:
     def test_describe_variable_and_mixed(self, spark):
         rows = [("g", "a", "knows", "b"), ("g", "b", "knows", "c"),
