@@ -859,7 +859,13 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
 
         a = [_compile_expr(x, numeric=fn in _NUMERIC_FNS) for x in args]
         if fn == "REGEX":
-            return a[0].rlike(regex_flags(2) + lit_str(1, "pattern"))
+            if args[1][0] == "str":
+                # literal pattern: constant regex compiles once
+                return a[0].rlike(regex_flags(2) + lit_str(1, "pattern"))
+            # expression pattern (flags stay literal-only)
+            return F.regexp_like(
+                a[0], F.concat(F.lit(regex_flags(2)), a[1].cast("string"))
+            )
         if fn == "STRSTARTS":
             return a[0].startswith(a[1])
         if fn == "STRENDS":

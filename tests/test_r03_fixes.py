@@ -371,6 +371,18 @@ class TestInExpressions:
         )
         assert r == ["a", "c"]
 
+    def test_regex_expression_pattern(self, spark):
+        rows = [("g", "a", "p", "abc"), ("g", "b", "p", "xbc"), ("g", "a2", "pat", "^a")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(
+            x.s
+            for x in _q(
+                t,
+                "SELECT ?s WHERE { ?s <p> ?o . ?x <pat> ?re . FILTER(REGEX(?o, ?re)) }",
+            ).collect()
+        )
+        assert r == ["a"]
+
     def test_not_in(self, spark):
         rows = [("g", "a", "p", "x"), ("g", "b", "p", "y"), ("g", "c", "p", "z")]
         t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")

@@ -481,13 +481,18 @@ def test_review_fixes_minus_values_graph_having(spark):
     # REGEX case-insensitive flag
     q6 = 'SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, "^X$", "i")) }'
     assert [r.s for r in sparql_query(t, q6).collect()] == ["a"]
-    # REGEX with a variable pattern fails loudly instead of silently
+    # REGEX with a variable pattern is SUPPORTED since r03 (regexp_like
+    # with a Column pattern) — here ?s never matches ?o so 0 rows, but
+    # it evaluates instead of raising
+    q7 = "SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, ?s)) }"
+    assert sparql_query(t, q7).count() == 0
+    # flags on a variable pattern stay literal-only (loud otherwise)
     import pytest as _pytest
 
     from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
 
-    with _pytest.raises(SparqlParseError, match="string literal"):
-        sparql_query(t, "SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, ?s)) }")
+    with _pytest.raises(SparqlParseError, match="flags"):
+        sparql_query(t, "SELECT ?s WHERE { ?s <p> ?o . FILTER (REGEX(?o, ?s, ?o)) }")
 
 
 def test_lang_datatype_builtins_and_reduced(spark):
