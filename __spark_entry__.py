@@ -2921,6 +2921,16 @@ def q_sparql_text_order_hidden(spark, sf_dir):
     )
 
 
+def q_doc_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram log-probability quality score (LM-perplexity
+    stand-in; functions/text.py::unigram_logprob). Two shuffles:
+    corpus token counts, then the Zipf-skewed count join (AQE
+    skew-split)."""
+    from rdf_diff_store_spark.functions.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_sparql_text_describe_var(spark, sf_dir):
     """DESCRIBE ?v WHERE { ... } — resources from variable bindings,
     concise-bounded description via two broadcastable semi joins (no
@@ -3002,6 +3012,17 @@ _ORACLE_TPCH_TAIL = {
 WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "doc_unigram_logprob": """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(ln(c / t)), 4) AS avg_logprob
+FROM toks JOIN counts USING (tok) CROSS JOIN total
+GROUP BY doc_id
 """,
     "sparql_text_describe_var": f"""
 WITH triples AS ({_T}),
@@ -3357,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_agg": q_rollup_agg,
         "url_normalize": q_url_normalize,
         "sparql_text_describe_var": q_sparql_text_describe_var,
+        "doc_unigram_logprob": q_doc_unigram_logprob,
     }
 
 

@@ -218,3 +218,39 @@ def normalize_url(url: "Column") -> "Column":
     u = F.when(prefix == "", u).otherwise(F.concat(F.lower(prefix), rest))
     u = F.regexp_replace(u, r"^(http://[^/?#:]*):80([/?#].*)?$", "$1$2")
     return F.regexp_replace(u, r"^(https://[^/?#:]*):443([/?#].*)?$", "$1$2")
+
+
+def unigram_logprob(
+    docs: "DataFrame", id_col: str = "doc_id", text_col: str = "text"
+) -> "DataFrame":
+    """Corpus-level unigram log-probability quality score — the
+    lightweight stand-in for LM-perplexity filtering: documents whose
+    tokens are corpus-typical score high, gibberish scores low.
+
+    Two passes: (1) corpus-wide token counts (one shuffle with map-side
+    partial agg), (2) tokens joined back to counts and averaged per
+    doc. The count join shuffles on the token key, which is Zipf-skewed
+    ("the" dominates) — AQE skew-join splitting handles the hot keys
+    (session.py enables it); at 100 TB, broadcast the head of the
+    vocabulary and shuffle only the tail.
+
+    Output: (id_col, n_tokens, avg_logprob), avg_logprob = mean over
+    tokens of ln(count(token) / total_tokens), rounded to 4.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("avg_logprob"),
+        )
+    )

@@ -357,6 +357,17 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestUnigramLogprob:
+    def test_typical_beats_gibberish(self, spark):
+        from rdf_diff_store_spark.functions.text import unigram_logprob
+
+        common = "the cat sat on the mat " * 5
+        docs = [(i, common) for i in range(9)] + [(9, "zxqv jkwp qqzz vvxx")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        scores = {r.doc_id: r.avg_logprob for r in unigram_logprob(df).collect()}
+        assert scores[9] < scores[0], scores  # gibberish scores lower
+
+
 class TestInExpressions:
     def test_in_with_variable_member(self, spark):
         """IN members compile as expressions — a variable member must
