@@ -1790,14 +1790,11 @@ def q_sql_over_snapshot(spark, sf_dir):
     )
 
 
-def q_doc_simhash_portable(spark, sf_dir):
-    """Portable 16-bit SimHash: bit k of a token = parity of hex digit
-    k of md5(token) (md5 hex is byte-identical across engines — the
-    same trick as the portable MinHash oracle); signature bit k = sign
-    of the token-vote sum. The production path is the 64-bit xxhash64
-    Arrow UDF (operators.dedup.simhash_signature); this twin makes the
-    SimHash FAMILY oracle-checkable."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+def _portable_simhash16(docs):
+    """Portable 16-bit SimHash frame (doc_id, simhash16): bit k of a
+    token = parity of hex digit k of md5(token) (md5 hex is
+    byte-identical across engines — the same trick as the portable
+    MinHash oracle); signature bit k = sign of the token-vote sum."""
     words = F.array_distinct(F.split(F.lower(F.trim("text")), r"\s+"))
     odd = F.lit("13579bdf")
 
@@ -1814,7 +1811,60 @@ def q_doc_simhash_portable(spark, sf_dir):
     sig = bits[0]
     for b in bits[1:]:
         sig = sig + b
-    return docs.select("doc_id", sig.alias("simhash16"))
+    return docs.select("doc_id", sig.cast("bigint").alias("simhash16"))
+
+
+def q_doc_simhash_portable(spark, sf_dir):
+    """Portable 16-bit SimHash signatures (see _portable_simhash16).
+    The production path is the 64-bit xxhash64 Arrow UDF
+    (operators.dedup.simhash_signature); this twin makes the SimHash
+    FAMILY oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return _portable_simhash16(docs)
+
+
+def q_doc_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS: band the 16-bit signature into 4
+    nibbles, equi-join docs sharing any nibble band (never n²), then
+    verify hamming distance ≤ 3 with bit_count(xor) — the classic
+    hamming-LSH pattern (a signature within distance d must agree on
+    ≥1 of d+1 bands). All JVM expressions; the band join shuffles on
+    (band, nibble), exactly the bucket shape that survives 100 TB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    sigs = _portable_simhash16(docs)
+    bands = sigs.select(
+        "doc_id",
+        "simhash16",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright("simhash16", 4 * b)
+                        .bitwiseAND(F.lit(15))
+                        .alias("nib"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bn"),
+    ).select("doc_id", "simhash16", F.col("bn.b").alias("b"), F.col("bn.nib").alias("nib"))
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash16").alias("sig_a"), "b", "nib"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash16").alias("sig_b"), "b", "nib"
+    )
+    cand = (
+        a.join(bb, ["b", "nib"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.filter(ham <= 3).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
 
 
 def q_doc_stratified_sample(spark, sf_dir):
@@ -3013,6 +3063,30 @@ WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
 """,
+    "doc_simhash_pairs": """
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+words AS (
+  SELECT DISTINCT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM docs),
+votes AS (
+  SELECT doc_id, g.k,
+         sum(CASE WHEN substr(md5(w), CAST(g.k AS INT), 1)
+                  IN ('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END) AS v
+  FROM words, generate_series(1, 16) AS g(k)
+  GROUP BY doc_id, g.k),
+sigs AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0 THEN 1 << CAST(k - 1 AS INT) ELSE 0 END) AS BIGINT) AS sig
+  FROM votes GROUP BY doc_id),
+bands AS (
+  SELECT doc_id, sig, gb.b, (sig >> CAST(4 * gb.b AS INT)) & 15 AS nib
+  FROM sigs, generate_series(0, 3) AS gb(b)),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b, a.sig AS sig_a, b2.sig AS sig_b
+  FROM bands a JOIN bands b2 ON a.b = b2.b AND a.nib = b2.nib AND a.doc_id < b2.doc_id)
+SELECT id_a, id_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+""",
     "doc_unigram_logprob": """
 WITH toks AS (
   SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
@@ -3379,6 +3453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "sparql_text_describe_var": q_sparql_text_describe_var,
         "doc_unigram_logprob": q_doc_unigram_logprob,
+        "doc_simhash_pairs": q_doc_simhash_pairs,
     }
 
 
