@@ -731,16 +731,35 @@ def _parse(query: str) -> _Query:
         parse_modifiers(out)
     elif val == "CONSTRUCT":
         out.form = "CONSTRUCT"
-        ts.expect("{")
-        tmpl: list = []
-        parse_triples_into(tmpl)
-        ts.expect("}")
-        out.template = tmpl
-        parse_dataset(out)
-        ts.expect("WHERE")
-        ts.expect("{")
-        out.where = parse_group()
-        parse_modifiers(out)
+        if ts.peek()[1] in ("WHERE", "FROM"):
+            # CONSTRUCT WHERE { TriplesTemplate } shorthand (SPARQL
+            # 1.1 §10.2.3): the pattern IS the template. Plain triples
+            # only — a path in the group can't be emitted as a triple.
+            parse_dataset(out)
+            ts.expect("WHERE")
+            ts.expect("{")
+            tmpl: list = []
+            parse_triples_into(tmpl)
+            ts.expect("}")
+            for s, p, o in tmpl:
+                if not (isinstance(p, Var) or (isinstance(p, tuple) and p[0] == "iri")):
+                    raise SparqlParseError(
+                        "CONSTRUCT WHERE allows only plain triple patterns"
+                    )
+            out.template = tmpl
+            out.where = _Group(elements=[("bgp", tmpl)])
+            parse_modifiers(out)
+        else:
+            ts.expect("{")
+            tmpl = []
+            parse_triples_into(tmpl)
+            ts.expect("}")
+            out.template = tmpl
+            parse_dataset(out)
+            ts.expect("WHERE")
+            ts.expect("{")
+            out.where = parse_group()
+            parse_modifiers(out)
     elif val == "DESCRIBE":
         # DESCRIBE <iri> [...] — every triple with the resource as
         # subject or object (the reference surface exposes oxigraph's

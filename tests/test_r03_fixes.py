@@ -357,6 +357,24 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestConstructWhere:
+    def test_shorthand_and_path_rejection(self, spark):
+        from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
+
+        rows = [("g", "a", "knows", "b"), ("g", "b", "knows", "c"), ("g", "c", "name", "Cy")]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        r = sorted(tuple(x) for x in _q(t, "CONSTRUCT WHERE { ?s <knows> ?o }").collect())
+        assert r == [("a", "knows", "b"), ("b", "knows", "c")]
+        # join semantics across the shorthand's patterns
+        r2 = sorted(
+            tuple(x)
+            for x in _q(t, "CONSTRUCT WHERE { ?s <knows> ?o . ?o <name> ?n }").collect()
+        )
+        assert r2 == [("b", "knows", "c"), ("c", "name", "Cy")]
+        with pytest.raises(SparqlParseError):
+            _q(t, "CONSTRUCT WHERE { ?s <knows>+ ?o }")
+
+
 class TestUnigramLogprob:
     def test_typical_beats_gibberish(self, spark):
         from rdf_diff_store_spark.functions.text import unigram_logprob
