@@ -1496,6 +1496,7 @@ def _order_key_vars(order_by) -> list[str]:
 def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
     default, named = _dataset_views(triples, q)
     df = _compile_group(default, q.where, named=named)
+    ord_hidden: list[str] = []  # hidden ORDER BY aggregate columns
 
     has_aggs = q.group_by or any(
         item[0] == "expr" and item[1][0] == "aggfn" for item in (q.projection or [])
@@ -1528,11 +1529,35 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
             h2, extra = _rewrite_having(h, i)
             having_cols.append(h2)
             agg_cols.extend(extra)
+        # aggregates referenced by ORDER BY (e.g. ORDER BY
+        # DESC(COUNT(?x))): same rewrite — hidden agg columns carried
+        # through the sort, dropped at the very end
+        ord_aggs: list = []
+
+        def _rewrite_order(a):
+            if isinstance(a, tuple) and a[0] == "aggfn":
+                name = f"_ord_{len(ord_aggs)}"
+                ord_aggs.append((_compile_agg(a, name), name))
+                return ("var", name)
+            if isinstance(a, tuple):
+                return tuple(_rewrite_order(x) for x in a)
+            if isinstance(a, list):
+                return [_rewrite_order(x) for x in a]
+            return a
+
+        new_order = [
+            (k if isinstance(k, str) else _rewrite_order(k), asc)
+            for k, asc in q.order_by
+        ]
+        if ord_aggs:
+            agg_cols.extend(c for c, _ in ord_aggs)
+            ord_hidden.extend(n for _, n in ord_aggs)
+            q = replace(q, order_by=new_order)
         grouped = df.groupBy(*group_vars) if group_vars else df.groupBy()
         df = grouped.agg(*agg_cols)
         for h in having_cols:
             df = df.filter(_compile_expr(h))
-        df = df.select(*post_select)
+        df = df.select(*post_select, *ord_hidden)
     else:
         if q.having:
             raise SparqlParseError("HAVING requires GROUP BY or aggregates")
@@ -1598,6 +1623,8 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
         df = df.offset(q.offset)
     if q.limit is not None:
         df = df.limit(q.limit)
+    if ord_hidden:  # ORDER BY aggregates: sort keys never surface
+        df = df.drop(*ord_hidden)
     return df
 
 

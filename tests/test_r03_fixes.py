@@ -492,6 +492,16 @@ class TestGroupOrderExtensions:
         )
         assert r == [(2, 1), (3, 2)]
 
+    def test_order_by_aggregate(self, spark):
+        rows = [("g", s, "in", n) for s, n in
+                [("a", "n1"), ("b", "n1"), ("c", "n2"), ("d", "n3"), ("e", "n3"), ("f", "n3")]]
+        t = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        q = ("SELECT ?n (COUNT(?s) AS ?c) WHERE { ?s <in> ?n } "
+             "GROUP BY ?n ORDER BY DESC(COUNT(?s)) ASC(?n) LIMIT 2")
+        out = _q(t, q)
+        assert [(x.n, x.c) for x in out.collect()] == [("n3", 3), ("n1", 2)]
+        assert out.columns == ["n", "c"]  # hidden sort aggregate dropped
+
     def test_order_by_non_projected_var(self, spark):
         rows = [
             ("g", "a", "score", "3"), ("g", "b", "score", "1"), ("g", "c", "score", "2"),
