@@ -2971,6 +2971,26 @@ def q_sparql_text_order_hidden(spark, sf_dir):
     )
 
 
+def q_sparql_text_order_agg(spark, sf_dir):
+    """ORDER BY an aggregate (hidden sort-aggregate rewrite; late r03)."""
+    return _sparql_text(
+        spark,
+        sf_dir,
+        """
+        SELECT ?n (COUNT(?c) AS ?n_cust) WHERE {
+          ?c <inNation> ?n . FILTER (STRSTARTS(?c, "customer:"))
+        } GROUP BY ?n ORDER BY DESC(COUNT(?c)) ASC(?n) LIMIT 5
+        """,
+    )
+
+
+def q_sparql_text_construct_where(spark, sf_dir):
+    """CONSTRUCT WHERE shorthand (SPARQL 1.1 10.2.3; late r03)."""
+    return _sparql_text(
+        spark, sf_dir, "CONSTRUCT WHERE { ?n <inRegion> ?r }"
+    )
+
+
 def q_doc_unigram_logprob(spark, sf_dir):
     """Corpus-unigram log-probability quality score (LM-perplexity
     stand-in; functions/text.py::unigram_logprob). Two shuffles:
@@ -3062,6 +3082,16 @@ _ORACLE_TPCH_TAIL = {
 WITH triples AS ({_T})
 SELECT length(obj) AS l, CAST(count(*) AS BIGINT) AS c
 FROM triples WHERE pred = 'name' AND subj LIKE 'nation:%' GROUP BY 1
+""",
+    "sparql_text_order_agg": f"""
+WITH triples AS ({_T})
+SELECT obj AS n, CAST(count(*) AS BIGINT) AS n_cust
+FROM triples WHERE pred = 'inNation' AND subj LIKE 'customer:%'
+GROUP BY obj ORDER BY count(*) DESC, obj ASC LIMIT 5
+""",
+    "sparql_text_construct_where": f"""
+WITH triples AS ({_T})
+SELECT DISTINCT subj, pred, obj FROM triples WHERE pred = 'inRegion'
 """,
     "doc_simhash_pairs": """
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
@@ -3454,6 +3484,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_describe_var": q_sparql_text_describe_var,
         "doc_unigram_logprob": q_doc_unigram_logprob,
         "doc_simhash_pairs": q_doc_simhash_pairs,
+        "sparql_text_order_agg": q_sparql_text_order_agg,
+        "sparql_text_construct_where": q_sparql_text_construct_where,
     }
 
 
