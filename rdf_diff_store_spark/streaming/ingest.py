@@ -126,6 +126,35 @@ class StreamingChangelogWriter:
     def _bucket_col(self) -> F.Column:
         return F.pmod(F.xxhash64("graph_id"), F.lit(self.n_buckets))
 
+    def _bucket_versions(self, version: int) -> dict[int, int]:
+        """bucket → newest committed v-N ≤ version that wrote it.
+
+        Fast path: each committed version carries a `_manifest` JSON
+        with the FULL mapping as of that version (the miniature of an
+        Iceberg manifest list), so resolution is one file read instead
+        of an O(#versions) directory walk — a 60 s cadence accumulates
+        ~1.4k versions/day, and walking them per batch would grow the
+        batch latency linearly with stream age. A crash between the
+        state commit and the manifest write falls back to the walk."""
+        import json
+        import os
+
+        d = os.path.join(self.state_dir, f"v-{version}")
+        try:
+            with open(os.path.join(d, "_manifest"), encoding="ascii") as fh:
+                return {int(k): v for k, v in json.load(fh).items()}
+        except OSError:
+            pass
+        found: dict[int, int] = {}
+        for n in range(version, -1, -1):
+            dn = os.path.join(self.state_dir, f"v-{n}")
+            if not os.path.exists(os.path.join(dn, "_SUCCESS")):
+                continue  # torn write — not committed
+            for part in os.listdir(dn):
+                if part.startswith("bucket="):
+                    found.setdefault(int(part.split("=", 1)[1]), n)
+        return found
+
     def _read_state(
         self, version: int | None, buckets: set[int] | None = None
     ) -> DataFrame:
@@ -136,26 +165,18 @@ class StreamingChangelogWriter:
 
         if version is None:
             return self.spark.createDataFrame([], CHANGELOG)
-        found: dict[int, str] = {}
-        want = None if buckets is None else set(buckets)
-        for n in range(version, -1, -1):
-            d = os.path.join(self.state_dir, f"v-{n}")
-            if not os.path.exists(os.path.join(d, "_SUCCESS")):
-                continue  # torn write — not committed
-            for part in os.listdir(d):
-                if not part.startswith("bucket="):
-                    continue
-                b = int(part.split("=", 1)[1])
-                if (want is None or b in want) and b not in found:
-                    found[b] = os.path.join(d, part)
-            if want is not None and len(found) == len(want):
-                break
-        if not found:
+        bv = self._bucket_versions(version)
+        paths = [
+            os.path.join(self.state_dir, f"v-{n}", f"bucket={b}")
+            for b, n in bv.items()
+            if buckets is None or b in buckets
+        ]
+        if not paths:
             return self.spark.createDataFrame([], CHANGELOG)
         # reading the bucket subdirs directly: the partition column
         # lives in the path, so the files carry the plain CHANGELOG
         # schema
-        return self.spark.read.parquet(*found.values())
+        return self.spark.read.parquet(*paths)
 
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from rdf_diff_store_spark.operators.versioned import (
@@ -224,6 +245,20 @@ class StreamingChangelogWriter:
             fh.write(str(self.n_buckets))
         with open(os.path.join(state_path, "_batch_fp"), "w", encoding="ascii") as fh:
             fh.write(fp)
+        # manifest: previous mapping rolled forward with this batch's
+        # touched buckets (written LAST — a crash before this line
+        # degrades to the directory-walk fallback, never to wrong data)
+        import json
+
+        manifest = self._bucket_versions(v) if v is not None else {}
+        written = {
+            int(p.split("=", 1)[1])
+            for p in os.listdir(state_path)
+            if p.startswith("bucket=")
+        }
+        manifest.update({b: new_v for b in written})
+        with open(os.path.join(state_path, "_manifest"), "w", encoding="ascii") as fh:
+            json.dump({str(k): v2 for k, v2 in manifest.items()}, fh)
 
     def compact(self) -> None:
         """Periodic maintenance (the Iceberg rewrite-data-files analog):

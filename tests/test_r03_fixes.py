@@ -341,6 +341,25 @@ class TestBucketedStreamingState:
         g0 = state.filter(F.col("graph_id") == "g0").first()
         assert "new" in g0.payload
 
+    def test_manifest_fast_path_matches_walk(self, spark, tmp_path):
+        """The per-version bucket manifest must resolve identically to
+        the directory walk, and a deleted manifest must fall back."""
+        import os
+
+        from rdf_diff_store_spark.streaming.ingest import StreamingChangelogWriter
+
+        table = str(tmp_path / "log")
+        w = StreamingChangelogWriter(spark, table, n_buckets=4)
+        ttl = '<http://e/{0}> <http://e/p> "{0}" .'
+        for i, batch in enumerate([[0, 1, 2, 3, 4, 5], [0], [1, 2]]):
+            rows = [(f"g{g}", f"2024-01-0{i+1} 00:00:00", "add", ttl.format(f"{g}.{i}")) for g in batch]
+            w.process_batch(self._updates(spark, rows), i)
+        via_manifest = w._bucket_versions(2)
+        os.remove(os.path.join(w.state_dir, "v-2", "_manifest"))
+        via_walk = w._bucket_versions(2)
+        assert via_manifest == via_walk
+        assert w._read_state(2).count() == 6  # all graphs resolved
+
     def test_changed_bucket_count_on_restart_is_ignored(self, spark, tmp_path):
         from rdf_diff_store_spark.streaming.ingest import StreamingChangelogWriter
 
