@@ -49,18 +49,42 @@ def _term(value) -> dict | None:
 def to_sparql_json(df: DataFrame, limit: int | None = None) -> str:
     """Serialize a solution-sequence DataFrame to SPARQL-JSON text.
     Driver-side collect — results are human-scale by contract (the
-    reference caches whole JSON bodies in a 1000-entry LRU)."""
+    reference caches whole JSON bodies in a 1000-entry LRU).
+
+    Hidden `_lang_v`/`_dt_v` typing columns (present when the query
+    ran with keep_typing over a typed view) drive exact term typing:
+    xml:lang for language-tagged literals, datatype for typed ones,
+    and NULL/NULL ⇔ IRI — the oxigraph-faithful response shape. Frames
+    without typing columns fall back to the lexical heuristic."""
     rows = df.limit(limit).collect() if limit else df.collect()
+    visible = [c for c in df.columns if not c.startswith(("_lang_", "_dt_", "_"))]
+    has_typing = {
+        v: (f"_lang_{v}" in df.columns and f"_dt_{v}" in df.columns) for v in visible
+    }
     bindings = []
     for row in rows:
         b = {}
-        for var in df.columns:
-            t = _term(row[var])
+        for var in visible:
+            value = row[var]
+            if value is None:
+                continue
+            if has_typing[var] and isinstance(value, str):
+                lang, dt = row[f"_lang_{var}"], row[f"_dt_{var}"]
+                if lang:
+                    b[var] = {"type": "literal", "value": value, "xml:lang": lang}
+                elif dt:
+                    b[var] = {"type": "literal", "value": value, "datatype": dt}
+                elif value.startswith("_:"):
+                    b[var] = {"type": "bnode", "value": value[2:]}
+                else:
+                    b[var] = {"type": "uri", "value": value}
+                continue
+            t = _term(value)
             if t is not None:
                 b[var] = t
         bindings.append(b)
     return json.dumps(
-        {"head": {"vars": list(df.columns)}, "results": {"bindings": bindings}},
+        {"head": {"vars": visible}, "results": {"bindings": bindings}},
         ensure_ascii=False,
         sort_keys=True,
     )

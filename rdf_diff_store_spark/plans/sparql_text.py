@@ -1409,11 +1409,17 @@ def _dataset_views(triples: DataFrame, q: _Query):
     return default, named
 
 
-def sparql_query(triples: DataFrame, query: str) -> DataFrame:
+def sparql_query(
+    triples: DataFrame, query: str, keep_typing: bool = False
+) -> DataFrame:
     """Evaluate a SPARQL query string (SELECT / ASK / CONSTRUCT)
     against a (subj, pred, obj) triples DataFrame — the full request
     surface of the reference's /api/sparql endpoint
-    (src/bin/rdf-query-cache.rs:44-53)."""
+    (src/bin/rdf-query-cache.rs:44-53).
+
+    `keep_typing=True` retains the hidden `_lang_v`/`_dt_v` columns of
+    projected variables in SELECT results so serializers (sparql_json)
+    can emit exact term typing; plain callers get clean columns."""
     q = _parse(query)
     if q.form == "ASK":
         default, named = _dataset_views(triples, q)
@@ -1467,7 +1473,7 @@ def sparql_query(triples: DataFrame, query: str) -> DataFrame:
         for p_ in parts[1:]:
             out = out.unionByName(p_)
         return out.distinct()  # a constructed graph is a set of triples
-    return _compile_select(triples, q)
+    return _compile_select(triples, q, keep_typing=keep_typing)
 
 
 def _order_key_vars(order_by) -> list[str]:
@@ -1493,7 +1499,9 @@ def _order_key_vars(order_by) -> list[str]:
     return out
 
 
-def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
+def _compile_select(
+    triples: DataFrame, q: _Query, keep_typing: bool = False
+) -> DataFrame:
     default, named = _dataset_views(triples, q)
     df = _compile_group(default, q.where, named=named)
     ord_hidden: list[str] = []  # hidden ORDER BY aggregate columns
@@ -1573,6 +1581,12 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
                 else:
                     _, expr, alias = item
                     cols.append(_compile_expr(expr).alias(alias))
+            if keep_typing:
+                for item in q.projection:
+                    if item[0] == "var":
+                        for h in (f"_lang_{item[1]}", f"_dt_{item[1]}"):
+                            if h in df.columns:
+                                cols.append(F.col(h))
             # SPARQL orders SOLUTIONS before projection (18.5): sort
             # keys may reference vars the SELECT drops. When they do
             # (and no DISTINCT intervenes — dedup would both destroy
@@ -1601,8 +1615,19 @@ def _compile_select(triples: DataFrame, q: _Query) -> DataFrame:
 
     if q.projection is None:
         # SELECT *: hidden helper columns (_match, _lang_*, _dt_*)
-        # never appear in results
+        # never appear in results — except the typing columns of
+        # surviving variables when the caller asked to keep them
         hidden = [c for c in df.columns if c.startswith("_")]
+        if keep_typing:
+            visible = {c for c in df.columns if not c.startswith("_")}
+            hidden = [
+                c
+                for c in hidden
+                if not (
+                    (c.startswith("_lang_") and c[6:] in visible)
+                    or (c.startswith("_dt_") and c[4:] in visible)
+                )
+            ]
         if hidden:
             df = df.drop(*hidden)
     if q.distinct:
@@ -1657,7 +1682,9 @@ def sparql_json(triples: DataFrame, query: str, limit: int | None = None) -> str
     # dispatch on the PARSED query form, not on output column names —
     # a SELECT projecting a variable named ?ask is still a SELECT
     form = _parse(query).form
-    df = sparql_query(triples, query)
+    # keep_typing: the serializer emits xml:lang / datatype / uri from
+    # the hidden typing columns when the view carries them
+    df = sparql_query(triples, query, keep_typing=(form == "SELECT"))
     if form == "ASK":
         return ask_json(bool(df.first()["ask"]))
     return to_sparql_json(df, limit=limit)

@@ -376,6 +376,32 @@ class TestBucketedStreamingState:
         assert w2.n_buckets == 4  # recorded table property wins
 
 
+class TestTypedSparqlJson:
+    def test_bindings_carry_lang_datatype_uri(self, spark):
+        import json
+
+        from rdf_diff_store_spark.plans.sparql_text import sparql_json, sparql_query
+
+        rows = [
+            ("g", "s1", "label", "hei", "nb", None),
+            ("g", "s2", "count", "42", None, XSD + "integer"),
+            ("g", "s3", "knows", "http://ex.org/o", None, None),
+        ]
+        t = spark.createDataFrame(rows, TYPED_SCHEMA)
+        doc = json.loads(sparql_json(t, "SELECT ?p ?o WHERE { ?s ?p ?o }"))
+        by_pred = {
+            b["p"]["value"]: b["o"] for b in doc["results"]["bindings"]
+        }
+        assert by_pred["label"] == {"type": "literal", "value": "hei", "xml:lang": "nb"}
+        assert by_pred["count"] == {
+            "type": "literal", "value": "42", "datatype": XSD + "integer",
+        }
+        assert by_pred["knows"] == {"type": "uri", "value": "http://ex.org/o"}
+        assert doc["head"]["vars"] == ["p", "o"]  # hidden cols never leak
+        # plain callers still get clean columns
+        assert sparql_query(t, "SELECT ?o WHERE { ?s <label> ?o }").columns == ["o"]
+
+
 class TestConstructWhere:
     def test_shorthand_and_path_rejection(self, spark):
         from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
