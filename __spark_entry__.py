@@ -3334,6 +3334,105 @@ SELECT * FROM (VALUES
 }
 
 
+def q_entity_link_scores(spark, sf_dir):
+    """Entity-link scoring (north_star stage 2b): corpus-derived alias
+    dictionary (top-50 tokens, broadcast) × mentions under a JVM
+    levenshtein<=2 band predicate; the score combination is the ONE
+    Arrow pandas-UDF hop (numeric columns only), pure IEEE rational
+    arithmetic so the DuckDB twin is bit-exact.
+    pipeline/linking.py."""
+    from rdf_diff_store_spark.pipeline.linking import (
+        candidate_dictionary,
+        entity_link_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = candidate_dictionary(docs, top_n=50)
+    return entity_link_scores(docs, cands, max_lev=2)
+
+
+T_UPDATE = "2024-06-01 00:00:00"
+
+
+def q_sparql_update_roundtrip(spark, sf_dir):
+    """SPARQL 1.1 UPDATE applied to the versioned store: a DELETE/
+    INSERT WHERE predicate rename (new version per touched graph), an
+    INSERT DATA named-graph create, and a DELETE WHERE that empties
+    graphs (tombstones). Result = the store's triples after the
+    update. plans/sparql_update.py::apply_update."""
+    from rdf_diff_store_spark.operators.versioned import snapshot_triples
+    from rdf_diff_store_spark.plans.sparql_update import apply_update
+
+    log = changelog_from_events(spark, sf_dir)
+    upd = """
+PREFIX ex: <http://ex.org/>
+DELETE { ?s ex:value ?v } INSERT { ?s ex:valueCents ?v } WHERE { ?s ex:value ?v } ;
+INSERT DATA { GRAPH <urn:audit> { <urn:audit> ex:updatedBy "sparql-update" } } ;
+DELETE WHERE { ?s ex:valueCents "0" }
+"""
+    new_log = apply_update(log, upd, T_UPDATE)
+    return snapshot_triples(new_log, T_UPDATE).select(
+        "graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"
+    )
+
+
+_ORACLE_R4 = {
+    "sparql_update_roundtrip": f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY graph_id
+      ORDER BY ts DESC, op DESC, coalesce(content_hash, '') DESC) AS rn
+  FROM changelog
+),
+live AS (
+  SELECT graph_id,
+         regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+         regexp_extract(payload, '"([^"]*)"', 1) AS cents
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT graph_id, subj, 'http://ex.org/valueCents' AS pred, cents AS obj,
+       'http://www.w3.org/2001/XMLSchema#string' AS obj_dt,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM live WHERE cents <> '0'
+UNION ALL
+SELECT 'urn:audit', 'urn:audit', 'http://ex.org/updatedBy', 'sparql-update',
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR)
+""",
+    "entity_link_scores": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS alias
+  FROM documents
+), ftok AS (
+  SELECT doc_id, alias FROM tok WHERE regexp_matches(alias, '^[A-Za-z]{5,}$')
+), counts AS (
+  SELECT alias, CAST(count(*) AS BIGINT) AS alias_freq FROM ftok GROUP BY alias
+), top AS (
+  SELECT alias, alias_freq FROM counts ORDER BY alias_freq DESC, alias ASC LIMIT 50
+), cand AS (
+  SELECT t.alias, t.alias_freq, m.max_freq
+  FROM top t CROSS JOIN (SELECT MAX(alias_freq) AS max_freq FROM top) m
+), mentions AS (
+  SELECT DISTINCT doc_id, alias AS mention FROM ftok
+), scored AS (
+  SELECT m.doc_id, m.mention, c.alias,
+    0.8::DOUBLE * (1.0::DOUBLE - CAST(levenshtein(m.mention, c.alias) AS DOUBLE)
+                   / CAST(GREATEST(length(m.mention), length(c.alias)) AS DOUBLE))
+    + 0.2::DOUBLE * (CAST(c.alias_freq AS DOUBLE) / CAST(c.max_freq AS DOUBLE)) AS score
+  FROM mentions m JOIN cand c ON levenshtein(m.mention, c.alias) <= 2
+)
+SELECT doc_id, mention, alias AS entity, ROUND(score, 4) AS score, n_candidates
+FROM (
+  SELECT doc_id, mention, alias, score,
+         CAST(COUNT(*) OVER (PARTITION BY doc_id, mention) AS BIGINT) AS n_candidates,
+         ROW_NUMBER() OVER (PARTITION BY doc_id, mention
+                            ORDER BY score DESC, alias DESC) AS rn
+  FROM scored
+) WHERE rn = 1
+""",
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries (verified in r02 — CORRECTNESS keys == first 50).
@@ -3486,6 +3585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_simhash_pairs": q_doc_simhash_pairs,
         "sparql_text_order_agg": q_sparql_text_order_agg,
         "sparql_text_construct_where": q_sparql_text_construct_where,
+        "entity_link_scores": q_entity_link_scores,
+        "sparql_update_roundtrip": q_sparql_update_roundtrip,
     }
 
 
@@ -3505,4 +3606,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_PIPELINE_EXTRA)
     out.update(_ORACLE_R3)
     out.update(_ORACLE_TPCH_TAIL)
+    out.update(_ORACLE_R4)
     return out

@@ -1,0 +1,121 @@
+"""Entity-link scoring: mention → candidate-entity scores via an
+Arrow-batched pandas UDF (the north_star's "batched mention detection
+and entity-link scoring via Arrow pandas UDFs" stage; the reference
+delegates all entity semantics to opaque graph payloads —
+/root/reference/src/graphs.rs:17-61 stores, never links — so this
+stage is specified by BASELINE.json's north_star, not by reference
+code).
+
+Design for 100 TB:
+
+* The candidate dictionary is TINY relative to the corpus (top-N
+  aliases) — it broadcasts; the mention×candidate match is a
+  broadcast nested-loop join with a JVM `levenshtein` band predicate,
+  never a shuffle of the corpus.
+* Feature extraction (edit distance, lengths, corpus priors) stays
+  JVM-side inside whole-stage codegen; ONLY the final score
+  combination crosses to Python, as one Arrow-vectorized pandas UDF
+  over numeric columns (no strings cross the boundary).
+* Scoring uses pure IEEE-754 rational arithmetic (no transcendentals)
+  so the DuckDB oracle twin reproduces it bit-for-bit.
+* Top-1 link per mention is a `max_by` hash-aggregation (partial +
+  final combine), not a window sort.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+ALIAS_RE = r"^[A-Za-z]{5,}$"
+
+
+@pandas_udf("double")
+def link_score(
+    lev: pd.Series, tok_len: pd.Series, alias_len: pd.Series,
+    freq: pd.Series, max_freq: pd.Series,
+) -> pd.Series:
+    """score = 0.8 * string_similarity + 0.2 * corpus_prior.
+
+    Vectorized numpy float64 throughout; every operation is an exact
+    IEEE primitive (div/mul/add, max), so any engine computing the
+    same formula in doubles produces the identical bit pattern —
+    the basis for the DuckDB oracle twin.
+    """
+    max_len = pd.concat([tok_len, alias_len], axis=1).max(axis=1).astype("float64")
+    sim = 1.0 - lev.astype("float64") / max_len
+    prior = freq.astype("float64") / max_freq.astype("float64")
+    return 0.8 * sim + 0.2 * prior
+
+
+def candidate_dictionary(docs: DataFrame, text_col: str = "text", top_n: int = 50) -> DataFrame:
+    """Corpus-derived alias dictionary: the top_n most frequent
+    entity-shaped tokens with their corpus frequency and the corpus
+    max frequency (carried on every row so prior normalization never
+    needs a second pass). Deterministic order: (freq DESC, alias ASC).
+    """
+    tokens = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("alias")
+    ).filter(F.col("alias").rlike(ALIAS_RE))
+    counts = tokens.groupBy("alias").agg(F.count("*").alias("alias_freq"))
+    top = counts.orderBy(F.col("alias_freq").desc(), F.col("alias").asc()).limit(top_n)
+    # top_n rows: the scalar max rides a broadcast-joined literal frame
+    mx = top.agg(F.max("alias_freq").alias("max_freq"))
+    return top.crossJoin(F.broadcast(mx))
+
+
+def entity_link_scores(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_lev: int = 2,
+) -> DataFrame:
+    """Top-1 entity link per (doc, mention): broadcast band join on
+    levenshtein <= max_lev, Arrow-batched score, max_by winner with a
+    deterministic (score, entity) tie-break. Exact matches of an
+    alias with itself (lev=0) naturally score highest on the string
+    term; the prior breaks ties between near-miss aliases."""
+    mentions = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("mention"),
+        )
+        .filter(F.col("mention").rlike(ALIAS_RE))
+        .distinct()
+    )
+    lev = F.levenshtein(F.col("mention"), F.col("alias"))
+    scored = (
+        mentions.join(
+            F.broadcast(candidates), lev <= F.lit(max_lev)
+        )
+        .withColumn(
+            "score",
+            link_score(
+                lev.cast("long"),
+                F.length("mention").cast("long"),
+                F.length("alias").cast("long"),
+                F.col("alias_freq").cast("long"),
+                F.col("max_freq").cast("long"),
+            ),
+        )
+    )
+    # winner per mention: hash-agg max_by on (score, alias) — ties on
+    # the double score fall to the lexicographically LAST alias, a
+    # total order both engines agree on
+    return (
+        scored.groupBy("doc_id", "mention")
+        .agg(
+            F.max_by(F.struct(F.col("score"), F.col("alias")), F.struct(F.col("score"), F.col("alias"))).alias("w"),
+            F.count("*").alias("n_candidates"),
+        )
+        .select(
+            "doc_id",
+            "mention",
+            F.col("w.alias").alias("entity"),
+            F.round(F.col("w.score"), 4).alias("score"),
+            "n_candidates",
+        )
+    )

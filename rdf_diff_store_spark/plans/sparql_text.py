@@ -75,10 +75,12 @@ _TOKEN = re.compile(
     (?P<var>\?[A-Za-z_][A-Za-z0-9_]*)
   | (?P<iri><[^<>\s]*>)
   | (?P<string>"(?:[^"\\]|\\.)*")
+  | (?P<langtag>@[A-Za-z][A-Za-z0-9\-]*)
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
        |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH|REDUCED
        |FROM|NAMED
+       |INSERT|DELETE|DATA|WITH|CLEAR|DROP|ALL|DEFAULT
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
   | (?P<bnode>_:[A-Za-z][A-Za-z0-9_\-]*)

@@ -1,0 +1,467 @@
+"""SPARQL 1.1 UPDATE over the versioned store.
+
+The reference writes through its REST surface (POST/DELETE
+/api/graphs, /root/reference/src/main.rs:118-161) and reads through
+SPARQL; this module closes the standard write-protocol gap: UPDATE
+operations compile onto the SAME versioned-changelog operators the
+REST path uses (operators/versioned.py append_updates/tombstones), so
+every UPDATE lands as new graph versions with the store's idempotence
+and diff semantics intact.
+
+Supported operations (sequences separated by `;`):
+
+* ``INSERT DATA { quads }`` / ``DELETE DATA { quads }``
+* ``DELETE WHERE { pattern }``
+* ``[WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { group }``
+  (either template may be absent)
+* ``CLEAR GRAPH <g> | CLEAR ALL`` / ``DROP GRAPH <g> | DROP ALL``
+
+Dataset semantics: this store is a dataset of NAMED graphs only (one
+graph per resource, reference src/graphs.rs:17-24). Therefore:
+
+* Quads outside a ``GRAPH`` block in DATA / templates target the
+  graph bound by ``WITH <g>`` when present; otherwise, in WHERE-driven
+  forms, they target the graph each solution was matched in (the
+  pattern is implicitly scoped per graph — the natural reading when
+  the dataset is a disjoint union of per-resource graphs); in
+  INSERT/DELETE DATA they target ``default_graph``.
+* A WHERE group that uses explicit ``GRAPH`` clauses disables the
+  implicit per-graph scoping, and templates must then name their
+  graphs explicitly (loud error otherwise).
+
+Spark-first execution: the working state is the snapshot-triples
+frame; each operation is a union / null-safe anti-join (set algebra,
+JVM-only), WHERE groups are compiled by the existing algebra
+(plans/sparql_text.py — joins, paths, filters all reusable), and only
+TOUCHED graphs are re-serialized and appended as new versions.
+Sequential ops are separated by eager localCheckpoints — the same
+transaction barrier the reference's write lock provides
+(src/graphs.rs:46-50) — so op N+1 reads op N's committed state, and
+at scale a multi-op update costs O(ops) materializations of the
+touched subset, not the store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.plans.algebra import Var
+from rdf_diff_store_spark.plans.sparql_text import (
+    SparqlParseError,
+    _Tokens,
+    sparql_query,
+)
+
+XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+XSD_DECIMAL = "http://www.w3.org/2001/XMLSchema#decimal"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+# implicit per-solution graph variable for WHERE-scoped forms; not
+# underscore-prefixed (SELECT * would strip it) but collision-checked
+SCOPE_VAR = "g_upd_scope"
+
+_TERM_FIELDS = ("subj", "pred", "obj", "obj_dt", "obj_lang")
+
+
+@dataclass
+class _Term:
+    """A ground term or variable in a quad template."""
+
+    kind: str  # "iri" | "lit" | "var"
+    value: str
+    dt: str | None = None
+    lang: str | None = None
+
+
+@dataclass
+class _Op:
+    kind: str  # insert_data | delete_data | delete_where | modify | clear
+    # quads: (graph: str | Var | None, s, p, o) with _Term terms
+    inserts: list = field(default_factory=list)
+    deletes: list = field(default_factory=list)
+    where_tokens: list = field(default_factory=list)  # token values incl. braces
+    with_graph: str | None = None
+    clear_target: str | None = None  # IRI or "ALL"
+    has_explicit_graph_in_where: bool = False
+
+
+def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
+    ts = _Tokens(text)
+    prefixes: dict[str, str] = {}
+
+    def resolve(val: str) -> str:
+        pfx, _, local = val.partition(":")
+        if pfx not in prefixes:
+            raise SparqlParseError(f"unknown prefix {pfx!r}")
+        return prefixes[pfx] + local
+
+    def iri_token() -> str:
+        k, v = ts.next()
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            return resolve(v)
+        raise SparqlParseError(f"expected an IRI, got {v!r}")
+
+    def term(allow_var: bool) -> _Term:
+        k, v = ts.next()
+        if k == "var":
+            if not allow_var:
+                raise SparqlParseError(f"variable {v!r} not allowed in ground data")
+            return _Term("var", v[1:])
+        if k == "iri":
+            return _Term("iri", v[1:-1])
+        if k == "pname":
+            return _Term("iri", resolve(v))
+        if k == "kw" and v == "a":
+            return _Term("iri", RDF_TYPE)
+        if k == "number":
+            dt = XSD_DECIMAL if "." in v else XSD_INTEGER
+            return _Term("lit", v, dt=dt)
+        if k == "kw" and v in ("TRUE", "FALSE"):
+            return _Term("lit", v.lower(), dt="http://www.w3.org/2001/XMLSchema#boolean")
+        if k == "string":
+            lex = v[1:-1].replace('\\"', '"')
+            nk, nv = ts.peek()
+            if nk == "langtag":
+                ts.next()
+                return _Term("lit", lex, lang=nv[1:])
+            if nk == "op" and nv == "^":
+                k2, v2 = ts.peek(1)
+                if k2 == "op" and v2 == "^":
+                    ts.next()
+                    ts.next()
+                    return _Term("lit", lex, dt=iri_token())
+                raise SparqlParseError("datatype needs ^^<iri>")
+            return _Term("lit", lex, dt=XSD_STRING)
+        raise SparqlParseError(f"bad term {v!r} in update quads")
+
+    def parse_quads(allow_var: bool) -> list:
+        """`{ (GRAPH g { triples })* triples* }` with `;`/`,` lists."""
+        ts.expect("{")
+        out: list = []
+
+        def triples_into(graph) -> None:
+            while ts.peek()[1] not in ("}", None, "GRAPH"):
+                s = term(allow_var)
+                while True:
+                    p = term(allow_var)
+                    while True:
+                        o = term(allow_var)
+                        out.append((graph, s, p, o))
+                        if ts.peek()[1] == ",":
+                            ts.next()
+                            continue
+                        break
+                    if ts.peek()[1] == ";":
+                        ts.next()
+                        if ts.peek()[1] in (".", "}", "GRAPH"):
+                            break
+                        continue
+                    break
+                if ts.peek()[1] == ".":
+                    ts.next()
+
+        while ts.peek()[1] != "}":
+            if ts.peek()[1] == "GRAPH":
+                ts.next()
+                k, v = ts.peek()
+                if k == "var":
+                    if not allow_var:
+                        raise SparqlParseError("GRAPH ?var not allowed in ground data")
+                    ts.next()
+                    g: object = Var(v[1:])
+                else:
+                    g = iri_token()
+                ts.expect("{")
+                triples_into(g)
+                if ts.peek()[1] == "GRAPH":
+                    raise SparqlParseError("GRAPH blocks cannot nest in quad data")
+                ts.expect("}")
+            else:
+                triples_into(None)
+        ts.expect("}")
+        return out
+
+    def capture_group() -> tuple[list, bool]:
+        """Collect the raw tokens of one balanced `{ ... }` group (for
+        re-serialization into a SELECT) and whether it uses GRAPH."""
+        toks: list = []
+        has_graph = False
+        k, v = ts.next()
+        if v != "{":
+            raise SparqlParseError("expected '{'")
+        depth = 1
+        toks.append(v)
+        while depth:
+            k, v = ts.next()
+            if v == "{":
+                depth += 1
+            elif v == "}":
+                depth -= 1
+            elif v == "GRAPH":
+                has_graph = True
+            toks.append(v)
+        return toks, has_graph
+
+    while ts.peek()[1] == "PREFIX":
+        ts.next()
+        k, pname = ts.next()
+        if k != "pname":
+            raise SparqlParseError(f"bad PREFIX name {pname!r}")
+        k, iri = ts.next()
+        if k != "iri":
+            raise SparqlParseError("PREFIX needs an <iri>")
+        prefixes[pname.rstrip(":")] = iri[1:-1]
+
+    ops: list[_Op] = []
+    while ts.peek()[1] is not None:
+        kind, val = ts.next()
+        if val in ("CLEAR", "DROP"):
+            op = _Op("clear")
+            k, v = ts.next()
+            if v == "GRAPH":
+                op.clear_target = iri_token()
+            elif v in ("ALL", "DEFAULT", "NAMED"):
+                op.clear_target = "ALL"
+            else:
+                raise SparqlParseError(f"{val} needs GRAPH <iri> or ALL")
+            ops.append(op)
+        elif val == "INSERT" and ts.peek()[1] == "DATA":
+            ts.next()
+            ops.append(_Op("insert_data", inserts=parse_quads(allow_var=False)))
+        elif val == "DELETE" and ts.peek()[1] == "DATA":
+            ts.next()
+            ops.append(_Op("delete_data", deletes=parse_quads(allow_var=False)))
+        elif val == "DELETE" and ts.peek()[1] == "WHERE":
+            ts.next()
+            # the pattern IS the template; re-serialize it for the WHERE
+            mark = ts.i
+            quads = parse_quads(allow_var=True)
+            toks = [v for _, v in ts.toks[mark : ts.i]]
+            op = _Op("delete_where", deletes=quads, where_tokens=toks)
+            op.has_explicit_graph_in_where = any(t == "GRAPH" for t in toks)
+            ops.append(op)
+        elif val in ("WITH", "DELETE", "INSERT"):
+            op = _Op("modify")
+            if val == "WITH":
+                op.with_graph = iri_token()
+                kind, val = ts.next()
+            if val == "DELETE":
+                op.deletes = parse_quads(allow_var=True)
+                if ts.peek()[1] == "INSERT":
+                    ts.next()
+                    op.inserts = parse_quads(allow_var=True)
+            elif val == "INSERT":
+                op.inserts = parse_quads(allow_var=True)
+            else:
+                raise SparqlParseError(f"expected DELETE or INSERT, got {val!r}")
+            ts.expect("WHERE")
+            op.where_tokens, op.has_explicit_graph_in_where = capture_group()
+            ops.append(op)
+        else:
+            raise SparqlParseError(f"unsupported update operation {val!r}")
+        if ts.peek()[1] == ";":
+            ts.next()
+    return ops, prefixes
+
+
+def _null_safe_anti(state: DataFrame, dels: DataFrame) -> DataFrame:
+    """state MINUS dels on the full quad identity (graph, term,
+    typing) — typing columns compare null-safely so IRI objects
+    (NULL/NULL) and "x"@en vs "x"^^t all have distinct identities."""
+    d = dels
+    for c in d.columns:
+        d = d.withColumnRenamed(c, f"__d_{c}")
+    cond = None
+    for c in ("graph_id", "subj", "pred", "obj"):
+        e = F.col(c) == F.col(f"__d_{c}")
+        cond = e if cond is None else cond & e
+    for c in ("obj_dt", "obj_lang"):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__d_{c}"))
+    return state.join(d, cond, "left_anti")
+
+
+def _instantiate(
+    quads: list, bindings: DataFrame | None, with_graph: str | None, scope_bound: bool
+) -> DataFrame | None:
+    """Template quads × solution bindings → quad rows. Ground terms
+    become literals; variables project binding columns (object-position
+    typing restored from the hidden _lang_/_dt_ columns when the WHERE
+    carried them). Solutions leaving any position unbound are dropped,
+    per SPARQL 1.1 Update §3.1.3."""
+    if bindings is None:
+        return None
+    parts = []
+    for g, s, p, o in quads:
+        cols = []
+        if isinstance(g, Var):
+            if g.name not in bindings.columns:
+                raise SparqlParseError(f"template GRAPH ?{g.name} is not bound")
+            cols.append(F.col(g.name).cast("string").alias("graph_id"))
+        elif g is not None:
+            cols.append(F.lit(g).alias("graph_id"))
+        elif with_graph is not None:
+            cols.append(F.lit(with_graph).alias("graph_id"))
+        elif scope_bound:
+            cols.append(F.col(SCOPE_VAR).cast("string").alias("graph_id"))
+        else:
+            raise SparqlParseError(
+                "template quad has no graph: use GRAPH { }, WITH <g>, or an "
+                "implicitly scoped WHERE (no explicit GRAPH clauses)"
+            )
+        for t, name in ((s, "subj"), (p, "pred")):
+            if t.kind == "var":
+                if t.value not in bindings.columns:
+                    raise SparqlParseError(f"template var ?{t.value} is not bound")
+                cols.append(F.col(t.value).cast("string").alias(name))
+            else:
+                cols.append(F.lit(t.value).alias(name))
+        if o.kind == "var":
+            if o.value not in bindings.columns:
+                raise SparqlParseError(f"template var ?{o.value} is not bound")
+            cols.append(F.col(o.value).cast("string").alias("obj"))
+            lang_c, dt_c = f"_lang_{o.value}", f"_dt_{o.value}"
+            cols.append(
+                (F.col(dt_c) if dt_c in bindings.columns else F.lit(None))
+                .cast("string")
+                .alias("obj_dt")
+            )
+            cols.append(
+                (F.col(lang_c) if lang_c in bindings.columns else F.lit(None))
+                .cast("string")
+                .alias("obj_lang")
+            )
+        else:
+            cols.append(F.lit(o.value).alias("obj"))
+            cols.append(F.lit(o.dt if o.kind == "lit" else None).cast("string").alias("obj_dt"))
+            cols.append(F.lit(o.lang).cast("string").alias("obj_lang"))
+        parts.append(bindings.select(*cols))
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    # drop solutions that left a position unbound (OPTIONAL vars)
+    for c in ("graph_id", "subj", "pred", "obj"):
+        out = out.filter(F.col(c).isNotNull())
+    return out.distinct()
+
+
+def _ground_rows(spark, quads: list, default_graph: str) -> DataFrame:
+    rows = []
+    for g, s, p, o in quads:
+        gid = g if isinstance(g, str) else default_graph
+        rows.append(
+            (
+                gid,
+                s.value,
+                p.value,
+                o.value,
+                o.dt if o.kind == "lit" else None,
+                o.lang,
+            )
+        )
+    return spark.createDataFrame(
+        rows, "graph_id string, subj string, pred string, obj string, obj_dt string, obj_lang string"
+    )
+
+
+def _where_bindings(
+    state: DataFrame, op: _Op, prefixes: dict[str, str]
+) -> tuple[DataFrame, bool]:
+    """Compile the op's WHERE group with the existing query engine.
+    Without explicit GRAPH clauses (and no WITH), the group is wrapped
+    in GRAPH ?g_upd_scope so each solution carries the graph it
+    matched in."""
+    body = " ".join(op.where_tokens)
+    scope = not op.has_explicit_graph_in_where and op.with_graph is None
+    if scope:
+        body = "{ GRAPH ?%s %s }" % (SCOPE_VAR, body)
+    elif op.with_graph is not None:
+        body = "{ GRAPH <%s> %s }" % (op.with_graph, body)
+    prologue = " ".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
+    text = f"{prologue} SELECT * WHERE {body}"
+    bindings = sparql_query(state, text, keep_typing=True)
+    if scope and SCOPE_VAR not in bindings.columns:
+        raise SparqlParseError(
+            f"?{SCOPE_VAR} is reserved for update graph scoping"
+        )
+    return bindings, scope
+
+
+def apply_update(
+    changelog: DataFrame,
+    update_text: str,
+    ts,
+    default_graph: str = "urn:x-default",
+) -> DataFrame:
+    """Apply a SPARQL UPDATE string to the store as of its latest
+    state; every touched graph gains a new version (or tombstone) at
+    `ts`. Returns the new changelog (normalized, idempotent — applying
+    the same no-effect update twice appends nothing)."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples, serialize_graph
+    from rdf_diff_store_spark.operators.versioned import (
+        append_updates,
+        current_state,
+    )
+
+    spark = changelog.sparkSession
+    ops, prefixes = _parse_update(update_text)
+
+    live = current_state(changelog).filter(F.col("op") != "delete")
+    before = parse_triples(live).select(*(("graph_id",) + _TERM_FIELDS))
+    state = before.localCheckpoint()
+
+    for op in ops:
+        if op.kind == "clear":
+            if op.clear_target == "ALL":
+                state = state.limit(0)
+            else:
+                state = state.filter(F.col("graph_id") != F.lit(op.clear_target))
+        elif op.kind == "insert_data":
+            rows = _ground_rows(spark, op.inserts, default_graph)
+            state = state.unionByName(rows).distinct()
+        elif op.kind == "delete_data":
+            state = _null_safe_anti(
+                state, _ground_rows(spark, op.deletes, default_graph)
+            )
+        else:  # delete_where / modify
+            bindings, scope = _where_bindings(state, op, prefixes)
+            if op.deletes:
+                dels = _instantiate(op.deletes, bindings, op.with_graph, scope)
+                state = _null_safe_anti(state, dels)
+            if op.inserts:
+                ins = _instantiate(op.inserts, bindings, op.with_graph, scope)
+                state = state.unionByName(ins).distinct()
+        # transaction barrier: the next op must read this op's result,
+        # and an eager checkpoint prevents racy double-compute of the
+        # branchy plan (CLAUDE.md); O(ops) barriers, each touching only
+        # the working subset
+        state = state.localCheckpoint()
+
+    # touched graphs only: serialize old and new states per graph and
+    # diff the canonical docs — a per-graph agg + one full outer join
+    # on graph_id, both broadcast-friendly at the touched-graph scale
+    old_docs = serialize_graph(before).withColumnRenamed("doc", "old_doc")
+    new_docs = serialize_graph(state).withColumnRenamed("doc", "new_doc")
+    delta = old_docs.join(new_docs, "graph_id", "full_outer")
+    t = F.lit(ts).cast("timestamp")
+    updates = (
+        delta.filter(
+            ~F.col("old_doc").eqNullSafe(F.col("new_doc"))
+        )
+        .select(
+            "graph_id",
+            t.alias("ts"),
+            F.when(F.col("new_doc").isNull(), F.lit("delete"))
+            .otherwise(F.lit("add"))
+            .alias("op"),
+            F.when(
+                F.col("new_doc").isNotNull(), F.concat(F.col("new_doc"), F.lit("\n"))
+            ).alias("payload"),
+        )
+    )
+    return append_updates(changelog, updates)

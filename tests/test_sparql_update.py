@@ -1,0 +1,195 @@
+"""SPARQL 1.1 UPDATE over the versioned store
+(plans/sparql_update.py): operation forms, graph scoping, versioning
+semantics (new version per touched graph, tombstone on emptied
+graph), and idempotence through append_updates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.operators.versioned import snapshot_at, snapshot_triples
+from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
+from rdf_diff_store_spark.plans.sparql_update import apply_update
+
+T0 = "2024-01-01 00:00:00"
+T1 = "2024-06-01 00:00:00"
+T2 = "2024-07-01 00:00:00"
+
+
+def _log(spark, rows):
+    df = spark.createDataFrame(
+        rows, "graph_id string, ts string, op string, payload string"
+    ).select(
+        "graph_id", F.col("ts").cast("timestamp").alias("ts"), "op", "payload"
+    )
+    return df.withColumn(
+        "content_hash",
+        F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+            F.sha2("payload", 256)
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def base_log(spark):
+    return _log(
+        spark,
+        [
+            ("g:1", T0, "add", '<http://e/s1> <http://e/value> "10" .\n'),
+            ("g:2", T0, "add", '<http://e/s2> <http://e/value> "0" .\n'),
+            (
+                "g:3",
+                T0,
+                "add",
+                '<http://e/s3> <http://e/value> "7" .\n'
+                '<http://e/s3> <http://e/name> "three"@en .\n',
+            ),
+        ],
+    ).localCheckpoint()
+
+
+def _triples(log, t=T2):
+    return {
+        (r.graph_id, r.subj, r.pred, r.obj, r.obj_dt, r.obj_lang)
+        for r in snapshot_triples(log, t).collect()
+    }
+
+
+class TestUpdateForms:
+    def test_insert_data_creates_named_graph(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            'INSERT DATA { GRAPH <g:new> { <http://e/x> <http://e/p> "v" } }',
+            T1,
+        )
+        trip = _triples(out)
+        assert ("g:new", "http://e/x", "http://e/p", "v",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+        # untouched graphs keep their ORIGINAL version timestamp
+        snap = {r.graph_id: r.ts for r in snapshot_at(out, T2).collect()}
+        assert str(snap["g:1"]).startswith("2024-01-01")
+
+    def test_delete_data_removes_one_triple(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            'DELETE DATA { GRAPH <g:3> { <http://e/s3> <http://e/value> "7" } }',
+            T1,
+        )
+        trip = _triples(out)
+        assert not any(t[0] == "g:3" and t[2] == "http://e/value" for t in trip)
+        # the lang-tagged sibling survives with its typing intact
+        assert ("g:3", "http://e/s3", "http://e/name", "three", None, "en") in trip
+
+    def test_delete_where_tombstones_emptied_graph(self, spark, base_log):
+        out = apply_update(
+            base_log, 'DELETE WHERE { ?s <http://e/value> "0" }', T1
+        )
+        live = {r.graph_id for r in snapshot_at(out, T2).collect()}
+        assert "g:2" not in live and {"g:1", "g:3"} <= live
+        # before the update the graph was alive (time travel intact)
+        assert "g:2" in {r.graph_id for r in snapshot_at(out, T0).collect()}
+
+    def test_modify_rename_predicate_per_graph_scope(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "PREFIX ex: <http://e/> "
+            "DELETE { ?s ex:value ?v } INSERT { ?s ex:cents ?v } "
+            "WHERE { ?s ex:value ?v }",
+            T1,
+        )
+        trip = _triples(out)
+        assert ("g:1", "http://e/s1", "http://e/cents", "10",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+        assert not any(t[2] == "http://e/value" for t in trip)
+
+    def test_with_graph_scopes_where_and_template(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "WITH <g:1> DELETE { ?s <http://e/value> ?v } "
+            "INSERT { ?s <http://e/only1> ?v } WHERE { ?s <http://e/value> ?v }",
+            T1,
+        )
+        trip = _triples(out)
+        assert ("g:1", "http://e/s1", "http://e/only1", "10",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+        # other graphs untouched
+        assert ("g:2", "http://e/s2", "http://e/value", "0",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+
+    def test_clear_graph_and_clear_all(self, spark, base_log):
+        out = apply_update(base_log, "CLEAR GRAPH <g:1>", T1)
+        assert "g:1" not in {r.graph_id for r in snapshot_at(out, T2).collect()}
+        out_all = apply_update(base_log, "CLEAR ALL", T1)
+        assert snapshot_at(out_all, T2).count() == 0
+        assert snapshot_at(out_all, T0).count() == 3  # history preserved
+
+    def test_sequential_ops_see_prior_state(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            'INSERT DATA { GRAPH <g:t> { <http://e/a> <http://e/p> "x" } } ; '
+            "DELETE WHERE { ?s <http://e/p> ?o }",
+            T1,
+        )
+        assert "g:t" not in {r.graph_id for r in snapshot_at(out, T2).collect()}
+
+    def test_typed_literal_and_langtag_in_data(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "INSERT DATA { GRAPH <g:typed> { "
+            '<http://e/a> <http://e/n> "5"^^<http://www.w3.org/2001/XMLSchema#integer> . '
+            '<http://e/a> <http://e/l> "hei"@nb } }',
+            T1,
+        )
+        trip = _triples(out)
+        assert ("g:typed", "http://e/a", "http://e/n", "5",
+                "http://www.w3.org/2001/XMLSchema#integer", None) in trip
+        assert ("g:typed", "http://e/a", "http://e/l", "hei", None, "nb") in trip
+
+
+class TestUpdateSemantics:
+    def test_noop_update_appends_nothing(self, spark, base_log):
+        before = base_log.count()
+        out = apply_update(
+            base_log, 'DELETE WHERE { ?s <http://e/nosuch> ?o }', T1
+        )
+        assert out.count() == before
+
+    def test_reapplying_same_update_is_idempotent(self, spark, base_log):
+        upd = (
+            "PREFIX ex: <http://e/> DELETE { ?s ex:value ?v } "
+            "INSERT { ?s ex:cents ?v } WHERE { ?s ex:value ?v }"
+        )
+        once = apply_update(base_log, upd, T1).localCheckpoint()
+        twice = apply_update(once, upd, T2)
+        # second application matches nothing (value already renamed)
+        assert twice.count() == once.count()
+
+    def test_insert_existing_triple_is_noop_version(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            'INSERT DATA { GRAPH <g:1> { <http://e/s1> <http://e/value> "10" } }',
+            T1,
+        )
+        assert out.count() == base_log.count()
+
+    def test_explicit_graph_where_requires_graph_templates(self, spark, base_log):
+        with pytest.raises(SparqlParseError, match="no graph"):
+            apply_update(
+                base_log,
+                "DELETE { ?s <http://e/value> ?v } "
+                "WHERE { GRAPH <g:1> { ?s <http://e/value> ?v } }",
+                T1,
+            ).count()
+
+    def test_explicit_graph_var_template(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "DELETE { GRAPH ?g { ?s <http://e/value> ?v } } "
+            "WHERE { GRAPH ?g { ?s <http://e/value> ?v } }",
+            T1,
+        )
+        trip = _triples(out)
+        assert not any(t[2] == "http://e/value" for t in trip)
+        # g:3 keeps its name triple, g:1/g:2 are emptied → tombstoned
+        assert {r.graph_id for r in snapshot_at(out, T2).collect()} == {"g:3"}
