@@ -3376,7 +3376,182 @@ DELETE WHERE { ?s ex:valueCents "0" }
     )
 
 
+_TYPED_LIT_DOC = """
+@prefix ex: <http://ex.org/> .
+ex:d1 ex:label "hello"@en .
+ex:d2 ex:label "hello"@de .
+ex:d3 ex:label "hello" .
+ex:d4 ex:size "5"^^<http://www.w3.org/2001/XMLSchema#integer> .
+ex:d5 ex:size "5" .
+""".strip()
+
+
+def q_sparql_text_typed_literal(spark, sf_dir):
+    """Typed-literal constants in triple patterns: `"hello"@en`
+    matches only the en-tagged literal, `"5"^^xsd:integer` only the
+    typed one; a bare `"hello"` keeps lexical identity (all three).
+    plans/algebra.py TypedLit; tokenizer langtag/^^ support."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    docs = spark.createDataFrame(
+        [("g", 0, _TYPED_LIT_DOC)], "graph_id string, ts long, payload string"
+    )
+    triples = parse_triples(docs)
+    en = sparql_query(
+        triples, 'SELECT ?s WHERE { ?s <http://ex.org/label> "hello"@en }'
+    ).withColumn("q", F.lit("lang_en"))
+    typed = sparql_query(
+        triples,
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+        'SELECT ?s WHERE { ?s <http://ex.org/size> "5"^^xsd:integer }',
+    ).withColumn("q", F.lit("typed_int"))
+    bare = sparql_query(
+        triples, 'SELECT ?s WHERE { ?s <http://ex.org/label> "hello" }'
+    ).withColumn("q", F.lit("bare"))
+    return en.unionByName(typed).unionByName(bare)
+
+
+def q_doc_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per document by rational tf-idf
+    (tf × N/df — the log-free variant, so the score is exact IEEE
+    arithmetic and the DuckDB twin matches bit-for-bit). Two partial-
+    agg shuffles (term-frequency, document-frequency) + a window
+    ranked per doc_id; all JVM expressions."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tokens.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * (F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", F.col("rn").alias("rank"))
+    )
+
+
+def q_corpus_pmi_bigrams(spark, sf_dir):
+    """Corpus-level collocations: top-100 adjacent-token bigrams by
+    rational PMI ((c_xy/N_bi) / ((c_x/N_uni)·(c_y/N_uni)), log-free =
+    engine-exact), min count 5. Bigrams are arrays_zip of two slices
+    (no self-join); unigram/bigram totals ride broadcast scalar
+    frames; final top-k is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.trim(F.col("text")), r"\s+")
+    toks = docs.select(F.explode(arr).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n_uni = toks.agg(F.count("*").alias("n_uni"))
+    pairs = docs.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(arr, 1, F.size(arr) - 1).alias("x"),
+                F.slice(arr, 2, F.size(arr) - 1).alias("y"),
+            )
+        ).alias("p")
+    ).select(F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    bi = pairs.groupBy("x", "y").agg(F.count("*").alias("c_xy"))
+    n_bi = pairs.agg(F.count("*").alias("n_bi"))
+    cx = uni.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = uni.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    scored = (
+        bi.filter(F.col("c_xy") >= 5)
+        .join(cx, "x")
+        .join(cy, "y")
+        .crossJoin(F.broadcast(n_bi))
+        .crossJoin(F.broadcast(n_uni))
+        .withColumn(
+            "pmi_ratio",
+            F.round(
+                (F.col("c_xy").cast("double") / F.col("n_bi").cast("double"))
+                / (
+                    (F.col("c_x").cast("double") / F.col("n_uni").cast("double"))
+                    * (F.col("c_y").cast("double") / F.col("n_uni").cast("double"))
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.select("x", "y", "c_xy", "pmi_ratio")
+        .orderBy(F.col("pmi_ratio").desc(), F.col("x").asc(), F.col("y").asc())
+        .limit(100)
+    )
+
+
 _ORACLE_R4 = {
+    "sparql_text_typed_literal": """
+SELECT * FROM (VALUES
+  ('http://ex.org/d1', 'lang_en'),
+  ('http://ex.org/d4', 'typed_int'),
+  ('http://ex.org/d1', 'bare'),
+  ('http://ex.org/d2', 'bare'),
+  ('http://ex.org/d3', 'bare')
+) AS t(s, q)
+""",
+    "doc_tfidf_topk": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(CAST(tf.tf AS DOUBLE)
+               * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, tfidf, CAST(rank AS INT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    "corpus_pmi_bigrams": r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS l FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i])) AS x,
+         unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i + 1])) AS y
+  FROM t
+), toks AS (
+  SELECT unnest(l) AS tok FROM t
+), uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY tok
+), bi AS (
+  SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs GROUP BY x, y
+), nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM pairs),
+nu AS (SELECT CAST(count(*) AS BIGINT) AS n_uni FROM toks)
+SELECT bi.x, bi.y, bi.c_xy,
+       ROUND((CAST(bi.c_xy AS DOUBLE) / CAST(nb.n_bi AS DOUBLE))
+             / ((CAST(cx.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))
+                * (CAST(cy.c AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))), 4) AS pmi_ratio
+FROM bi JOIN uni cx ON bi.x = cx.tok JOIN uni cy ON bi.y = cy.tok
+CROSS JOIN nb CROSS JOIN nu
+WHERE bi.c_xy >= 5
+ORDER BY pmi_ratio DESC, bi.x ASC, bi.y ASC LIMIT 100
+""",
     "sparql_update_roundtrip": f"""
 WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
 ranked AS (
@@ -3587,6 +3762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_construct_where": q_sparql_text_construct_where,
         "entity_link_scores": q_entity_link_scores,
         "sparql_update_roundtrip": q_sparql_update_roundtrip,
+        "doc_tfidf_topk": q_doc_tfidf_topk,
+        "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
+        "sparql_text_typed_literal": q_sparql_text_typed_literal,
     }
 
 

@@ -28,11 +28,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
 
 ALIAS_RE = r"^[A-Za-z]{5,}$"
 
 
-@pandas_udf("double")
+# DataType instance, not a DDL string: the string form would need an
+# active SparkSession at import time (module must import session-free)
+@pandas_udf(DoubleType())
 def link_score(
     lev: pd.Series, tok_len: pd.Series, alias_len: pd.Series,
     freq: pd.Series, max_freq: pd.Series,

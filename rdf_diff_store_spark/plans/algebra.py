@@ -31,6 +31,18 @@ _TERM_COLS = ("subj", "pred", "obj")
 _HIDDEN_PREFIXES = ("_lang_", "_dt_")
 
 
+@dataclass(frozen=True)
+class TypedLit:
+    """A literal constant with explicit typing — `"x"@en` or
+    `"5"^^<dt>` in a triple pattern. Matches on lexical form AND the
+    typing columns (null-safe), unlike a bare string constant which
+    keeps the engine's value-level identity (lexical equality only)."""
+
+    lex: str
+    dt: str | None = None
+    lang: str | None = None
+
+
 def split_shared(left: DataFrame, right: DataFrame) -> tuple[list[str], list[str]]:
     """Columns both sides bind, split into (visible variables, hidden
     _lang_/_dt_ typing columns). Only visible variables are SPARQL
@@ -111,6 +123,12 @@ def _pattern_df(triples: DataFrame, pattern: Pattern, graph=None) -> DataFrame:
                     # SELECT * output)
                     proj.append(F.col("obj_lang").alias(f"_lang_{term.name}"))
                     proj.append(F.col("obj_dt").alias(f"_dt_{term.name}"))
+        elif isinstance(term, TypedLit):
+            c = F.col(col) == F.lit(term.lex)
+            if col == "obj" and has_typing:
+                c = c & F.col("obj_lang").eqNullSafe(F.lit(term.lang).cast("string"))
+                c = c & F.col("obj_dt").eqNullSafe(F.lit(term.dt).cast("string"))
+            cond = c if cond is None else (cond & c)
         else:
             c = F.col(col) == F.lit(term)
             cond = c if cond is None else (cond & c)

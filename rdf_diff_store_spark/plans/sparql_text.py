@@ -49,6 +49,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from rdf_diff_store_spark.plans.algebra import (
+    TypedLit,
     Var,
     _pattern_df,
     exists as _exists,
@@ -213,7 +214,23 @@ def _parse(query: str) -> _Query:
         if kind == "pname":
             return resolve_pname(val)
         if kind == "string":
-            return val[1:-1].replace('\\"', '"')
+            lex = val[1:-1].replace('\\"', '"')
+            nk, nv = ts.peek()
+            if nk == "langtag":
+                # "x"@en — matches lexical form + language tag
+                ts.next()
+                return TypedLit(lex, None, nv[1:])
+            if nk == "op" and nv == "^" and ts.peek(1) == ("op", "^"):
+                # "5"^^<dt> — matches lexical form + datatype
+                ts.next()
+                ts.next()
+                k2, v2 = ts.next()
+                if k2 == "iri":
+                    return TypedLit(lex, v2[1:-1], None)
+                if k2 == "pname":
+                    return TypedLit(lex, resolve_pname(v2), None)
+                raise SparqlParseError("datatype needs ^^<iri>")
+            return lex
         if kind == "number":
             return val
         if kind == "kw" and val in ("TRUE", "FALSE"):
@@ -461,7 +478,10 @@ def _parse(query: str) -> _Query:
                 return None
             if k == "number":
                 return v
-            return term(k, v)
+            t = term(k, v)
+            # VALUES rows feed createDataFrame: typed literals keep
+            # the engine's value-level identity (lexical form)
+            return t.lex if isinstance(t, TypedLit) else t
 
         while ts.peek()[1] != "}":
             if len(vars_) == 1 and ts.peek()[1] != "(":
@@ -974,7 +994,10 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                 "DAY": F.dayofmonth,
                 "HOURS": F.hour,
                 "MINUTES": F.minute,
-                "SECONDS": F.second,  # integer seconds (xsd:decimal in spec)
+                # xsd:decimal per spec: whole seconds + fractional part
+                # (date_format 'SSSSSS' = fraction-of-second, µs digits)
+                "SECONDS": lambda c: F.second(c).cast("double")
+                + F.date_format(c, "SSSSSS").cast("double") / F.lit(1_000_000.0),
             }[fn](ts_)
         if fn == "TZ":
             # timezone designator of the LEXICAL form ("" if absent)
@@ -1464,6 +1487,8 @@ def sparql_query(
             def emit(t, alias):
                 if isinstance(t, Var):
                     return F.col(t.name).cast("string").alias(alias)
+                if isinstance(t, TypedLit):
+                    return F.lit(t.lex).alias(alias)
                 if isinstance(t, tuple):  # parsed path; only plain IRIs valid
                     if t[0] != "iri":
                         raise SparqlParseError("CONSTRUCT template needs plain terms")

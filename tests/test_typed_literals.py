@@ -1,0 +1,68 @@
+"""Typed-literal constants in SPARQL triple patterns (TypedLit) and
+the SECONDS() xsd:decimal return — round-3 parser/builtin additions."""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_diff_store_spark.plans.sparql_text import SparqlParseError, sparql_query
+
+
+@pytest.fixture(scope="module")
+def typed(spark):
+    return spark.createDataFrame(
+        [
+            ("g", "s1", "p", "x", None, "en"),
+            ("g", "s2", "p", "x", None, "de"),
+            ("g", "s3", "p", "x", "http://www.w3.org/2001/XMLSchema#string", None),
+            ("g", "s4", "p", "5", "http://www.w3.org/2001/XMLSchema#integer", None),
+            ("g", "s5", "p", "5", "http://www.w3.org/2001/XMLSchema#string", None),
+        ],
+        "graph_id string, subj string, pred string, obj string, obj_dt string, obj_lang string",
+    ).localCheckpoint()
+
+
+class TestTypedLiteralPatterns:
+    def test_langtag_matches_only_that_language(self, typed):
+        rows = sparql_query(typed, 'SELECT ?s WHERE { ?s <p> "x"@en }').collect()
+        assert [r.s for r in rows] == ["s1"]
+
+    def test_datatype_matches_only_typed(self, typed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT ?s WHERE { ?s <p> "5"^^xsd:integer }'
+        )
+        assert [r.s for r in sparql_query(typed, q).collect()] == ["s4"]
+
+    def test_bare_string_keeps_lexical_identity(self, typed):
+        rows = sparql_query(typed, 'SELECT ?s WHERE { ?s <p> "x" }').collect()
+        assert sorted(r.s for r in rows) == ["s1", "s2", "s3"]
+
+    def test_typed_literal_in_construct_template_emits_lexical(self, typed):
+        rows = sparql_query(
+            typed,
+            'CONSTRUCT { ?s <tag> "t"@en } WHERE { ?s <p> "x"@en }',
+        ).collect()
+        assert [(r.subj, r.pred, r.obj) for r in rows] == [("s1", "tag", "t")]
+
+    def test_bad_datatype_syntax_is_loud(self, typed):
+        with pytest.raises(SparqlParseError):
+            sparql_query(typed, 'SELECT ?s WHERE { ?s <p> "5"^^7 }')
+
+
+class TestSecondsDecimal:
+    def test_seconds_returns_fractional(self, typed):
+        rows = sparql_query(
+            typed,
+            'SELECT (SECONDS("2024-01-01T10:20:30.250000") AS ?sec) '
+            'WHERE { ?s <p> "x"@en }',
+        ).collect()
+        assert rows[0].sec == pytest.approx(30.25)
+
+    def test_seconds_whole(self, typed):
+        rows = sparql_query(
+            typed,
+            'SELECT (SECONDS("2024-01-01T10:20:30") AS ?sec) '
+            'WHERE { ?s <p> "x"@en }',
+        ).collect()
+        assert rows[0].sec == 30.0
