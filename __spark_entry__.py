@@ -3376,6 +3376,16 @@ DELETE WHERE { ?s ex:valueCents "0" }
     )
 
 
+def q_version_deltas(spark, sf_dir):
+    """Whole-history triple deltas: added/removed counts for every
+    consecutive version transition of every graph (diff() generalized
+    from one (t1,t2) pair to the full changelog).
+    operators/versioned.py::version_deltas."""
+    from rdf_diff_store_spark.operators.versioned import version_deltas
+
+    return version_deltas(changelog_from_events(spark, sf_dir))
+
+
 _TYPED_LIT_DOC = """
 @prefix ex: <http://ex.org/> .
 ex:d1 ex:label "hello"@en .
@@ -3498,6 +3508,28 @@ def q_corpus_pmi_bigrams(spark, sf_dir):
 
 
 _ORACLE_R4 = {
+    "version_deltas": f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+v AS (
+  SELECT graph_id, payload,
+         row_number() OVER (PARTITION BY graph_id
+             ORDER BY ts, op, coalesce(content_hash, '')) AS vn
+  FROM changelog
+),
+lagged AS (
+  SELECT graph_id, vn, payload,
+         lag(payload) OVER (PARTITION BY graph_id ORDER BY vn) AS prev,
+         CASE WHEN vn > 1 THEN TRUE ELSE FALSE END AS has_prev
+  FROM v
+)
+SELECT graph_id, CAST(vn AS INT) AS vn,
+  CAST(CASE WHEN payload IS NOT NULL AND (prev IS NULL OR prev <> payload)
+       THEN 1 ELSE 0 END AS BIGINT) AS n_added,
+  CAST(CASE WHEN has_prev AND prev IS NOT NULL
+            AND (payload IS NULL OR prev <> payload)
+       THEN 1 ELSE 0 END AS BIGINT) AS n_removed
+FROM lagged
+""",
     "sparql_text_typed_literal": """
 SELECT * FROM (VALUES
   ('http://ex.org/d1', 'lang_en'),
@@ -3765,6 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_topk": q_doc_tfidf_topk,
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "sparql_text_typed_literal": q_sparql_text_typed_literal,
+        "version_deltas": q_version_deltas,
     }
 
 

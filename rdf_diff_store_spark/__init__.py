@@ -29,3 +29,27 @@ Python.
 __version__ = "0.1.0"
 
 from rdf_diff_store_spark.session import get_spark  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy re-exports of the primary operator surface — keeps package
+    import session-free and Spark-free for tooling."""
+    lazy = {
+        "snapshot_at": ("rdf_diff_store_spark.operators.versioned", "snapshot_at"),
+        "snapshot_triples": ("rdf_diff_store_spark.operators.versioned", "snapshot_triples"),
+        "diff": ("rdf_diff_store_spark.operators.versioned", "diff"),
+        "append_updates": ("rdf_diff_store_spark.operators.versioned", "append_updates"),
+        "metadata": ("rdf_diff_store_spark.operators.versioned", "metadata"),
+        "sparql_query": ("rdf_diff_store_spark.plans.sparql_text", "sparql_query"),
+        "sparql_json": ("rdf_diff_store_spark.plans.sparql_text", "sparql_json"),
+        "apply_update": ("rdf_diff_store_spark.plans.sparql_update", "apply_update"),
+        "build_kg": ("rdf_diff_store_spark.pipeline.kg", "build_kg"),
+        "entity_link_scores": ("rdf_diff_store_spark.pipeline.linking", "entity_link_scores"),
+        "candidate_dictionary": ("rdf_diff_store_spark.pipeline.linking", "candidate_dictionary"),
+    }
+    if name in lazy:
+        import importlib
+
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'rdf_diff_store_spark' has no attribute {name!r}")

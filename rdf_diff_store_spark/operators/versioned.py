@@ -322,6 +322,62 @@ def diff(changelog: DataFrame, t1: str | Column, t2: str | Column, *, on_triples
     )
 
 
+def version_deltas(changelog: DataFrame) -> DataFrame:
+    """Triple-level added/removed counts for EVERY consecutive version
+    transition of every graph — the whole-history generalization of
+    diff(t1, t2) (reference: the api/graphs diff endpoint queried over
+    each adjacent version pair, src/git.rs:151-179 checkout walk).
+
+    Plan shape: one window (version index per graph — partitioned by
+    graph_id, never global), ONE mapInPandas parse over all version
+    payloads (tombstones carry no payload and parse to zero triples),
+    then a single shifted full-outer self-join on triple identity and
+    a count aggregation. All shuffles key on graph_id(+vn): co-
+    partitioned, AQE-coalesced, no driver loop — the same per-graph
+    independence that makes snapshot/diff scale.
+    """
+    from pyspark.sql import Window
+
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+
+    w = Window.partitionBy("graph_id").orderBy(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    versions = changelog.withColumn("vn", F.row_number().over(w)).localCheckpoint()
+    spine = versions.select("graph_id", "vn")
+    trip = parse_triples(
+        versions.select("graph_id", F.col("ts"), "payload", "vn"), passthrough="vn"
+    ).select(
+        "graph_id",
+        "vn",
+        "subj",
+        "pred",
+        "obj",
+        F.coalesce("obj_dt", F.lit("\x00")).alias("dtk"),
+        F.coalesce("obj_lang", F.lit("\x00")).alias("lk"),
+    )
+    cur = trip.withColumn("in_cur", F.lit(1))
+    prev = trip.withColumn("vn", F.col("vn") + 1).withColumn("in_prev", F.lit(1))
+    keys = ["graph_id", "vn", "subj", "pred", "obj", "dtk", "lk"]
+    j = cur.join(prev, keys, "full_outer")
+    per_vn = j.groupBy("graph_id", "vn").agg(
+        F.count(F.when(F.col("in_prev").isNull(), 1)).alias("n_added"),
+        F.count(F.when(F.col("in_cur").isNull(), 1)).alias("n_removed"),
+    )
+    # the spine keeps transitions with zero triple movement (replayed
+    # identical payloads, tombstone-after-tombstone) and drops the
+    # phantom "vn = last + 1" rows the shift invents
+    return (
+        spine.join(per_vn, ["graph_id", "vn"], "left")
+        .select(
+            "graph_id",
+            "vn",
+            F.coalesce("n_added", F.lit(0)).alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        )
+    )
+
+
 def metadata(changelog: DataFrame) -> DataFrame:
     """O-09: {start_time, end_time} = first/last version times
     (reference: src/git.rs:78-85, src/models/metadata.rs:14-20)."""
