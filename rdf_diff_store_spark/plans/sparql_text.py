@@ -81,7 +81,7 @@ _TOKEN = re.compile(
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
        |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH|REDUCED
        |FROM|NAMED
-       |INSERT|DELETE|DATA|WITH|CLEAR|DROP|ALL|DEFAULT
+       |INSERT|DELETE|DATA|WITH|CLEAR|DROP|ALL|DEFAULT|LOAD|INTO|SILENT
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
   | (?P<bnode>_:[A-Za-z][A-Za-z0-9_\-]*)

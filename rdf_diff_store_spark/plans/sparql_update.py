@@ -15,6 +15,10 @@ Supported operations (sequences separated by `;`):
 * ``[WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { group }``
   (either template may be absent)
 * ``CLEAR GRAPH <g> | CLEAR ALL`` / ``DROP GRAPH <g> | DROP ALL``
+* ``LOAD [SILENT] <file:///path> [INTO GRAPH <g>]`` — distributed
+  binaryFile read + the Arrow turtle parser; http(s) sources raise
+  loudly (no network in this engine), SILENT swallows read failures
+  per spec
 
 Dataset semantics: this store is a dataset of NAMED graphs only (one
 graph per resource, reference src/graphs.rs:17-24). Therefore:
@@ -87,6 +91,9 @@ class _Op:
     with_graph: str | None = None
     clear_target: str | None = None  # IRI or "ALL"
     has_explicit_graph_in_where: bool = False
+    load_source: str | None = None  # LOAD document IRI
+    load_target: str | None = None  # INTO GRAPH target
+    silent: bool = False
 
 
 def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
@@ -231,6 +238,17 @@ def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
             else:
                 raise SparqlParseError(f"{val} needs GRAPH <iri> or ALL")
             ops.append(op)
+        elif val == "LOAD":
+            op = _Op("load")
+            if ts.peek()[1] == "SILENT":
+                ts.next()
+                op.silent = True
+            op.load_source = iri_token()
+            if ts.peek()[1] == "INTO":
+                ts.next()
+                ts.expect("GRAPH")
+                op.load_target = iri_token()
+            ops.append(op)
         elif val == "INSERT" and ts.peek()[1] == "DATA":
             ts.next()
             ops.append(_Op("insert_data", inserts=parse_quads(allow_var=False)))
@@ -369,6 +387,27 @@ def _ground_rows(spark, quads: list, default_graph: str) -> DataFrame:
     )
 
 
+def _load_document(spark, source: str, graph_id: str) -> DataFrame:
+    """LOAD: distributed binaryFile read of a Turtle/N-Triples
+    document → triples in the target graph. file:// IRIs (or bare
+    paths) only — this engine has no network surface; http(s) raises
+    so the caller's SILENT decides."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+
+    if source.startswith(("http://", "https://")):
+        raise SparqlParseError(
+            f"LOAD {source!r}: remote IRIs are not supported (file:// only)"
+        )
+    path = source[len("file://") :] if source.startswith("file://") else source
+    doc = spark.read.format("binaryFile").load(path)
+    rows = doc.select(
+        F.lit(graph_id).alias("graph_id"),
+        F.lit("1970-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.col("content").cast("string").alias("payload"),
+    )
+    return parse_triples(rows).select(*(("graph_id",) + _TERM_FIELDS))
+
+
 def _where_bindings(
     state: DataFrame, op: _Op, prefixes: dict[str, str]
 ) -> tuple[DataFrame, bool]:
@@ -421,6 +460,15 @@ def apply_update(
                 state = state.limit(0)
             else:
                 state = state.filter(F.col("graph_id") != F.lit(op.clear_target))
+        elif op.kind == "load":
+            try:
+                trip = _load_document(
+                    spark, op.load_source, op.load_target or default_graph
+                )
+                state = state.unionByName(trip).distinct()
+            except Exception:
+                if not op.silent:
+                    raise
         elif op.kind == "insert_data":
             rows = _ground_rows(spark, op.inserts, default_graph)
             state = state.unionByName(rows).distinct()

@@ -147,6 +147,58 @@ class TestUpdateForms:
         assert ("g:typed", "http://e/a", "http://e/l", "hei", None, "nb") in trip
 
 
+class TestUpdateModelEquivalence:
+    """Randomized ground-update sequences vs a Python set model: the
+    distributed set algebra must agree with the obvious in-memory
+    semantics for any interleaving of INSERT DATA / DELETE DATA /
+    CLEAR."""
+
+    def test_random_sequences_match_set_model(self, spark):
+        import random
+
+        rng = random.Random(20240817)
+        graphs = ["g:a", "g:b"]
+        subjects = ["http://e/s1", "http://e/s2"]
+        values = ["u", "v", "w"]
+        for trial in range(4):
+            model: dict[str, set] = {}
+            ops = []
+            for _ in range(6):
+                kind = rng.choice(["ins", "ins", "del", "clear"])
+                g = rng.choice(graphs)
+                s = rng.choice(subjects)
+                v = rng.choice(values)
+                if kind == "ins":
+                    ops.append(
+                        'INSERT DATA { GRAPH <%s> { <%s> <http://e/p> "%s" } }'
+                        % (g, s, v)
+                    )
+                    model.setdefault(g, set()).add((s, v))
+                elif kind == "del":
+                    ops.append(
+                        'DELETE DATA { GRAPH <%s> { <%s> <http://e/p> "%s" } }'
+                        % (g, s, v)
+                    )
+                    model.get(g, set()).discard((s, v))
+                else:
+                    ops.append("CLEAR GRAPH <%s>" % g)
+                    model.pop(g, None)
+            seed = _log(
+                spark, [("g:seed", T0, "add", '<http://e/x> <http://e/q> "q" .\n')]
+            )
+            out = apply_update(seed, " ;\n".join(ops), T1)
+            got: dict[str, set] = {}
+            for r in snapshot_triples(out, T2).collect():
+                got.setdefault(r.graph_id, set())
+                if r.pred == "http://e/p":
+                    got[r.graph_id].add((r.subj, r.obj))
+            # expected: non-empty model graphs survive; emptied/cleared
+            # graphs are absent; the untouched seed graph persists
+            want = {g: s for g, s in model.items() if s}
+            want["g:seed"] = set()
+            assert got == want, f"trial {trial}: {ops}"
+
+
 class TestUpdateSemantics:
     def test_noop_update_appends_nothing(self, spark, base_log):
         before = base_log.count()
@@ -180,6 +232,32 @@ class TestUpdateSemantics:
                 "DELETE { ?s <http://e/value> ?v } "
                 "WHERE { GRAPH <g:1> { ?s <http://e/value> ?v } }",
                 T1,
+            ).count()
+
+    def test_load_file_into_graph(self, spark, base_log, tmp_path):
+        p = tmp_path / "doc.ttl"
+        p.write_text('<http://e/L> <http://e/p> "loaded" .\n')
+        out = apply_update(
+            base_log, f"LOAD <file://{p}> INTO GRAPH <g:loaded>", T1
+        )
+        trip = _triples(out)
+        assert ("g:loaded", "http://e/L", "http://e/p", "loaded",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+
+    def test_load_silent_swallows_missing_file(self, spark, base_log):
+        out = apply_update(
+            base_log, "LOAD SILENT <file:///nonexistent/x.ttl> INTO GRAPH <g:x>", T1
+        )
+        assert out.count() == base_log.count()  # no-op
+        with pytest.raises(Exception):
+            apply_update(
+                base_log, "LOAD <file:///nonexistent/x.ttl> INTO GRAPH <g:x>", T1
+            ).count()
+
+    def test_load_remote_iri_is_loud(self, spark, base_log):
+        with pytest.raises(SparqlParseError, match="remote"):
+            apply_update(
+                base_log, "LOAD <http://example.org/x.ttl> INTO GRAPH <g:x>", T1
             ).count()
 
     def test_explicit_graph_var_template(self, spark, base_log):
