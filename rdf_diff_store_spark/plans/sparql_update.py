@@ -450,51 +450,100 @@ def apply_update(
     spark = changelog.sparkSession
     ops, prefixes = _parse_update(update_text)
 
+    # ONE store-sized materialization: the immutable base triples.
+    # Ops never rewrite it — they accumulate (added, removed) DELTA
+    # frames (checkpointed per op, sized by the op's effect, not the
+    # store), and the working view is base − removed ∪ added. The view
+    # may carry duplicate rows (re-insert of an existing triple);
+    # WHERE-driven templates go through _instantiate's distinct, and
+    # the final per-graph serialization dedups, so set semantics hold
+    # without a per-op store-wide distinct.
     live = current_state(changelog).filter(F.col("op") != "delete")
-    before = parse_triples(live).select(*(("graph_id",) + _TERM_FIELDS))
-    state = before.localCheckpoint()
+    base = (
+        parse_triples(live).select(*(("graph_id",) + _TERM_FIELDS)).localCheckpoint()
+    )
+    schema6 = (
+        "graph_id string, subj string, pred string, obj string, "
+        "obj_dt string, obj_lang string"
+    )
+    added = spark.createDataFrame([], schema6).localCheckpoint()
+    removed = spark.createDataFrame([], schema6).localCheckpoint()
+    touched_ids: list[DataFrame] = []
+
+    def view() -> DataFrame:
+        return _null_safe_anti(base, removed).unionByName(added)
+
+    def do_delete(dels: DataFrame) -> None:
+        # eager checkpoint: dels (often a WHERE-driven plan) feeds the
+        # added-anti, the removed-union AND the touched set — one
+        # evaluation, used three times
+        nonlocal added, removed
+        dels = dels.localCheckpoint()
+        touched_ids.append(dels.select("graph_id"))
+        added = _null_safe_anti(added, dels).localCheckpoint()
+        removed = removed.unionByName(
+            dels.select(*added.columns)
+        ).localCheckpoint()
+
+    def do_insert(ins: DataFrame) -> None:
+        nonlocal added
+        ins = ins.localCheckpoint()
+        touched_ids.append(ins.select("graph_id"))
+        added = added.unionByName(ins.select(*added.columns)).localCheckpoint()
 
     for op in ops:
         if op.kind == "clear":
             if op.clear_target == "ALL":
-                state = state.limit(0)
+                do_delete(view())
             else:
-                state = state.filter(F.col("graph_id") != F.lit(op.clear_target))
+                do_delete(
+                    view().filter(F.col("graph_id") == F.lit(op.clear_target))
+                )
         elif op.kind == "load":
             try:
                 trip = _load_document(
                     spark, op.load_source, op.load_target or default_graph
-                )
-                state = state.unionByName(trip).distinct()
+                ).distinct()
+                do_insert(trip)
             except Exception:
                 if not op.silent:
                     raise
         elif op.kind == "insert_data":
-            rows = _ground_rows(spark, op.inserts, default_graph)
-            state = state.unionByName(rows).distinct()
+            do_insert(_ground_rows(spark, op.inserts, default_graph))
         elif op.kind == "delete_data":
-            state = _null_safe_anti(
-                state, _ground_rows(spark, op.deletes, default_graph)
-            )
+            do_delete(_ground_rows(spark, op.deletes, default_graph))
         else:  # delete_where / modify
-            bindings, scope = _where_bindings(state, op, prefixes)
+            bindings, scope = _where_bindings(view(), op, prefixes)
+            # one evaluation of the WHERE, shared by both templates
+            bindings = bindings.localCheckpoint()
             if op.deletes:
                 dels = _instantiate(op.deletes, bindings, op.with_graph, scope)
-                state = _null_safe_anti(state, dels)
             if op.inserts:
+                # instantiate BOTH templates against the same bindings
+                # before mutating state (SPARQL applies delete+insert
+                # atomically against the pre-op store)
                 ins = _instantiate(op.inserts, bindings, op.with_graph, scope)
-                state = state.unionByName(ins).distinct()
-        # transaction barrier: the next op must read this op's result,
-        # and an eager checkpoint prevents racy double-compute of the
-        # branchy plan (CLAUDE.md); O(ops) barriers, each touching only
-        # the working subset
-        state = state.localCheckpoint()
+            if op.deletes:
+                do_delete(dels)
+            if op.inserts:
+                do_insert(ins)
 
-    # touched graphs only: serialize old and new states per graph and
-    # diff the canonical docs — a per-graph agg + one full outer join
-    # on graph_id, both broadcast-friendly at the touched-graph scale
-    old_docs = serialize_graph(before).withColumnRenamed("doc", "old_doc")
-    new_docs = serialize_graph(state).withColumnRenamed("doc", "new_doc")
+    # re-serialize ONLY touched graphs: old/new docs restricted by a
+    # semi-join on the touched id set, so an update's version-append
+    # cost is O(touched graphs), never O(store)
+    if touched_ids:
+        touched = touched_ids[0]
+        for t_ in touched_ids[1:]:
+            touched = touched.unionByName(t_)
+        touched = touched.distinct().localCheckpoint()
+    else:
+        touched = spark.createDataFrame([], "graph_id string")
+    old_docs = serialize_graph(
+        base.join(touched, "graph_id", "left_semi")
+    ).withColumnRenamed("doc", "old_doc")
+    new_docs = serialize_graph(
+        view().join(touched, "graph_id", "left_semi").distinct()
+    ).withColumnRenamed("doc", "new_doc")
     delta = old_docs.join(new_docs, "graph_id", "full_outer")
     t = F.lit(ts).cast("timestamp")
     updates = (

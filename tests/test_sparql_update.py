@@ -225,6 +225,31 @@ class TestUpdateSemantics:
         )
         assert out.count() == base_log.count()
 
+    def test_update_serializes_only_touched_graphs(self, spark, base_log, monkeypatch):
+        """The version-append path is O(touched): re-serialization
+        sees ONLY graphs the update targeted, never the whole store."""
+        import rdf_diff_store_spark.functions.turtle as turtle_mod
+        from rdf_diff_store_spark.functions.turtle import serialize_graph as real
+
+        seen: list[set] = []
+
+        def spy(df):
+            seen.append(
+                {r.graph_id for r in df.select("graph_id").distinct().collect()}
+            )
+            return real(df)
+
+        monkeypatch.setattr(turtle_mod, "serialize_graph", spy)
+        out = apply_update(
+            base_log,
+            'INSERT DATA { GRAPH <g:1> { <http://e/s1> <http://e/extra> "e" } }',
+            T1,
+        )
+        out.count()
+        assert seen, "serialize_graph was never called"
+        for graphs in seen:
+            assert graphs <= {"g:1"}, f"untouched graphs serialized: {graphs}"
+
     def test_explicit_graph_where_requires_graph_templates(self, spark, base_log):
         with pytest.raises(SparqlParseError, match="no graph"):
             apply_update(
