@@ -82,6 +82,7 @@ _TOKEN = re.compile(
        |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH|REDUCED
        |FROM|NAMED
        |INSERT|DELETE|DATA|WITH|CLEAR|DROP|ALL|DEFAULT|LOAD|INTO|SILENT
+       |COPY|MOVE|ADD|TO
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
        |ORDER|GROUP|BY|HAVING|ASC|DESC|LIMIT|OFFSET|{_FN_KWS}|a)\b)
   | (?P<bnode>_:[A-Za-z][A-Za-z0-9_\-]*)

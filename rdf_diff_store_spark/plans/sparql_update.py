@@ -15,6 +15,9 @@ Supported operations (sequences separated by `;`):
 * ``[WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { group }``
   (either template may be absent)
 * ``CLEAR GRAPH <g> | CLEAR ALL`` / ``DROP GRAPH <g> | DROP ALL``
+* ``COPY | MOVE | ADD [GRAPH] <g1> TO [GRAPH] <g2>`` (§3.2.3-5:
+  COPY replaces g2 with g1's triples, MOVE additionally drops g1,
+  ADD unions into g2; all no-ops when g1 = g2)
 * ``LOAD [SILENT] <file:///path> [INTO GRAPH <g>]`` — distributed
   binaryFile read + the Arrow turtle parser; http(s) sources raise
   loudly (no network in this engine), SILENT swallows read failures
@@ -237,6 +240,20 @@ def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
                 op.clear_target = "ALL"
             else:
                 raise SparqlParseError(f"{val} needs GRAPH <iri> or ALL")
+            ops.append(op)
+        elif val in ("COPY", "MOVE", "ADD"):
+            op = _Op("graph_mgmt")
+            op.clear_target = val  # reuse: which management verb
+            if ts.peek()[1] == "SILENT":
+                ts.next()
+                op.silent = True
+            if ts.peek()[1] == "GRAPH":
+                ts.next()
+            op.load_source = iri_token()  # reuse: source graph
+            ts.expect("TO")
+            if ts.peek()[1] == "GRAPH":
+                ts.next()
+            op.load_target = iri_token()  # reuse: destination graph
             ops.append(op)
         elif val == "LOAD":
             op = _Op("load")
@@ -499,6 +516,21 @@ def apply_update(
                 do_delete(
                     view().filter(F.col("graph_id") == F.lit(op.clear_target))
                 )
+        elif op.kind == "graph_mgmt":
+            src, dst, verb = op.load_source, op.load_target, op.clear_target
+            if src == dst:
+                continue  # §3.2.3-5: same-graph management is a no-op
+            src_rows = (
+                view()
+                .filter(F.col("graph_id") == F.lit(src))
+                .distinct()
+                .localCheckpoint()
+            )
+            if verb in ("COPY", "MOVE"):
+                do_delete(view().filter(F.col("graph_id") == F.lit(dst)))
+            do_insert(src_rows.withColumn("graph_id", F.lit(dst)))
+            if verb == "MOVE":
+                do_delete(src_rows)
         elif op.kind == "load":
             try:
                 trip = _load_document(

@@ -259,6 +259,27 @@ class TestUpdateSemantics:
                 T1,
             ).count()
 
+    def test_copy_move_add_graph_management(self, spark, base_log):
+        # COPY replaces the destination with the source's triples
+        out = apply_update(base_log, "COPY GRAPH <g:1> TO GRAPH <g:2>", T1)
+        trip = _triples(out)
+        assert ("g:2", "http://e/s1", "http://e/value", "10",
+                "http://www.w3.org/2001/XMLSchema#string", None) in trip
+        assert not any(t[0] == "g:2" and t[3] == "0" for t in trip)
+        # ADD unions into the destination (existing triples survive)
+        out2 = apply_update(base_log, "ADD <g:1> TO <g:3>", T1)
+        t2 = _triples(out2)
+        assert ("g:3", "http://e/s1", "http://e/value", "10",
+                "http://www.w3.org/2001/XMLSchema#string", None) in t2
+        assert ("g:3", "http://e/s3", "http://e/name", "three", None, "en") in t2
+        # MOVE copies then drops the source
+        out3 = apply_update(base_log, "MOVE GRAPH <g:1> TO GRAPH <g:2>", T1)
+        live3 = {r.graph_id for r in snapshot_at(out3, T2).collect()}
+        assert "g:1" not in live3 and "g:2" in live3
+        # same-graph management is a no-op (no new versions)
+        out4 = apply_update(base_log, "MOVE GRAPH <g:1> TO GRAPH <g:1>", T1)
+        assert out4.count() == base_log.count()
+
     def test_load_file_into_graph(self, spark, base_log, tmp_path):
         p = tmp_path / "doc.ttl"
         p.write_text('<http://e/L> <http://e/p> "loaded" .\n')
