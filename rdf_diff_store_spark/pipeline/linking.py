@@ -105,15 +105,17 @@ def entity_link_scores(
             ),
         )
     )
-    # winner per mention: hash-agg max_by on (score, alias) — ties on
-    # the double score fall to the lexicographically LAST alias, a
-    # total order both engines agree on
+    # winner per mention: hash-agg max over the (score, alias) struct —
+    # ties on the double score fall to the lexicographically LAST
+    # alias, a total order both engines agree on. The struct is built
+    # in ONE projection so Catalyst's ProjectCollapse cannot duplicate
+    # the pandas-UDF score expression (audit asserts one ArrowEvalPython)
+    packed = scored.select(
+        "doc_id", "mention", F.struct(F.col("score"), F.col("alias")).alias("w0")
+    )
     return (
-        scored.groupBy("doc_id", "mention")
-        .agg(
-            F.max_by(F.struct(F.col("score"), F.col("alias")), F.struct(F.col("score"), F.col("alias"))).alias("w"),
-            F.count("*").alias("n_candidates"),
-        )
+        packed.groupBy("doc_id", "mention")
+        .agg(F.max("w0").alias("w"), F.count("*").alias("n_candidates"))
         .select(
             "doc_id",
             "mention",

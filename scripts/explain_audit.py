@@ -165,6 +165,40 @@ def main() -> None:
         )
     )
 
+    # 9. entity-link scoring: the mention×candidate band match must be
+    # a broadcast nested-loop join (dictionary side broadcast), with
+    # exactly ONE Arrow pandas-UDF hop — the corpus never shuffles for
+    # the match itself
+    p_link = plan_of(qs["entity_link_scores"](spark, sf_dir))
+    checks.append(
+        (
+            "entity linking broadcasts the dictionary",
+            "BroadcastNestedLoopJoin" in p_link,
+            "band join strategy",
+        )
+    )
+    # formatted explain prints each node in the tree AND as a "(n) ..."
+    # detail header — count the headers to count actual plan nodes
+    n_arrow = len(_re.findall(r"\(\d+\) ArrowEvalPython", p_link))
+    checks.append(
+        (
+            "entity linking has one Arrow UDF hop",
+            n_arrow == 1,
+            f"{n_arrow} ArrowEvalPython nodes",
+        )
+    )
+
+    # 10. corpus PMI top-k is TakeOrderedAndProject (tf-idf's window is
+    # covered by the global partitionless-Window sweep above)
+    p_pmi = plan_of(qs["corpus_pmi_bigrams"](spark, sf_dir))
+    checks.append(
+        (
+            "PMI top-100 is TakeOrderedAndProject",
+            "TakeOrderedAndProject" in p_pmi,
+            "top-k plan",
+        )
+    )
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)
