@@ -3376,6 +3376,28 @@ DELETE WHERE { ?s ex:valueCents "0" }
     )
 
 
+def q_image_features_png(spark, sf_dir):
+    """Real image decode through the distributed feature path: the
+    synthetic media table carries REAL PNG payloads (pure-stdlib
+    encoder), image_features inflates + unfilters + CRC-checks them in
+    Arrow batches, and the oracle recomputes dims/pixel means from the
+    generator's closed form — decode errors or wrong pixels hash-fail.
+    operators/multimodal.py::decode_png."""
+    from rdf_diff_store_spark.operators.multimodal import (
+        image_features,
+        synthetic_png_media,
+    )
+
+    media = synthetic_png_media(spark, n=24)
+    feats = image_features(media, batch_rows=8)
+    return feats.select(
+        "media_id",
+        "dec_width",
+        "dec_height",
+        F.round(F.col("mean_byte"), 4).alias("mean_px"),
+    )
+
+
 def q_version_deltas(spark, sf_dir):
     """Whole-history triple deltas: added/removed counts for every
     consecutive version transition of every graph (diff() generalized
@@ -3508,6 +3530,18 @@ def q_corpus_pmi_bigrams(spark, sf_dir):
 
 
 _ORACLE_R4 = {
+    "image_features_png": """
+WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+dims AS (SELECT i, 4 + i % 5 AS w, 3 + i % 4 AS h FROM ids),
+px AS (
+  SELECT d.i, d.w, d.h,
+         unnest(generate_series(0, d.w * d.h * 3 - 1)) AS k
+  FROM dims d
+)
+SELECT i AS media_id, CAST(w AS INT) AS dec_width, CAST(h AS INT) AS dec_height,
+       ROUND(AVG(CAST((i * 31 + k * 7) % 256 AS DOUBLE)), 4) AS mean_px
+FROM px GROUP BY i, w, h
+""",
     "version_deltas": f"""
 WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
 v AS (
@@ -3798,6 +3832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pmi_bigrams": q_corpus_pmi_bigrams,
         "sparql_text_typed_literal": q_sparql_text_typed_literal,
         "version_deltas": q_version_deltas,
+        "image_features_png": q_image_features_png,
     }
 
 

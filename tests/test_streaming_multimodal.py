@@ -219,3 +219,75 @@ def test_any_batch_split_matches_fold(spark, tmp_path, split):
     assert sorted(map(key, writer.read_changelog().collect())) == sorted(
         map(key, folded.collect())
     )
+
+
+class TestRealPngDecode:
+    """The image path decodes REAL bytes: pure-stdlib PNG codec
+    (operators/multimodal.py decode_png/encode_png)."""
+
+    def test_roundtrip_rgb_and_gray(self):
+        from rdf_diff_store_spark.operators.multimodal import decode_png, encode_png
+
+        pix = bytes(range(3 * 2 * 3))  # 3x2 RGB
+        w, h, out = decode_png(encode_png(3, 2, pix))
+        assert (w, h, out) == (3, 2, pix)
+        gray = bytes([0, 128, 255, 7])  # 2x2 gray
+        w, h, out = decode_png(encode_png(2, 2, gray, color_type=0))
+        assert (w, h, out) == (2, 2, gray)
+
+    def test_all_filter_types_reconstruct(self):
+        """Hand-built IDAT streams exercise filters 1-4 (the encoder
+        only emits 0) against reference reconstructions."""
+        import struct
+        import zlib
+
+        from rdf_diff_store_spark.operators.multimodal import decode_png
+
+        def png_with_raw(w, h, raw, ctype=0):
+            def chunk(tag, data):
+                return (
+                    struct.pack(">I", len(data)) + tag + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        # 3x2 gray. Row1 filter=1 (Sub): [10, +5, +5] -> 10,15,20
+        # Row2 filter=2 (Up): deltas +1 -> 11,16,21
+        raw = bytes([1, 10, 5, 5]) + bytes([2, 1, 1, 1])
+        assert decode_png(png_with_raw(3, 2, raw))[2] == bytes([10, 15, 20, 11, 16, 21])
+        # filter=3 (Average) row over a zero prev: x + floor(a/2)
+        raw = bytes([3, 10, 9, 10])  # 10, 9+5=14, 10+7=17
+        assert decode_png(png_with_raw(3, 1, raw))[2] == bytes([10, 14, 17])
+        # filter=4 (Paeth) first row degenerates to Sub
+        raw = bytes([4, 10, 5, 5])
+        assert decode_png(png_with_raw(3, 1, raw))[2] == bytes([10, 15, 20])
+
+    def test_crc_mismatch_is_loud(self):
+        from rdf_diff_store_spark.operators.multimodal import decode_png, encode_png
+
+        png = bytearray(encode_png(2, 2, bytes(12)))
+        png[40] ^= 0xFF  # corrupt a byte inside IDAT
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="CRC|unsupported|PNG"):
+            decode_png(bytes(png))
+
+    def test_image_features_on_real_pngs(self, spark):
+        from rdf_diff_store_spark.operators.multimodal import (
+            image_features,
+            synthetic_png_media,
+        )
+
+        media = synthetic_png_media(spark, n=12)
+        out = {r.media_id: r for r in image_features(media, batch_rows=4).collect()}
+        assert len(out) == 12
+        for i, r in out.items():
+            w, h = 4 + i % 5, 3 + i % 4
+            assert (r.dec_width, r.dec_height) == (w, h)
+            pix = bytes((i * 31 + k * 7) % 256 for k in range(w * h * 3))
+            assert abs(r.mean_byte - sum(pix) / len(pix)) < 1e-9
