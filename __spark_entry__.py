@@ -3398,6 +3398,27 @@ def q_image_features_png(spark, sf_dir):
     )
 
 
+def q_audio_features_wav(spark, sf_dir):
+    """Real audio decode through the distributed feature path: RIFF/
+    PCM16 WAV payloads (pure-stdlib codec), per-clip sample counts,
+    durations and RMS over the DECODED samples; the oracle recomputes
+    everything from the generator's closed form.
+    operators/multimodal.py::decode_wav."""
+    from rdf_diff_store_spark.operators.multimodal import (
+        audio_features,
+        synthetic_wav_media,
+    )
+
+    media = synthetic_wav_media(spark, n=24)
+    return audio_features(media, batch_rows=8).select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        "duration_ms",
+        F.round(F.col("rms"), 4).alias("rms"),
+    )
+
+
 def q_version_deltas(spark, sf_dir):
     """Whole-history triple deltas: added/removed counts for every
     consecutive version transition of every graph (diff() generalized
@@ -3541,6 +3562,20 @@ px AS (
 SELECT i AS media_id, CAST(w AS INT) AS dec_width, CAST(h AS INT) AS dec_height,
        ROUND(AVG(CAST((i * 31 + k * 7) % 256 AS DOUBLE)), 4) AS mean_px
 FROM px GROUP BY i, w, h
+""",
+    "audio_features_wav": """
+WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
+cfg AS (SELECT i, 80 + 8 * (i % 10) AS n FROM ids),
+smp AS (
+  SELECT c.i, c.n, unnest(generate_series(0, c.n - 1)) AS k FROM cfg c
+),
+s AS (
+  SELECT i, n, ((i + 1) * (k * k + 7 * k)) % 65536 - 32768 AS v FROM smp
+)
+SELECT i AS media_id, CAST(8000 AS INT) AS sample_rate, CAST(n AS INT) AS n_samples,
+       CAST((n * 1000) // 8000 AS BIGINT) AS duration_ms,
+       ROUND(SQRT(SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) / n), 4) AS rms
+FROM s GROUP BY i, n
 """,
     "version_deltas": f"""
 WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
@@ -3833,6 +3868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_typed_literal": q_sparql_text_typed_literal,
         "version_deltas": q_version_deltas,
         "image_features_png": q_image_features_png,
+        "audio_features_wav": q_audio_features_wav,
     }
 
 

@@ -153,6 +153,46 @@ except ImportError:  # sandbox: no media libraries baked in
     _PILImage = None
 
 
+def decode_wav(payload: bytes) -> tuple[int, int, list[int]]:
+    """Real WAV decode, stdlib only: RIFF/WAVE container, PCM 16-bit.
+    Returns (sample_rate, n_channels, samples as host ints,
+    interleaved). Anything non-PCM16 raises loudly."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        ln = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + ln]
+        if tag == b"fmt ":
+            fmt, channels, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (format={fmt}, bits={bits}); "
+                    "supported: PCM 16-bit"
+                )
+        elif tag == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    n = len(data) // 2
+    samples = list(struct.unpack(f"<{n}h", data[: n * 2]))
+    return rate, channels, samples
+
+
+def encode_wav(sample_rate: int, channels: int, samples: list[int]) -> bytes:
+    """Minimal PCM16 WAV writer — the test/synthetic twin of
+    decode_wav."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * channels * 2
+    fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, byte_rate, channels * 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def _decode_image(payload: bytes) -> tuple[int, int]:
     """Image payload → (width, height).
 
@@ -247,6 +287,86 @@ def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
         else:
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     return out
+
+
+def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Decode + feature-extract PCM16 WAV audio via mapInPandas:
+    (media_id, sample_rate, n_samples, duration_ms, rms). RMS is
+    computed over the DECODED samples in exact float64 (sum of squares
+    < 2^53) with one correctly-rounded sqrt, so an arithmetic oracle
+    reproduces it bit-for-bit."""
+    import math
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "rms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                rate, channels, samples = decode_wav(bytes(payload))
+                n = len(samples)
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // (rate * channels))
+                rows["rms"].append(
+                    math.sqrt(sum(s * s for s in samples) / n) if n else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    spark = media.sparkSession
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    try:
+        out = (
+            media.filter(F.col("kind") == "audio")
+            .select("media_id", "payload")
+            .mapInPandas(
+                _features,
+                "media_id long, sample_rate int, n_samples int, duration_ms long, rms double",
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    return out
+
+
+def synthetic_wav_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic media table whose audio payloads are REAL PCM16
+    WAVs (encode_wav), generated distributed: sample k of clip i is
+    ((i + 1) * (k * k + 7 * k)) % 65536 - 32768 — a closed form an
+    arithmetic oracle can reproduce."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "media_id": [], "kind": [], "mime": [], "payload": [],
+                "width": [], "height": [], "duration_ms": [],
+            }
+            for i in pdf["id"]:
+                i = int(i)
+                n_samp = 80 + 8 * (i % 10)
+                samples = [
+                    ((i + 1) * (k * k + 7 * k)) % 65536 - 32768
+                    for k in range(n_samp)
+                ]
+                rows["media_id"].append(i)
+                rows["kind"].append("audio")
+                rows["mime"].append("audio/wav")
+                rows["payload"].append(encode_wav(8000, 1, samples))
+                rows["width"].append(None)
+                rows["height"].append(None)
+                rows["duration_ms"].append(None)
+            yield pd.DataFrame(rows)
+
+    return spark.range(n).mapInPandas(gen, MEDIA_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
