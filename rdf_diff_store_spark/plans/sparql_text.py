@@ -365,7 +365,21 @@ def _parse(query: str) -> _Query:
             if kind == "number":
                 return ("num", val)
             if kind == "string":
-                return ("str", val[1:-1].replace('\\"', '"'))
+                lex = val[1:-1].replace('\\"', '"')
+                nk, nv = ts.peek()
+                if nk == "langtag":
+                    ts.next()
+                    return ("typedlit", lex, None, nv[1:])
+                if (nk, nv) == ("op", "^") and ts.peek(1) == ("op", "^"):
+                    ts.next()
+                    ts.next()
+                    k2, v2 = ts.next()
+                    if k2 == "iri":
+                        return ("typedlit", lex, v2[1:-1], None)
+                    if k2 == "pname":
+                        return ("typedlit", lex, resolve_pname(v2), None)
+                    raise SparqlParseError("datatype needs ^^<iri>")
+                return ("str", lex)
             if kind == "iri":
                 return ("str", val[1:-1])
             if kind == "pname":
@@ -859,8 +873,35 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         _, o, a, b = ast
         ca, cb = _compile_expr(a, numeric=True), _compile_expr(b, numeric=True)
         return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[o]
+    if op == "typedlit":
+        raise SparqlParseError(
+            'typed literals ("x"@en, "5"^^<dt>) are supported in triple '
+            "patterns and =/!= comparisons against a variable only"
+        )
     if op == "cmp":
         _, o, a, b = ast
+        if a[0] == "typedlit" or b[0] == "typedlit":
+            # term-level equality: lexical form AND typing must match
+            # (hidden _lang_/_dt_ columns, same contract as LANG())
+            tl, other = (a, b) if a[0] == "typedlit" else (b, a)
+            if o not in ("=", "!="):
+                raise SparqlParseError("typed literals only support = / !=")
+            if other[0] == "typedlit":
+                same = tl[1:] == other[1:]
+                return F.lit(same if o == "=" else not same)
+            if other[0] != "var":
+                raise SparqlParseError(
+                    "typed-literal comparison needs a variable on the other side"
+                )
+            v = other[1]
+            _, lex, dt, lang = tl
+            eq = (
+                (F.col(v) == F.lit(lex))
+                & F.col(f"_lang_{v}").eqNullSafe(F.lit(lang).cast("string"))
+            )
+            if lang is None:  # "5"^^<dt>: datatype must match too
+                eq = eq & F.col(f"_dt_{v}").eqNullSafe(F.lit(dt).cast("string"))
+            return eq if o == "=" else ~eq
         num = _is_numeric(a) or _is_numeric(b)
         ca, cb = _compile_expr(a, numeric=num), _compile_expr(b, numeric=num)
         return {
@@ -1716,6 +1757,23 @@ def sparql_json(triples: DataFrame, query: str, limit: int | None = None) -> str
     if form == "ASK":
         return ask_json(bool(df.first()["ask"]))
     return to_sparql_json(df, limit=limit)
+
+
+def sparql_csv(
+    triples: DataFrame, query: str, limit: int | None = None, tsv: bool = False
+) -> str:
+    """Evaluate a SPARQL string and serialize as SPARQL 1.1 Results
+    CSV (or TSV with `tsv=True` — the round-trippable Turtle-term
+    variant). ASK renders one boolean cell under a `result` header,
+    the common engines' convention."""
+    from rdf_diff_store_spark.functions.results import to_sparql_csv
+
+    form = _parse(query).form
+    df = sparql_query(triples, query, keep_typing=(form == "SELECT"))
+    if form == "ASK":
+        val = "true" if bool(df.first()["ask"]) else "false"
+        return ("?result\n" if tsv else "result\r\n") + val + ("\n" if tsv else "\r\n")
+    return to_sparql_csv(df, limit=limit, tsv=tsv)
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:

@@ -66,3 +66,61 @@ class TestSecondsDecimal:
             'WHERE { ?s <p> "x"@en }',
         ).collect()
         assert rows[0].sec == 30.0
+
+
+class TestTypedLiteralFilters:
+    def test_filter_equality_langtag(self, typed):
+        rows = sparql_query(
+            typed, 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v = "x"@en) }'
+        ).collect()
+        assert [r.s for r in rows] == ["s1"]
+
+    def test_filter_inequality_langtag(self, typed):
+        rows = sparql_query(
+            typed, 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v != "x"@en) }'
+        ).collect()
+        assert sorted(r.s for r in rows) == ["s2", "s3", "s4", "s5"]
+
+    def test_filter_equality_datatype(self, typed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v = "5"^^xsd:integer) }'
+        )
+        assert [r.s for r in sparql_query(typed, q).collect()] == ["s4"]
+
+    def test_typed_literal_outside_comparison_is_loud(self, typed):
+        with pytest.raises(SparqlParseError, match="typed literal"):
+            sparql_query(
+                typed, 'SELECT (STRLEN("x"@en) AS ?n) WHERE { ?s <p> ?v }'
+            )
+
+    def test_ordering_comparison_is_loud(self, typed):
+        with pytest.raises(SparqlParseError, match="= / !="):
+            sparql_query(typed, 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v < "x"@en) }')
+
+
+class TestCsvTsvResults:
+    def test_csv_quoting_and_crlf(self, typed):
+        from rdf_diff_store_spark.plans.sparql_text import sparql_csv
+
+        out = sparql_csv(typed, 'SELECT ?s ?v WHERE { ?s <p> ?v } ORDER BY ?s LIMIT 2')
+        lines = out.split("\r\n")
+        assert lines[0] == "s,v"
+        assert lines[1] == "s1,x" and lines[2] == "s2,x"
+
+    def test_tsv_terms_carry_typing(self, typed):
+        from rdf_diff_store_spark.plans.sparql_text import sparql_csv
+
+        out = sparql_csv(
+            typed, 'SELECT ?v WHERE { <s1> <p> ?v }', tsv=True
+        )
+        assert out.splitlines()[0] == "?v"
+        assert out.splitlines()[1] == '"x"@en'
+        out2 = sparql_csv(typed, 'SELECT ?v WHERE { <s4> <p> ?v }', tsv=True)
+        assert out2.splitlines()[1] == '"5"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+    def test_ask_csv(self, typed):
+        from rdf_diff_store_spark.plans.sparql_text import sparql_csv
+
+        assert sparql_csv(typed, 'ASK { ?s <p> "x"@en }') == "result\r\ntrue\r\n"
+        assert sparql_csv(typed, 'ASK { ?s <nope> ?v }', tsv=True) == "?result\nfalse\n"
