@@ -3419,6 +3419,59 @@ def q_audio_features_wav(spark, sf_dir):
     )
 
 
+_BM25_TERMS = ["spark", "merge", "window"]
+
+
+def q_doc_bm25_topk(spark, sf_dir):
+    """BM25 retrieval scoring (log-free idf variant, so every op is
+    exact IEEE and the oracle is bit-identical): per query term, the
+    top-10 documents by saturated-tf × idf with k1=1.2, b=0.75 and
+    document-length normalization. Two partial-agg shuffles (tf, dl) +
+    broadcast scalars + a per-term window."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("term")
+    )
+    dl = tokens.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    avgdl = dl.agg(F.avg(F.col("dl").cast("double")).alias("avgdl"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    qt = tokens.filter(F.col("term").isin(_BM25_TERMS))
+    tf = qt.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = qt.select("doc_id", "term").distinct().groupBy("term").agg(
+        F.count("*").alias("df")
+    )
+    k1, b = F.lit(1.2), F.lit(0.75)
+    idf = F.col("n_docs").cast("double") / (F.col("df").cast("double") + F.lit(0.5))
+    sat = (F.col("tf").cast("double") * (k1 + F.lit(1.0))) / (
+        F.col("tf").cast("double")
+        + k1
+        * (
+            F.lit(1.0)
+            - b
+            + b * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", idf * sat)
+    )
+    w = Window.partitionBy("term").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(
+            "term",
+            "doc_id",
+            "tf",
+            F.round(F.col("score"), 4).alias("bm25"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 def q_version_deltas(spark, sf_dir):
     """Whole-history triple deltas: added/removed counts for every
     consecutive version transition of every graph (diff() generalized
@@ -3562,6 +3615,36 @@ px AS (
 SELECT i AS media_id, CAST(w AS INT) AS dec_width, CAST(h AS INT) AS dec_height,
        ROUND(AVG(CAST((i * 31 + k * 7) % 256 AS DOUBLE)), 4) AS mean_px
 FROM px GROUP BY i, w, h
+""",
+    "doc_bm25_topk": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+  FROM documents
+), dl AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+), avgdl AS (SELECT AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+qt AS (SELECT * FROM tok WHERE term IN ('spark', 'merge', 'window')),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM qt GROUP BY 1, 2),
+dfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM qt GROUP BY term
+),
+scored AS (
+  SELECT tf.term, tf.doc_id, tf.tf,
+    (CAST(n.n_docs AS DOUBLE) / (CAST(dfreq.df AS DOUBLE) + 0.5::DOUBLE))
+    * ((CAST(tf.tf AS DOUBLE) * (1.2::DOUBLE + 1.0::DOUBLE))
+       / (CAST(tf.tf AS DOUBLE)
+          + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+             + 0.75::DOUBLE * (CAST(dl.dl AS DOUBLE) / avgdl.avgdl)))) AS score
+  FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term)
+  CROSS JOIN avgdl CROSS JOIN n
+)
+SELECT term, doc_id, tf, ROUND(score, 4) AS bm25, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY term
+                               ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
 """,
     "audio_features_wav": """
 WITH ids AS (SELECT unnest(generate_series(0, 23)) AS i),
@@ -3869,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_deltas": q_version_deltas,
         "image_features_png": q_image_features_png,
         "audio_features_wav": q_audio_features_wav,
+        "doc_bm25_topk": q_doc_bm25_topk,
     }
 
 

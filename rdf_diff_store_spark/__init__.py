@@ -43,6 +43,7 @@ def __getattr__(name):
         "sparql_query": ("rdf_diff_store_spark.plans.sparql_text", "sparql_query"),
         "sparql_json": ("rdf_diff_store_spark.plans.sparql_text", "sparql_json"),
         "apply_update": ("rdf_diff_store_spark.plans.sparql_update", "apply_update"),
+        "execute": ("rdf_diff_store_spark.plans.sparql_update", "execute"),
         "build_kg": ("rdf_diff_store_spark.pipeline.kg", "build_kg"),
         "entity_link_scores": ("rdf_diff_store_spark.pipeline.linking", "entity_link_scores"),
         "candidate_dictionary": ("rdf_diff_store_spark.pipeline.linking", "candidate_dictionary"),

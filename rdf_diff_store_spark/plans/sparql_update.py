@@ -99,6 +99,45 @@ class _Op:
     silent: bool = False
 
 
+_UPDATE_HEADS = {
+    "INSERT", "DELETE", "WITH", "CLEAR", "DROP", "LOAD", "COPY", "MOVE", "ADD",
+}
+
+
+def is_update(text: str) -> bool:
+    """True when the string is a SPARQL UPDATE (vs a query): decided
+    by the first keyword after the prologue, per the grammar."""
+    ts = _Tokens(text)
+    while ts.peek()[1] in ("PREFIX", "BASE"):
+        ts.next()
+        ts.next()
+        if ts.peek()[0] == "iri":  # PREFIX pname <iri>
+            ts.next()
+    return ts.peek()[1] in _UPDATE_HEADS
+
+
+def execute(changelog: DataFrame, text: str, ts=None, at=None):
+    """One entry point for the store's whole request surface (the
+    analog of the reference's paired query/write endpoints,
+    /root/reference/src/main.rs:118-161): SPARQL QUERY strings run
+    against the snapshot at `at` (default: latest) and return a result
+    DataFrame; UPDATE strings apply at `ts` and return the NEW
+    changelog."""
+    from rdf_diff_store_spark.operators.versioned import (
+        metadata,
+        snapshot_triples,
+    )
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    if is_update(text):
+        if ts is None:
+            raise ValueError("execute: an UPDATE needs its version timestamp `ts`")
+        return apply_update(changelog, text, ts)
+    if at is None:
+        at = F.lit(metadata(changelog).first()["end_time"])
+    return sparql_query(snapshot_triples(changelog, at), text)
+
+
 def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
     ts = _Tokens(text)
     prefixes: dict[str, str] = {}

@@ -317,3 +317,25 @@ class TestUpdateSemantics:
         assert not any(t[2] == "http://e/value" for t in trip)
         # g:3 keeps its name triple, g:1/g:2 are emptied → tombstoned
         assert {r.graph_id for r in snapshot_at(out, T2).collect()} == {"g:3"}
+
+
+class TestExecuteDispatch:
+    def test_query_string_returns_results(self, spark, base_log):
+        from rdf_diff_store_spark.plans.sparql_update import execute
+
+        df = execute(base_log, "SELECT ?s ?v WHERE { ?s <http://e/value> ?v }")
+        assert df.count() == 3
+
+    def test_update_string_returns_new_changelog(self, spark, base_log):
+        from rdf_diff_store_spark.plans.sparql_update import execute, is_update
+
+        upd = 'DELETE WHERE { ?s <http://e/value> "0" }'
+        assert is_update(upd) and not is_update("ASK { ?s ?p ?o }")
+        out = execute(base_log, upd, ts=T1)
+        assert "g:2" not in {r.graph_id for r in snapshot_at(out, T2).collect()}
+
+    def test_update_without_ts_is_loud(self, spark, base_log):
+        from rdf_diff_store_spark.plans.sparql_update import execute
+
+        with pytest.raises(ValueError, match="timestamp"):
+            execute(base_log, "CLEAR ALL")
