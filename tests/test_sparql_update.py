@@ -199,6 +199,55 @@ class TestUpdateModelEquivalence:
             assert got == want, f"trial {trial}: {ops}"
 
 
+class TestModifyModelEquivalence:
+    """Randomized WHERE-driven rename/promote sequences vs a Python
+    model — exercises _where_bindings + _instantiate composition."""
+
+    def test_random_modify_sequences_match_model(self, spark):
+        import random
+
+        rng = random.Random(7)
+        preds = ["http://e/p", "http://e/q", "http://e/r"]
+        # model: graph -> set of (subj, pred, obj)
+        model = {
+            "g:a": {("http://e/s1", "http://e/p", "1"),
+                    ("http://e/s2", "http://e/q", "2")},
+            "g:b": {("http://e/s1", "http://e/p", "3")},
+        }
+        rows = []
+        for g, triples in model.items():
+            payload = "".join(f'<{s}> <{p}> "{o}" .\n' for s, p, o in sorted(triples))
+            rows.append((g, T0, "add", payload))
+        log = _log(spark, rows).localCheckpoint()
+        ops = []
+        for _ in range(4):
+            src, dst = rng.sample(preds, 2)
+            if rng.random() < 0.5:
+                # global per-graph rename
+                ops.append(
+                    "DELETE { ?s <%s> ?v } INSERT { ?s <%s> ?v } "
+                    "WHERE { ?s <%s> ?v }" % (src, dst, src)
+                )
+                model = {
+                    g: {(s, dst if p == src else p, o) for s, p, o in ts_}
+                    for g, ts_ in model.items()
+                }
+            else:
+                g = rng.choice(list(model))
+                ops.append(
+                    "WITH <%s> DELETE { ?s <%s> ?v } INSERT { ?s <%s> ?v } "
+                    "WHERE { ?s <%s> ?v }" % (g, src, dst, src)
+                )
+                model[g] = {
+                    (s, dst if p == src else p, o) for s, p, o in model[g]
+                }
+        out = apply_update(log, " ;\n".join(ops), T1)
+        got: dict[str, set] = {}
+        for r in snapshot_triples(out, T2).collect():
+            got.setdefault(r.graph_id, set()).add((r.subj, r.pred, r.obj))
+        assert got == model, ops
+
+
 class TestUpdateSemantics:
     def test_noop_update_appends_nothing(self, spark, base_log):
         before = base_log.count()
