@@ -3419,6 +3419,23 @@ def q_audio_features_wav(spark, sf_dir):
     )
 
 
+def q_expire_versions(spark, sf_dir):
+    """Retention vacuum: expire history before T_MID, keeping every
+    row at ts >= T_MID plus each graph's latest pre-cutoff ADD (the
+    state entering the window; boundary tombstones drop). Snapshots at
+    or after the cutoff are unchanged — the Iceberg expire_snapshots
+    analog. operators/versioned.py::expire_versions."""
+    from rdf_diff_store_spark.operators.versioned import expire_versions
+
+    log = changelog_from_events(spark, sf_dir)
+    return expire_versions(log, T_MID).select(
+        "graph_id",
+        _ntz_us(F.col("ts")).alias("ts_us"),
+        "op",
+        "content_hash",
+    )
+
+
 _BM25_TERMS = ["spark", "merge", "window"]
 
 
@@ -3615,6 +3632,22 @@ px AS (
 SELECT i AS media_id, CAST(w AS INT) AS dec_width, CAST(h AS INT) AS dec_height,
        ROUND(AVG(CAST((i * 31 + k * 7) % 256 AS DOUBLE)), 4) AS mean_px
 FROM px GROUP BY i, w, h
+""",
+    "expire_versions": f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+older AS (SELECT * FROM changelog WHERE ts < TIMESTAMP '{T_MID}'),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY graph_id
+      ORDER BY ts DESC, op DESC, coalesce(content_hash, '') DESC) AS rn
+  FROM older
+),
+boundary AS (SELECT graph_id, ts, op, content_hash FROM ranked
+             WHERE rn = 1 AND op <> 'delete')
+SELECT graph_id, epoch_us(ts) AS ts_us, op, content_hash FROM boundary
+UNION ALL
+SELECT graph_id, epoch_us(ts) AS ts_us, op, content_hash
+FROM changelog WHERE ts >= TIMESTAMP '{T_MID}'
 """,
     "doc_bm25_topk": r"""
 WITH tok AS (
@@ -3953,6 +3986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_features_png": q_image_features_png,
         "audio_features_wav": q_audio_features_wav,
         "doc_bm25_topk": q_doc_bm25_topk,
+        "expire_versions": q_expire_versions,
     }
 
 

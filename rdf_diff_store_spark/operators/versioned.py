@@ -378,6 +378,28 @@ def version_deltas(changelog: DataFrame) -> DataFrame:
     )
 
 
+def expire_versions(changelog: DataFrame, before: str | Column) -> DataFrame:
+    """Retention vacuum: drop history older than `before` while
+    preserving every snapshot at t >= before — per graph, all rows with
+    ts >= before survive plus the single latest row with ts < before
+    (the graph's state entering the retention window; dropped when it
+    is a tombstone, since "absent" and "deleted" read identically at
+    snapshot time). The Iceberg expire_snapshots analog for the
+    changelog layout; the reference never prunes its git history, so
+    this is a new capability the table layout makes cheap.
+
+    Plan: one partition-pruned scan for the recent slice (ts >= before
+    pushes to the scan) + one max_by hash-agg over the older slice —
+    no window, no global sort."""
+    t = F.lit(before).cast("timestamp") if isinstance(before, str) else before
+    recent = changelog.filter(F.col("ts") >= t)
+    boundary = (
+        current_state(changelog.filter(F.col("ts") < t))
+        .filter(F.col("op") != TOMBSTONE)
+    )
+    return boundary.unionByName(recent)
+
+
 def metadata(changelog: DataFrame) -> DataFrame:
     """O-09: {start_time, end_time} = first/last version times
     (reference: src/git.rs:78-85, src/models/metadata.rs:14-20)."""
