@@ -104,7 +104,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = None
-        for _ in range(2):  # min of 2 reps (±30-90% host noise)
+        # min of 3 reps: r03's driver sheet showed four micro-queries
+        # regress in one direction with NO code change — min-of-2 still
+        # moves with JVM state at the ±30-90% host noise level, and the
+        # micros cost <2 s each (r03 verdict item #7)
+        for _ in range(3):
             t0 = time.perf_counter()
             force(qs[name](spark, sf_dir))
             rep = time.perf_counter() - t0

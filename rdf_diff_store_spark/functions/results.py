@@ -20,6 +20,16 @@ from pyspark.sql import DataFrame
 
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 
+# Engine-internal helper columns, by KNOWN prefix/name only: the SPARQL
+# grammar allows variables with a leading underscore (?_x), so a blanket
+# startswith("_") filter would silently drop a user's projected variable
+# from the serialized results (r03 advisor, results.py finding).
+_HIDDEN_PREFIXES = ("_lang_", "_dt_", "_ord_")
+
+
+def _visible_columns(cols) -> list:
+    return [c for c in cols if not c.startswith(_HIDDEN_PREFIXES) and c != "_match"]
+
 _DT_BY_PYTYPE = {
     bool: _XSD + "boolean",
     int: _XSD + "integer",
@@ -57,7 +67,7 @@ def to_sparql_json(df: DataFrame, limit: int | None = None) -> str:
     and NULL/NULL ⇔ IRI — the oxigraph-faithful response shape. Frames
     without typing columns fall back to the lexical heuristic."""
     rows = df.limit(limit).collect() if limit else df.collect()
-    visible = [c for c in df.columns if not c.startswith(("_lang_", "_dt_", "_"))]
+    visible = _visible_columns(df.columns)
     has_typing = {
         v: (f"_lang_{v}" in df.columns and f"_dt_{v}" in df.columns) for v in visible
     }
@@ -103,7 +113,7 @@ def to_sparql_csv(df: DataFrame, limit: int | None = None, tsv: bool = False) ->
     from the hidden `_lang_v`/`_dt_v` columns when present, else the
     lexical heuristic sparql_json uses."""
     rows = df.limit(limit).collect() if limit else df.collect()
-    visible = [c for c in df.columns if not c.startswith(("_lang_", "_dt_", "_"))]
+    visible = _visible_columns(df.columns)
     has_typing = {
         v: (f"_lang_{v}" in df.columns and f"_dt_{v}" in df.columns) for v in visible
     }

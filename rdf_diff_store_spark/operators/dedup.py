@@ -199,7 +199,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     dim: int | None = None,
     exact: bool = False,
 ) -> DataFrame:
@@ -210,8 +210,16 @@ def embedding_near_dup(
     O(n²), fine for verification scale). The default routes both sides
     through the IVF coarse quantizer first — near-dups at cos>=0.95
     land in the same cell with overwhelming probability, so the join
-    touches ~1/n_centroids of the pair space."""
-    from rdf_diff_store_spark.operators.similarity import _cosine
+    touches ~1/n_centroids of the pair space. n_centroids defaults to
+    √n (one count job): with k=√n cells the expected within-cell pair
+    work is O(n) total — a FIXED k leaves (n/k)² pairs per cell and
+    dies at 1e9 vectors (r03 verdict weak #3; SCALE.md §IVF)."""
+    from rdf_diff_store_spark.operators.similarity import (
+        _centroid_assign_udf,
+        _cosine,
+        default_n_centroids,
+        md5_centroids,
+    )
 
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
@@ -220,21 +228,10 @@ def embedding_near_dup(
     else:
         if dim is None:
             raise ValueError("dim required for the IVF-bucketed path")
-        from rdf_diff_store_spark.operators.similarity import ivf_topk  # noqa: F401  (shared centroid scheme)
-        import numpy as np
-        import pandas as pd
-        from pyspark.sql import types as T
-
-        @F.pandas_udf(T.IntegerType())
-        def cell(vecs: pd.Series) -> pd.Series:
-            rng = np.random.RandomState(424242)
-            cents = rng.standard_normal((n_centroids, dim))
-            cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-            mat = np.stack(vecs.to_numpy())
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            return pd.Series(((mat / norms) @ cents.T).argmax(axis=1).astype("int32"))
-
+        if n_centroids is None:
+            n_centroids = default_n_centroids(df)
+        assign = _centroid_assign_udf(md5_centroids(n_centroids, dim), top=1)
+        cell = lambda v: F.element_at(assign(v), 1)  # noqa: E731
         a = a.withColumn("_cell", cell(F.col("va")))
         b = b.withColumn("_cell", cell(F.col("vb")))
         pairs = a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b")).drop("_cell")

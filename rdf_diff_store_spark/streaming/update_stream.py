@@ -62,9 +62,16 @@ class UpdateStreamApplier:
             return
         log = self.changelog().localCheckpoint()
         prev_max = log.agg(F.max("ts")).first()[0]
-        if prev_max is not None and reqs[0][0] < prev_max:
+        # Out-of-order guard, replay-safe: on a foreachBatch REPLAY
+        # (crash between parquet append and checkpoint commit)
+        # prev_max already includes this batch's own rows, so the
+        # batch's FIRST ts legitimately precedes it. Only a batch
+        # whose LAST ts precedes the stored max is genuinely
+        # out-of-order; a replayed batch falls through to the
+        # anti-join, re-derives identical rows, and appends nothing.
+        if prev_max is not None and reqs[-1][0] < prev_max:
             raise ValueError(
-                f"update stream went backwards: batch ts {reqs[0][0]} < "
+                f"update stream went backwards: batch max ts {reqs[-1][0]} < "
                 f"stored max {prev_max} (the queue must be time-ordered)"
             )
         new_log = log

@@ -48,6 +48,21 @@ def normalize(rows, columns):
 _DRIVER_HOSTILE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL", "UBIGINT")
 
 
+def _family(type_name: str) -> str:
+    """Classify an engine type name into the pandas-dtype family the
+    driver's hash sees. int-valued DOUBLE vs LONG passes a value
+    compare (9108 == 9108.0) but hash-mismatches on the driver —
+    the sparql_numeric_fns r03 failure class."""
+    t = type_name.upper()
+    if any(k in t for k in ("DOUBLE", "FLOAT", "REAL", "DECIMAL")):
+        return "float"
+    if "BOOL" in t:
+        return "bool"
+    if any(k in t for k in ("BIGINT", "HUGEINT", "INT", "LONG", "SHORT", "BYTE")):
+        return "int"
+    return "other"
+
+
 def compare(name, spark_df, con, sql):
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = spark_df.columns
@@ -65,6 +80,15 @@ def compare(name, spark_df, con, sql):
             f"oracle col types {hostile} will hash-mismatch on the driver "
             "(pandas renders HUGEINT/DECIMAL as float/object) — CAST to BIGINT/DOUBLE"
         )
+    s_fam = {c: _family(t) for c, t in spark_df.dtypes}
+    o_fam = {c: _family(str(t)) for c, t in zip(o_cols, o.types)}
+    for c in sorted(set(s_fam) & set(o_fam)):
+        sf, of = s_fam[c], o_fam[c]
+        if sf != of and sf != "other" and of != "other":
+            problems.append(
+                f"dtype family mismatch on '{c}': spark={sf} oracle={of} — "
+                "identical values still hash-mismatch on the driver; CAST one side"
+            )
     if sorted(s_cols) != sorted(o_cols):
         problems.append(f"columns spark={sorted(s_cols)} oracle={sorted(o_cols)}")
     if len(s_rows) != len(o_rows):

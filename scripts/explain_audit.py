@@ -199,6 +199,25 @@ def main() -> None:
         )
     )
 
+    # 11. LSH pair dedup must shuffle IDS ONLY: the cross-table
+    # dropDuplicates exchange carries two scalar ids per candidate
+    # pair, never the dim-sized qv/cv embedding arrays — vectors are
+    # re-joined once after dedup for the re-rank (r03 VERDICT weak #2)
+    p_lsh = plan_of(qs["ann_lsh_topk"](spark, sf_dir))
+    dedup_inputs = _re.findall(
+        r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]\s*\n"
+        r"Arguments: hashpartitioning\(query_id#\d+L?, neighbor_id",
+        p_lsh,
+    )
+    checks.append(
+        (
+            "LSH pair-dedup exchange ships ids only",
+            bool(dedup_inputs)
+            and all("qv" not in c and "cv" not in c for c in dedup_inputs),
+            f"dedup exchange inputs: {dedup_inputs[:2]}",
+        )
+    )
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)

@@ -94,8 +94,11 @@ class TestTypedLiteralFilters:
                 typed, 'SELECT (STRLEN("x"@en) AS ?n) WHERE { ?s <p> ?v }'
             )
 
-    def test_ordering_comparison_is_loud(self, typed):
-        with pytest.raises(SparqlParseError, match="= / !="):
+    def test_ordering_comparison_on_non_numeric_is_loud(self, typed):
+        """r04: ordering now WORKS for numeric-typed literals
+        (test_r04_fixes.TestTypedLiteralCompare); non-numeric ones
+        still raise loudly."""
+        with pytest.raises(SparqlParseError, match="numeric"):
             sparql_query(typed, 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v < "x"@en) }')
 
 
