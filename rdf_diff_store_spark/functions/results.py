@@ -24,7 +24,7 @@ _XSD = "http://www.w3.org/2001/XMLSchema#"
 # grammar allows variables with a leading underscore (?_x), so a blanket
 # startswith("_") filter would silently drop a user's projected variable
 # from the serialized results (r03 advisor, results.py finding).
-_HIDDEN_PREFIXES = ("_lang_", "_dt_", "_ord_")
+_HIDDEN_PREFIXES = ("_lang_", "_dt_", "_ord_", "_bn_", "_path_", "_val_")
 
 
 def _visible_columns(cols) -> list:

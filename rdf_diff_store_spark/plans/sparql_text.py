@@ -1743,7 +1743,8 @@ def _compile_select(
         hidden = [
             c
             for c in df.columns
-            if c == "_match" or c.startswith(("_lang_", "_dt_", "_ord_"))
+            if c == "_match"
+            or c.startswith(("_lang_", "_dt_", "_ord_", "_bn_", "_path_", "_val_"))
         ]
         if keep_typing:
             visible = {c for c in df.columns if c not in hidden}
