@@ -3680,6 +3680,48 @@ def q_sparql_text_typed_compare(spark, sf_dir):
     )
 
 
+def q_sparql_text_sameterm_ctor(spark, sf_dir):
+    """Term-level sameTerm + constant STRLANG/STRDT constructors (r04
+    deviation closures): sameTerm distinguishes lang/datatype tags
+    (xsd:string ≡ simple literal per RDF 1.1), and STRLANG/STRDT with
+    constant args fold to typed-literal constants usable in FILTER
+    term-equality and numeric ordering. plans/sparql_text.py
+    _fold_typed_ctor + SAMETERM term()."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    docs = spark.createDataFrame(
+        [("g", 0, _TYPED_LIT_DOC)], "graph_id string, ts long, payload string"
+    )
+    triples = parse_triples(docs)
+    pfx = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    same_en = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(sameTerm(?o, "hello"@en)) }',
+    ).withColumn("q", F.lit("sameterm_en"))
+    same_simple = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(sameTerm(?o, "hello")) }',
+    ).withColumn("q", F.lit("sameterm_simple"))
+    strlang_eq = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(?o = STRLANG("hello", "de")) }',
+    ).withColumn("q", F.lit("strlang_eq"))
+    strdt_ge = sparql_query(
+        triples,
+        pfx + 'SELECT ?s WHERE { ?s <http://ex.org/size> ?o . '
+        'FILTER(?o >= STRDT("5", xsd:integer)) }',
+    ).withColumn("q", F.lit("strdt_ge"))
+    return (
+        same_en.unionByName(same_simple)
+        .unionByName(strlang_eq)
+        .unionByName(strdt_ge)
+    )
+
+
 def q_doc_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by rational tf-idf
     (tf × N/df — the log-free variant, so the score is exact IEEE
@@ -3969,6 +4011,16 @@ FROM (
 """,
 }
 
+_ORACLE_R4["sparql_text_sameterm_ctor"] = """
+SELECT * FROM (VALUES
+  ('http://ex.org/d1', 'sameterm_en'),
+  ('http://ex.org/d3', 'sameterm_simple'),
+  ('http://ex.org/d2', 'strlang_eq'),
+  ('http://ex.org/d4', 'strdt_ge'),
+  ('http://ex.org/d5', 'strdt_ge')
+) AS t(s, q)
+"""
+
 _ORACLE_R4["sparql_text_typed_compare"] = f"""
 WITH triples AS ({_T})
 SELECT subj AS c, obj AS b FROM triples
@@ -4136,6 +4188,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "percentile": q_percentile,
         "pivot_status": q_pivot_status,
+        # -- r04 session-2 additions (r05 window material) -------------
+        "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
     }
 
 

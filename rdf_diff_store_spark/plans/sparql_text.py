@@ -877,7 +877,36 @@ def _typing_col(name: str) -> Column:
     return F.col(name)
 
 
+def _norm_dt(c: Column) -> Column:
+    """Map xsd:string → NULL: RDF 1.1 makes a simple literal and an
+    explicit "x"^^xsd:string the SAME term, and the triples view carries
+    either spelling depending on the source serialization."""
+    return F.when(c == F.lit(_XSD_NS + "string"), F.lit(None).cast("string")).otherwise(c)
+
+
+def _fold_typed_ctor(ast):
+    """STRLANG("lex","tag") / STRDT("lex", <dt>) with CONSTANT args is a
+    typed-literal constant (SPARQL 1.1 §17.4.2.8-9) — fold it to the
+    typedlit node so FILTER comparisons / sameTerm / numeric operand
+    mapping treat it exactly like the "lex"@tag / "lex"^^<dt> spelling.
+    Dynamic args stay a fn node (handled at BIND level, where the tag
+    can ride the hidden typing columns)."""
+    if (
+        ast[0] == "fn"
+        and ast[1] in ("STRLANG", "STRDT")
+        and len(ast[2]) == 2
+        and ast[2][0][0] == "str"
+        and ast[2][1][0] == "str"
+    ):
+        lex, tag = ast[2][0][1], ast[2][1][1]
+        if ast[1] == "STRDT":
+            return ("typedlit", lex, tag, None)
+        return ("typedlit", lex, None, tag)
+    return ast
+
+
 def _is_numeric(ast) -> bool:
+    ast = _fold_typed_ctor(ast)
     op = ast[0]
     if op == "num":
         return True
@@ -893,6 +922,7 @@ def _is_numeric(ast) -> bool:
 
 
 def _compile_expr(ast, numeric: bool = False) -> Column:
+    ast = _fold_typed_ctor(ast)
     op = ast[0]
     if op == "var":
         c = F.col(ast[1])
@@ -921,12 +951,14 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             # operand mapping) — enables arithmetic and ordering
             return F.lit(float(lex)) if ("." in lex or numeric) else F.lit(int(lex))
         raise SparqlParseError(
-            'typed literals ("x"@en, "5"^^<dt>) are supported in triple '
-            "patterns, =/!= term comparisons, and (numeric datatypes) "
-            "ordering/arithmetic expressions only"
+            'typed literals ("x"@en, "5"^^<dt>, constant STRLANG/STRDT) '
+            "are supported in triple patterns, =/!= term comparisons, "
+            "sameTerm, and (numeric datatypes) ordering/arithmetic "
+            "expressions only"
         )
     if op == "cmp":
         _, o, a, b = ast
+        a, b = _fold_typed_ctor(a), _fold_typed_ctor(b)
         typed = a[0] == "typedlit" or b[0] == "typedlit"
         if typed and o in ("=", "!="):
             # term-level equality: lexical form AND typing must match
@@ -946,7 +978,10 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                 & _typing_col(f"_lang_{v}").eqNullSafe(F.lit(lang).cast("string"))
             )
             if lang is None:  # "5"^^<dt>: datatype must match too
-                eq = eq & _typing_col(f"_dt_{v}").eqNullSafe(F.lit(dt).cast("string"))
+                # (xsd:string ≡ simple literal, both spellings normalized)
+                eq = eq & _norm_dt(_typing_col(f"_dt_{v}")).eqNullSafe(
+                    _norm_dt(F.lit(dt).cast("string"))
+                )
             return eq if o == "=" else ~eq
         if typed and not (_is_numeric(a) or _is_numeric(b)):
             raise SparqlParseError(
@@ -989,6 +1024,39 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             if not set(flags) <= set("ims"):
                 raise SparqlParseError(f"{fn} unsupported regex flags {flags!r}")
             return f"(?{flags})" if flags else ""
+
+        if fn == "SAMETERM":
+            # term-level identity: lexical value AND typing tags must all
+            # match (lang tag, datatype via hidden _lang_/_dt_ columns;
+            # xsd:string normalized to the simple-literal spelling per
+            # RDF 1.1). Handled BEFORE the eager arg compile: a typed-
+            # literal arg ("hi"@en) is a term here, not a scalar operand.
+            # Remaining documented corner: the triples view doesn't mark
+            # IRI-ness, so an IRI and a SIMPLE literal with the same
+            # lexical form still compare equal — COVERAGE.md
+            # §known-deviations
+            def term(x):
+                x = _fold_typed_ctor(x)
+                if x[0] == "var":
+                    v = x[1]
+                    return (
+                        F.col(v).cast("string"),
+                        _typing_col(f"_lang_{v}"),
+                        _norm_dt(_typing_col(f"_dt_{v}")),
+                    )
+                if x[0] == "typedlit":
+                    _, lex, dt, lang = x
+                    return (
+                        F.lit(lex),
+                        F.lit(lang).cast("string"),
+                        _norm_dt(F.lit(dt).cast("string")),
+                    )
+                none = F.lit(None).cast("string")
+                return _compile_expr(x).cast("string"), none, none
+
+            va, la, da = term(args[0])
+            vb, lb, db = term(args[1])
+            return va.eqNullSafe(vb) & la.eqNullSafe(lb) & da.eqNullSafe(db)
 
         a = [_compile_expr(x, numeric=fn in _NUMERIC_FNS) for x in args]
         if fn == "REGEX":
@@ -1121,11 +1189,6 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                     )
                 ]
             )
-        if fn == "SAMETERM":
-            # value-level identity (null-safe); lexical collisions
-            # between differently-typed literals compare equal — see
-            # COVERAGE.md §known-deviations
-            return a[0].eqNullSafe(a[1])
         if fn == "ENCODE_FOR_URI":
             # url_encode is application/x-www-form-urlencoded; patch
             # the three deltas to RFC 3986 percent-encoding (space, *, ~)
@@ -1139,10 +1202,15 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         if fn == "RAND":
             return F.rand()
         if fn in ("STRLANG", "STRDT"):
+            # constant-arg calls were folded to typedlit at entry; only
+            # DYNAMIC args reach here, and those need the hidden typing
+            # columns only a BIND can materialize
             raise SparqlParseError(
-                f"{fn} is supported only as the top-level expression of a "
-                "BIND (it constructs a TYPED literal — the tag lives in "
-                "hidden typing columns a scalar expression can't carry)"
+                f"{fn} with non-constant arguments is supported only as "
+                "the top-level expression of a BIND (the constructed tag "
+                "lives in hidden typing columns a scalar expression "
+                "can't carry); constant-arg calls work anywhere a typed "
+                "literal does"
             )
         if fn in ("LANG", "DATATYPE"):
             # typing rides in hidden _lang_/_dt_ columns projected by
