@@ -3680,6 +3680,36 @@ def q_sparql_text_typed_compare(spark, sf_dir):
     )
 
 
+def q_sparql_text_typed_temporal(spark, sf_dir):
+    """Temporal ordering on xsd:date typed literals:
+    FILTER(?d >= "1998-06-15"^^xsd:date && ?d < "1998-07-01"^^xsd:date)
+    — SPARQL 1.1 §17.3 op:date ordering (the non-numeric half of r03
+    verdict #8; was a documented loud raise). Compiled as session-TZ-
+    independent string→date casts (plans/sparql_text.py _temporal_dt);
+    oxigraph parity: reference queries run date filters through
+    src/bin/rdf-query-cache.rs:44-53."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+    from rdf_diff_store_spark.sources.relational import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    triples = orders.select(
+        F.lit("g").alias("graph_id"),
+        F.concat(F.lit("order:"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("orderDate").alias("pred"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("obj"),
+    )
+    return sparql_query(
+        triples,
+        """
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?o ?d WHERE {
+          ?o <orderDate> ?d .
+          FILTER(?d >= "1998-06-15"^^xsd:date && ?d < "1998-07-01"^^xsd:date)
+        }
+        """,
+    )
+
+
 def q_sparql_text_sameterm_ctor(spark, sf_dir):
     """Term-level sameTerm + constant STRLANG/STRDT constructors (r04
     deviation closures): sameTerm distinguishes lang/datatype tags
@@ -4011,6 +4041,14 @@ FROM (
 """,
 }
 
+_ORACLE_R4["sparql_text_typed_temporal"] = """
+SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS o,
+       strftime(o_orderdate, '%Y-%m-%d') AS d
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1998-06-15'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-07-01'
+"""
+
 _ORACLE_R4["sparql_text_sameterm_ctor"] = """
 SELECT * FROM (VALUES
   ('http://ex.org/d1', 'sameterm_en'),
@@ -4190,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pivot_status": q_pivot_status,
         # -- r04 session-2 additions (r05 window material) -------------
         "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
+        "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
     }
 
 

@@ -905,6 +905,18 @@ def _fold_typed_ctor(ast):
     return ast
 
 
+_TEMPORAL_DTS = {_XSD_NS + "date", _XSD_NS + "dateTime"}
+
+
+def _temporal_dt(ast):
+    """The xsd:date/xsd:dateTime datatype IRI if `ast` is a temporal
+    typed-literal constant, else None."""
+    ast = _fold_typed_ctor(ast)
+    if ast[0] == "typedlit" and ast[3] is None and ast[2] in _TEMPORAL_DTS:
+        return ast[2]
+    return None
+
+
 def _is_numeric(ast) -> bool:
     ast = _fold_typed_ctor(ast)
     op = ast[0]
@@ -983,9 +995,35 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                     _norm_dt(F.lit(dt).cast("string"))
                 )
             return eq if o == "=" else ~eq
+        tdt = _temporal_dt(a) or _temporal_dt(b)
+        if typed and tdt is not None and o in ("<", "<=", ">", ">="):
+            # Value-level temporal ordering (SPARQL 1.1 §17.3 op:date/
+            # op:dateTime): cast both sides to the literal's calendar
+            # type. string→date and string→timestamp_ntz casts are both
+            # session-TZ-independent (the driver harness doesn't pin
+            # UTC); a lexical form that doesn't parse → NULL → the row
+            # drops, matching SPARQL type-error semantics.
+            spark_t = "date" if tdt == _XSD_NS + "date" else "timestamp_ntz"
+
+            def tcol(x):
+                x = _fold_typed_ctor(x)
+                if x[0] == "typedlit":
+                    return F.lit(x[1]).cast(spark_t)
+                if x[0] == "var":
+                    # try_cast: ANSI mode would THROW on a malformed
+                    # lexical form; NULL → drop is the SPARQL semantics
+                    return F.col(x[1]).try_cast(spark_t)
+                raise SparqlParseError(
+                    "temporal comparison needs a variable or xsd:date/"
+                    "xsd:dateTime literal on each side"
+                )
+
+            ca, cb = tcol(a), tcol(b)
+            return {"<": ca < cb, "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[o]
         if typed and not (_is_numeric(a) or _is_numeric(b)):
             raise SparqlParseError(
-                "ordering comparisons on typed literals need a numeric datatype"
+                "ordering comparisons on typed literals need a numeric "
+                "or xsd:date/xsd:dateTime datatype"
             )
         num = _is_numeric(a) or _is_numeric(b)
         ca, cb = _compile_expr(a, numeric=num), _compile_expr(b, numeric=num)

@@ -102,6 +102,71 @@ class TestTypedLiteralFilters:
             sparql_query(typed, 'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v < "x"@en) }')
 
 
+class TestTemporalOrdering:
+    """r04 session-2: ordering comparisons on xsd:date / xsd:dateTime
+    typed literals compile to session-TZ-independent calendar casts."""
+
+    @pytest.fixture(scope="class")
+    def dated(self, spark):
+        return spark.createDataFrame(
+            [
+                ("g", "e1", "when", "2020-01-15"),
+                ("g", "e2", "when", "2020-06-01"),
+                ("g", "e3", "when", "2021-02-28"),
+                ("g", "e4", "when", "not-a-date"),
+                ("g", "e5", "at", "2020-06-01T12:30:00"),
+                ("g", "e6", "at", "2020-06-01T22:00:00"),
+            ],
+            "graph_id string, subj string, pred string, obj string",
+        ).localCheckpoint()
+
+    def test_date_range_filter(self, dated):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <when> ?d . "
+            'FILTER(?d >= "2020-02-01"^^xsd:date && ?d < "2021-01-01"^^xsd:date) }'
+        )
+        assert [r.s for r in sparql_query(dated, q).collect()] == ["e2"]
+
+    def test_datetime_ordering(self, dated):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <at> ?t . "
+            'FILTER(?t > "2020-06-01T15:00:00"^^xsd:dateTime) }'
+        )
+        assert [r.s for r in sparql_query(dated, q).collect()] == ["e6"]
+
+    def test_literal_on_left(self, dated):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <when> ?d . "
+            'FILTER("2021-01-01"^^xsd:date <= ?d) }'
+        )
+        assert [r.s for r in sparql_query(dated, q).collect()] == ["e3"]
+
+    def test_unparseable_lexical_drops_row(self, dated):
+        """'not-a-date' casts to NULL → comparison NULL → row dropped
+        (SPARQL type-error semantics), not an exception."""
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <when> ?d . "
+            'FILTER(?d >= "1900-01-01"^^xsd:date) }'
+        )
+        assert sorted(r.s for r in sparql_query(dated, q).collect()) == [
+            "e1", "e2", "e3",
+        ]
+
+    def test_temporal_equality_stays_term_level(self, dated):
+        """= on a temporal literal keeps term semantics: on an untyped
+        view the datatype tag can't match, so no row qualifies."""
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <when> ?d . "
+            'FILTER(?d = "2020-01-15"^^xsd:date) }'
+        )
+        assert sparql_query(dated, q).count() == 0
+
+
 class TestCsvTsvResults:
     def test_csv_quoting_and_crlf(self, typed):
         from rdf_diff_store_spark.plans.sparql_text import sparql_csv
