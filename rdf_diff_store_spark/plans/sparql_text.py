@@ -994,6 +994,17 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                 eq = eq & _norm_dt(_typing_col(f"_dt_{v}")).eqNullSafe(
                     _norm_dt(F.lit(dt).cast("string"))
                 )
+            if bool(_FRAME_COLUMNS) and (
+                f"_lang_{v}" in _FRAME_COLUMNS[-1]
+                or f"_dt_{v}" in _FRAME_COLUMNS[-1]
+            ):
+                # typed view records IRI-ness (both typing columns
+                # NULL): an IRI never term-equals a literal constant,
+                # even with xsd:string's simple-literal normalization
+                eq = eq & (
+                    _typing_col(f"_lang_{v}").isNotNull()
+                    | _typing_col(f"_dt_{v}").isNotNull()
+                )
             return eq if o == "=" else ~eq
         tdt = _temporal_dt(a) or _temporal_dt(b)
         if typed and tdt is not None and o in ("<", "<=", ">", ">="):
@@ -1069,32 +1080,51 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             # xsd:string normalized to the simple-literal spelling per
             # RDF 1.1). Handled BEFORE the eager arg compile: a typed-
             # literal arg ("hi"@en) is a term here, not a scalar operand.
-            # Remaining documented corner: the triples view doesn't mark
-            # IRI-ness, so an IRI and a SIMPLE literal with the same
-            # lexical form still compare equal — COVERAGE.md
-            # §known-deviations
+            # Each term also carries a KIND ("iri" / "lit" / NULL =
+            # unknown): over a TYPED view (parse_triples output) an IRI
+            # object has BOTH typing columns NULL while a simple literal
+            # carries dt=xsd:string, so an IRI and a same-lexical SIMPLE
+            # literal now compare unequal. Unknown kind (untyped views,
+            # constants — the expression grammar folds <iri> and "str"
+            # to the same node) matches anything, preserving prior
+            # behavior where IRI-ness is genuinely unrecorded.
             def term(x):
                 x = _fold_typed_ctor(x)
                 if x[0] == "var":
                     v = x[1]
-                    return (
-                        F.col(v).cast("string"),
-                        _typing_col(f"_lang_{v}"),
-                        _norm_dt(_typing_col(f"_dt_{v}")),
+                    lang_c = _typing_col(f"_lang_{v}")
+                    dt_c = _typing_col(f"_dt_{v}")
+                    typed_frame = bool(_FRAME_COLUMNS) and (
+                        f"_lang_{v}" in _FRAME_COLUMNS[-1]
+                        or f"_dt_{v}" in _FRAME_COLUMNS[-1]
                     )
+                    kind = (
+                        F.when(
+                            lang_c.isNotNull() | dt_c.isNotNull(), F.lit("lit")
+                        ).otherwise(F.lit("iri"))
+                        if typed_frame
+                        else F.lit(None).cast("string")
+                    )
+                    return (F.col(v).cast("string"), lang_c, _norm_dt(dt_c), kind)
                 if x[0] == "typedlit":
                     _, lex, dt, lang = x
                     return (
                         F.lit(lex),
                         F.lit(lang).cast("string"),
                         _norm_dt(F.lit(dt).cast("string")),
+                        F.lit("lit"),
                     )
                 none = F.lit(None).cast("string")
-                return _compile_expr(x).cast("string"), none, none
+                return _compile_expr(x).cast("string"), none, none, none
 
-            va, la, da = term(args[0])
-            vb, lb, db = term(args[1])
-            return va.eqNullSafe(vb) & la.eqNullSafe(lb) & da.eqNullSafe(db)
+            va, la, da, ka = term(args[0])
+            vb, lb, db, kb = term(args[1])
+            return (
+                va.eqNullSafe(vb)
+                & la.eqNullSafe(lb)
+                & da.eqNullSafe(db)
+                & (ka.isNull() | kb.isNull() | (ka == kb))
+            )
 
         a = [_compile_expr(x, numeric=fn in _NUMERIC_FNS) for x in args]
         if fn == "REGEX":

@@ -15,6 +15,13 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _gc_opts(cpus: int) -> str:
+    """ParallelGC with a thread pool sized for a `cpus`-core machine
+    (HotSpot's default formula), not for the sandbox host."""
+    gc_threads = cpus if cpus <= 8 else 8 + (cpus - 8) * 5 // 8
+    return f"-XX:+UseParallelGC -XX:ParallelGCThreads={gc_threads}"
+
+
 def get_spark(
     app_name: str = "rdf_diff_store_spark",
     cpus: int | None = None,
@@ -59,8 +66,16 @@ def get_spark(
         # anti-scales here: measured 26.8s vs 4.5s on a 64M-row
         # sha2 aggregation at local[32]; G1's concurrent phases fight
         # the 32 mutator threads for cores.
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        #
+        # ParallelGCThreads is pinned to what a machine with `cpus`
+        # cores would get (the JVM's own formula: N for N<=8, else
+        # 8 + (N-8)*5/8). Unpinned, the JVM sizes the GC pool from the
+        # HOST's core count, so a local[2] session collects garbage
+        # with ~23 threads — free parallelism a real 2-core executor
+        # doesn't have, which silently distorts any N-vs-4N scaling
+        # comparison on this allocation-heavy workload.
+        .config("spark.driver.extraJavaOptions", _gc_opts(cpus))
+        .config("spark.executor.extraJavaOptions", _gc_opts(cpus))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -167,6 +167,59 @@ class TestTemporalOrdering:
         assert sparql_query(dated, q).count() == 0
 
 
+class TestSameTermIriness:
+    """r04 session-2: typed views record IRI-ness (both typing columns
+    NULL ⟺ IRI/bnode), so sameTerm and typed =/!= no longer conflate an
+    IRI with a same-lexical simple literal. Untyped views keep the
+    documented permissive behavior (kind unknown matches anything)."""
+
+    @pytest.fixture(scope="class")
+    def mixed(self, spark):
+        xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+        return spark.createDataFrame(
+            [
+                ("g", "s1", "p", "x", None, None),      # IRI object <x>
+                ("g", "s2", "p", "x", xsd_s, None),     # simple literal "x"
+                ("g", "s3", "p", "x", None, "en"),      # "x"@en
+            ],
+            "graph_id string, subj string, pred string, obj string, obj_dt string, obj_lang string",
+        ).localCheckpoint()
+
+    def test_sameterm_iri_vs_simple_literal(self, mixed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <p> ?v . "
+            'FILTER(sameTerm(?v, "x"^^xsd:string)) }'
+        )
+        assert [r.s for r in sparql_query(mixed, q).collect()] == ["s2"]
+
+    def test_sameterm_var_var_excludes_iri_literal_pair(self, mixed):
+        q = (
+            "SELECT ?a ?b WHERE { ?a <p> ?v1 . ?b <p> ?v2 . "
+            "FILTER(sameTerm(?v1, ?v2) && ?a < ?b) }"
+        )
+        assert sparql_query(mixed, q).count() == 0
+
+    def test_typed_equality_excludes_iri(self, mixed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT ?s WHERE { ?s <p> ?v . FILTER(?v = "x"^^xsd:string) }'
+        )
+        assert [r.s for r in sparql_query(mixed, q).collect()] == ["s2"]
+
+    def test_untyped_view_stays_permissive(self, spark):
+        plain = spark.createDataFrame(
+            [("g", "s1", "p", "x")],
+            "graph_id string, subj string, pred string, obj string",
+        )
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <p> ?v . "
+            'FILTER(sameTerm(?v, "x"^^xsd:string)) }'
+        )
+        assert [r.s for r in sparql_query(plain, q).collect()] == ["s1"]
+
+
 class TestCsvTsvResults:
     def test_csv_quoting_and_crlf(self, typed):
         from rdf_diff_store_spark.plans.sparql_text import sparql_csv
