@@ -4054,10 +4054,12 @@ SELECT * FROM (VALUES
   ('http://ex.org/d1', 'sameterm_en'),
   ('http://ex.org/d3', 'sameterm_simple'),
   ('http://ex.org/d2', 'strlang_eq'),
-  ('http://ex.org/d4', 'strdt_ge'),
-  ('http://ex.org/d5', 'strdt_ge')
+  ('http://ex.org/d4', 'strdt_ge')
 ) AS t(s, q)
 """
+# d5's size is the SIMPLE literal "5" (parsed dt = xsd:string): on a
+# typed view, string >= integer is a SPARQL §17.3 type error → the
+# row DROPS (r04 session-2 value-semantics rework; oxigraph agrees).
 
 _ORACLE_R4["sparql_text_typed_compare"] = f"""
 WITH triples AS ({_T})

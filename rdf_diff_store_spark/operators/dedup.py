@@ -209,11 +209,14 @@ def embedding_near_dup(
     exact=True does the all-pairs join (the oracle-checkable baseline;
     O(n²), fine for verification scale). The default routes both sides
     through the IVF coarse quantizer first — near-dups at cos>=0.95
-    land in the same cell with overwhelming probability, so the join
-    touches ~1/n_centroids of the pair space. n_centroids defaults to
-    √n (one count job): with k=√n cells the expected within-cell pair
-    work is O(n) total — a FIXED k leaves (n/k)² pairs per cell and
-    dies at 1e9 vectors (r03 verdict weak #3; SCALE.md §IVF)."""
+    land in the same cell with high probability, so the join touches
+    ~1/n_centroids of the pair space. n_centroids defaults to √n (one
+    count job): (n/k)² pairs per cell × k cells = O(n^1.5) total at
+    k=√n — a √n factor better than any FIXED k's O(n²/k), though not
+    linear; compose the cell id with an LSH band key for near-linear
+    (r03 verdict weak #3; SCALE.md §IVF). Boundary pairs split across
+    neighboring cells are the recall cost — raise the threshold margin
+    or use exact=True at verification scale."""
     from rdf_diff_store_spark.operators.similarity import (
         _centroid_assign_udf,
         _cosine,

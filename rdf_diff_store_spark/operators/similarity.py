@@ -229,9 +229,12 @@ def _centroid_assign_udf(centroids, top: int):
 
 def default_n_centroids(candidates: DataFrame) -> int:
     """√n cells (floor 16): keeps BOTH the per-cell list size and the
-    number of cells at O(√n), so the within-cell work is O(n) total
-    instead of O(n²/k) with a fixed k — the difference between sf0.1
-    and 1e9 vectors (r03 verdict weak #3; SCALE.md §IVF)."""
+    number of cells at O(√n). For top-k probing that makes per-query
+    cost O(n_probe·√n); for all-pairs near-dup the within-cell pair
+    work is (√n)² per cell × √n cells = O(n^1.5) total — a √n-factor
+    improvement over the O(n²/k) of any FIXED k (r03 verdict weak #3),
+    not linear. The near-linear path is composing the cell id with an
+    LSH band key (SCALE.md §IVF)."""
     n = candidates.count()
     return max(16, int(n**0.5))
 
@@ -242,7 +245,7 @@ def ivf_topk(
     dim: int,
     k: int = 10,
     n_centroids: int | None = None,
-    n_probe: int = 4,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
@@ -262,13 +265,23 @@ def ivf_topk(
 
     `n_centroids=None` computes the √n default (one count() job).
     At 1e9+ vectors this is the classic coarse-quantizer pruning:
-    each query touches ~n_probe/n_centroids of the corpus."""
+    each query touches ~n_probe/n_centroids of the corpus.
+
+    `n_probe=None` scales the probe count WITH the cell count
+    (max(4, ~5% of cells)): a fixed n_probe over √n cells would scan a
+    vanishing corpus fraction as n grows — recall silently collapses
+    (4/1000 cells = 0.4% of a 1e6 corpus). Scaled probing pins the
+    scanned fraction, so recall is size-stable and per-query cost
+    stays O(√n · list size)."""
     if centroids is None:
         if n_centroids is None:
             n_centroids = default_n_centroids(candidates)
         centroids = md5_centroids(n_centroids, dim)
     else:
         n_centroids = len(centroids)
+    if n_probe is None:
+        n_probe = max(4, round(n_centroids * 0.05))
+    n_probe = min(n_probe, n_centroids)
 
     def _assign_udf(top: int):
         return _centroid_assign_udf(centroids, top)

@@ -960,8 +960,19 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         _, lex, dt, lang = ast
         if lang is None and dt in _NUMERIC_DTS:
             # "5"^^xsd:decimal as an operand: numeric value (SPARQL
-            # operand mapping) — enables arithmetic and ordering
-            return F.lit(float(lex)) if ("." in lex or numeric) else F.lit(int(lex))
+            # operand mapping) — enables arithmetic and ordering.
+            # Exponent forms ("1e3"^^xsd:double) are valid lexical
+            # forms that int() rejects; an ill-formed lexical form is
+            # a SPARQL type error → loud SparqlParseError, not a raw
+            # ValueError.
+            try:
+                if not numeric and "." not in lex and "e" not in lex.lower():
+                    return F.lit(int(lex))
+                return F.lit(float(lex))
+            except ValueError as ex:
+                raise SparqlParseError(
+                    f"ill-formed numeric literal {lex!r}^^<{dt}>"
+                ) from ex
         raise SparqlParseError(
             'typed literals ("x"@en, "5"^^<dt>, constant STRLANG/STRDT) '
             "are supported in triple patterns, =/!= term comparisons, "
@@ -972,6 +983,67 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         _, o, a, b = ast
         a, b = _fold_typed_ctor(a), _fold_typed_ctor(b)
         typed = a[0] == "typedlit" or b[0] == "typedlit"
+        tdt = _temporal_dt(a) or _temporal_dt(b)
+        num_tl = any(
+            x[0] == "typedlit" and x[3] is None and x[2] in _NUMERIC_DTS
+            for x in (a, b)
+        )
+        if typed and (num_tl or tdt is not None):
+            # VALUE semantics for numeric and temporal typed literals,
+            # for ALL six operators (SPARQL 1.1 §17.3 op:numeric-equal
+            # / op:date-equal): x = c must agree with x >= c && x <= c.
+            # try_cast: a lexical form outside the value space is a
+            # SPARQL type error → NULL → the row drops (ANSI cast
+            # would throw). On TYPED views the hidden datatype column
+            # additionally gates the var side: a term whose datatype
+            # is outside the value space (an IRI, a lang-tagged or
+            # xsd:string literal vs a number) is a type error and
+            # drops for = AND != alike.
+            spark_t = (
+                "double"
+                if num_tl
+                else ("date" if tdt == _XSD_NS + "date" else "timestamp_ntz")
+            )
+            guards = []
+
+            def vcol(x):
+                if x[0] == "typedlit":
+                    return (
+                        _compile_expr(x, numeric=True)
+                        if num_tl
+                        else F.lit(x[1]).cast(spark_t)
+                    )
+                if x[0] == "var":
+                    v = x[1]
+                    if bool(_FRAME_COLUMNS) and (
+                        f"_lang_{v}" in _FRAME_COLUMNS[-1]
+                        or f"_dt_{v}" in _FRAME_COLUMNS[-1]
+                    ):
+                        ok_dts = _NUMERIC_DTS if num_tl else {tdt}
+                        guards.append(
+                            _typing_col(f"_lang_{v}").isNull()
+                            & _typing_col(f"_dt_{v}").isin(*ok_dts)
+                        )
+                    return F.col(v).try_cast(spark_t)
+                if num_tl:
+                    return _compile_expr(x, numeric=True)
+                raise SparqlParseError(
+                    "temporal comparison needs a variable or xsd:date/"
+                    "xsd:dateTime literal on each side"
+                )
+
+            ca, cb = vcol(a), vcol(b)
+            res = {
+                "=": ca == cb,
+                "!=": ca != cb,
+                "<": ca < cb,
+                "<=": ca <= cb,
+                ">": ca > cb,
+                ">=": ca >= cb,
+            }[o]
+            for g in guards:
+                res = res & g
+            return res
         if typed and o in ("=", "!="):
             # term-level equality: lexical form AND typing must match
             # (hidden _lang_/_dt_ columns, same contract as LANG())
@@ -1006,31 +1078,6 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                     | _typing_col(f"_dt_{v}").isNotNull()
                 )
             return eq if o == "=" else ~eq
-        tdt = _temporal_dt(a) or _temporal_dt(b)
-        if typed and tdt is not None and o in ("<", "<=", ">", ">="):
-            # Value-level temporal ordering (SPARQL 1.1 §17.3 op:date/
-            # op:dateTime): cast both sides to the literal's calendar
-            # type. string→date and string→timestamp_ntz casts are both
-            # session-TZ-independent (the driver harness doesn't pin
-            # UTC); a lexical form that doesn't parse → NULL → the row
-            # drops, matching SPARQL type-error semantics.
-            spark_t = "date" if tdt == _XSD_NS + "date" else "timestamp_ntz"
-
-            def tcol(x):
-                x = _fold_typed_ctor(x)
-                if x[0] == "typedlit":
-                    return F.lit(x[1]).cast(spark_t)
-                if x[0] == "var":
-                    # try_cast: ANSI mode would THROW on a malformed
-                    # lexical form; NULL → drop is the SPARQL semantics
-                    return F.col(x[1]).try_cast(spark_t)
-                raise SparqlParseError(
-                    "temporal comparison needs a variable or xsd:date/"
-                    "xsd:dateTime literal on each side"
-                )
-
-            ca, cb = tcol(a), tcol(b)
-            return {"<": ca < cb, "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[o]
         if typed and not (_is_numeric(a) or _is_numeric(b)):
             raise SparqlParseError(
                 "ordering comparisons on typed literals need a numeric "
@@ -1582,7 +1629,8 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
                 # the constructed literal exactly like a parsed one
                 if len(expr[2]) != 2:
                     raise SparqlParseError(f"{expr[1]} takes (value, tag)")
-                val, tag = (_compile_expr(a) for a in expr[2])
+                with _frame_columns(df):
+                    val, tag = [_compile_expr(a) for a in expr[2]]
                 df = df.withColumn(name, val.cast("string"))
                 if expr[1] == "STRLANG":
                     df = df.withColumn(f"_lang_{name}", tag.cast("string"))
@@ -1591,7 +1639,11 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
                     df = df.withColumn(f"_lang_{name}", F.lit(None).cast("string"))
                     df = df.withColumn(f"_dt_{name}", tag.cast("string"))
             else:
-                df = df.withColumn(name, _compile_expr(expr))
+                # same missing-typing-column guard as FILTER: a typed
+                # comparison in BIND over an untyped view must compile
+                # to NULL, not raise UNRESOLVED_COLUMN
+                with _frame_columns(df):
+                    df = df.withColumn(name, _compile_expr(expr))
         elif kind == "values":
             _, vars_, rows = el
             has_undef = any(v is None for r in rows for v in r)
@@ -1769,7 +1821,8 @@ def _compile_select(
         if q.projection is None:
             raise SparqlParseError("aggregate queries need an explicit projection")
         for e, alias in q.group_exprs:  # GROUP BY (expr AS ?v)
-            df = df.withColumn(alias, _compile_expr(e))
+            with _frame_columns(df):
+                df = df.withColumn(alias, _compile_expr(e))
         agg_cols, group_vars, post_select = [], list(q.group_by), []
         for item in q.projection:
             if item[0] == "var":
@@ -1837,7 +1890,8 @@ def _compile_select(
                     cols.append(F.col(item[1]))
                 else:
                     _, expr, alias = item
-                    cols.append(_compile_expr(expr).alias(alias))
+                    with _frame_columns(df):
+                        cols.append(_compile_expr(expr).alias(alias))
             if keep_typing:
                 for item in q.projection:
                     if item[0] == "var":
@@ -1857,16 +1911,17 @@ def _compile_select(
                     v in df.columns and v not in proj_names
                     for v in _order_key_vars(q.order_by)
                 ):
-                    df = df.orderBy(
-                        *[
-                            (F.col(v) if isinstance(v, str) else _compile_expr(v)).asc()
-                            if asc
-                            else (
-                                F.col(v) if isinstance(v, str) else _compile_expr(v)
-                            ).desc()
-                            for v, asc in q.order_by
-                        ]
-                    )
+                    with _frame_columns(df):
+                        df = df.orderBy(
+                            *[
+                                (F.col(v) if isinstance(v, str) else _compile_expr(v)).asc()
+                                if asc
+                                else (
+                                    F.col(v) if isinstance(v, str) else _compile_expr(v)
+                                ).desc()
+                                for v, asc in q.order_by
+                            ]
+                        )
                     q = replace(q, order_by=[])
             df = df.select(*cols)
 
@@ -1899,9 +1954,11 @@ def _compile_select(
     def _sort_col(key):  # str = plain variable; tuple = expression AST
         return F.col(key) if isinstance(key, str) else _compile_expr(key)
 
-    sort_cols = [
-        _sort_col(v).asc() if asc else _sort_col(v).desc() for v, asc in q.order_by
-    ]
+    with _frame_columns(df):
+        sort_cols = [
+            _sort_col(v).asc() if asc else _sort_col(v).desc()
+            for v, asc in q.order_by
+        ]
     if sort_cols:
         df = df.orderBy(*sort_cols)
     if q.offset:

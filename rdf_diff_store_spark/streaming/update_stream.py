@@ -17,8 +17,12 @@ which normalize to nothing, so the second write is empty.
 Ordering: updates apply in (ts, text) order inside a batch. Update
 timestamps must be monotonically non-decreasing across batches (the
 reference's queue guarantees this by construction — commit time is
-wall clock); a batch whose earliest ts precedes the stored maximum
-raises rather than silently rewriting history.
+wall clock). A batch that would rewrite stored history raises: one
+whose max ts precedes the stored maximum (fully stale), or one that
+mixes new work (ts above the stored max) with late rows below it —
+only a pure replay (batch max <= stored max, because its own rows are
+already stored) falls through, re-derives identical rows, and appends
+nothing.
 """
 
 from __future__ import annotations
@@ -64,16 +68,33 @@ class UpdateStreamApplier:
         prev_max = log.agg(F.max("ts")).first()[0]
         # Out-of-order guard, replay-safe: on a foreachBatch REPLAY
         # (crash between parquet append and checkpoint commit)
-        # prev_max already includes this batch's own rows, so the
-        # batch's FIRST ts legitimately precedes it. Only a batch
-        # whose LAST ts precedes the stored max is genuinely
-        # out-of-order; a replayed batch falls through to the
-        # anti-join, re-derives identical rows, and appends nothing.
-        if prev_max is not None and reqs[-1][0] < prev_max:
-            raise ValueError(
-                f"update stream went backwards: batch max ts {reqs[-1][0]} < "
-                f"stored max {prev_max} (the queue must be time-ordered)"
-            )
+        # prev_max already includes this batch's own rows, so batch
+        # timestamps legitimately precede it — but then the batch MAX
+        # is <= the stored max (its own max was stored). Two shapes
+        # are therefore genuinely out-of-order and raise:
+        #   * batch max < stored max (fully stale batch), and
+        #   * batch max > stored max WITH an earlier row below it
+        #     (mixed batch: contains NEW work, so it cannot be a
+        #     replay, and its sub-max rows would rewrite history).
+        # A replayed batch (max <= stored max, possibly multi-ts)
+        # falls through to the anti-join, re-derives identical rows,
+        # and appends nothing. Remaining ambiguity, documented: a NEW
+        # batch whose max coincides exactly with the stored max but
+        # carries never-seen earlier rows is indistinguishable from a
+        # replay without persisted batch ids.
+        if prev_max is not None:
+            if reqs[-1][0] < prev_max:
+                raise ValueError(
+                    f"update stream went backwards: batch max ts {reqs[-1][0]} "
+                    f"< stored max {prev_max} (the queue must be time-ordered)"
+                )
+            if reqs[-1][0] > prev_max and reqs[0][0] < prev_max:
+                raise ValueError(
+                    f"out-of-order update batch: contains new work (max ts "
+                    f"{reqs[-1][0]} > stored max {prev_max}) mixed with "
+                    f"late rows (min ts {reqs[0][0]} < stored max) — a "
+                    f"replay would not exceed the stored max"
+                )
         new_log = log
         for ts, text in reqs:
             new_log = apply_update(new_log, text, ts)

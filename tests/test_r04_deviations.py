@@ -27,7 +27,11 @@ def term_triples(spark):
     rows = [
         ("g", "b1", "label", "hi", "en", None),
         ("g", "b2", "label", "hi", "de", None),
-        ("g", "c1", "label", "hi", None, None),  # simple literal
+        # parse_triples normalizes SIMPLE literals to explicit
+        # xsd:string (functions/turtle.py:156) — on a typed view
+        # NULL/NULL typing means IRI/bnode, never a literal
+        # (TestSameTermIriness pins that contract)
+        ("g", "c1", "label", "hi", None, XSD + "string"),  # simple literal
         ("g", "d1", "label", "hi", None, XSD + "string"),  # ≡ simple (RDF 1.1)
         ("g", "n1", "count", "42", None, XSD + "integer"),
         ("g", "n2", "count", "7", None, XSD + "integer"),

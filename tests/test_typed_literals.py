@@ -156,15 +156,30 @@ class TestTemporalOrdering:
             "e1", "e2", "e3",
         ]
 
-    def test_temporal_equality_stays_term_level(self, dated):
-        """= on a temporal literal keeps term semantics: on an untyped
-        view the datatype tag can't match, so no row qualifies."""
+    def test_temporal_equality_is_value_level(self, dated):
+        """SPARQL §17.3 op:date-equal: = on a temporal literal uses
+        VALUE semantics (agreeing with <=/>= on the same literal), so
+        the matching date qualifies even on an untyped view."""
         q = (
             "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
             "SELECT ?s WHERE { ?s <when> ?d . "
             'FILTER(?d = "2020-01-15"^^xsd:date) }'
         )
-        assert sparql_query(dated, q).count() == 0
+        assert [r.s for r in sparql_query(dated, q).collect()] == ["e1"]
+
+    def test_equality_agrees_with_range(self, dated):
+        """x = c must give the same rows as x >= c && x <= c."""
+        base = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <when> ?d . FILTER(%s) }"
+        )
+        eq = base % '?d = "2020-06-01"^^xsd:date'
+        rng = base % ('?d >= "2020-06-01"^^xsd:date && ?d <= "2020-06-01"^^xsd:date')
+        assert (
+            sorted(r.s for r in sparql_query(dated, eq).collect())
+            == sorted(r.s for r in sparql_query(dated, rng).collect())
+            == ["e2"]
+        )
 
 
 class TestSameTermIriness:
