@@ -91,7 +91,12 @@ def shingle_frame(
     the pipeline) to a couple of cores. Partition count is decoupled
     from byte size on purpose."""
     spark = df.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism * 2
+    # 4x parallelism: the shingle+MinHash work below ends at an eager
+    # checkpoint BARRIER, so the last straggler task idles every other
+    # core — at 2x a single slow task wasted up to a full wave
+    # (measured in the r04 alias_edges stage profile); 4x halves the
+    # expected tail loss for pennies of scheduling overhead
+    n_parts = spark.sparkContext.defaultParallelism * 4
     return (
         df.repartition(n_parts)
         .select(

@@ -119,18 +119,27 @@ def quads_of(mentions: DataFrame, extracted: DataFrame, entity_map: DataFrame) -
     warc_ts). Entity map is tiny → broadcast; unmapped tokens are
     their own canonical id."""
     canon = F.coalesce(F.col("canonical"), F.col("token"))
+    # distinct over the NARROW (url, warc_ts, obj) projection only —
+    # the duplicated url column, constant pred and null typing columns
+    # are re-added after, so they never ride the dedup shuffle
+    # (~2x fewer shuffle bytes on the fattest exchange of this stage)
     mention_quads = (
         mentions.join(F.broadcast(entity_map), "token", "left")
+        .select(
+            "url",
+            "warc_ts",
+            F.concat(F.lit(ENTITY_IRI_PREFIX), canon).alias("obj"),
+        )
+        .distinct()
         .select(
             F.col("url").alias("graph_id"),
             F.col("url").alias("subj"),
             F.lit("http://kg.example.org/mentions").alias("pred"),
-            F.concat(F.lit(ENTITY_IRI_PREFIX), canon).alias("obj"),
+            "obj",
             F.lit(None).cast("string").alias("obj_dt"),
             F.lit(None).cast("string").alias("obj_lang"),
             "warc_ts",
         )
-        .distinct()
     )
     # extracted is one row per (url, warc_ts) already — projections of
     # it need NO distinct (each removed distinct was a full shuffle)
