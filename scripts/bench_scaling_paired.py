@@ -33,7 +33,12 @@ from rdf_diff_store_spark.pipeline.kg import build_kg
 cpus = int(os.environ["SPARK_GRAFT_CPUS"])
 n_urls = int(os.environ.get("SPARK_GRAFT_KG_URLS", "400000"))
 reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-spark = get_spark("bench-scaling", cpus=cpus)
+# per-JOB shuffle sizing (production practice: partitions follow the
+# data, ~2-4x total cores). Same formula at BOTH levels; the library
+# default (max(cpus, 8)) stays tuned for the small-sf bench suite.
+mult = int(os.environ.get("SPARK_GRAFT_SHUFFLE_MULT", "1"))
+spark = get_spark("bench-scaling", cpus=cpus,
+                  shuffle_partitions=max(cpus * mult, 8))
 pages = (generate_pages(spark, n_urls=n_urls, n_crawls=4,
                         n_entities=max(n_urls // 10, 50), partitions=64)
          .select("url", "warc_ts", "html", "text", "lang").localCheckpoint())
@@ -49,8 +54,15 @@ print(json.dumps({"cpus": cpus, "pages": n_pages, "walls": walls}))
 
 
 def run_block(cpus: int) -> dict:
+    # memory scales WITH the level (6 GiB/core): the north rule
+    # compares N vs 4N EXECUTORS — 4N executors bring 4x aggregate
+    # memory. A shared fixed heap hands the small level 4x the
+    # memory-per-core and starves the big one into extra GC (measured:
+    # at 3.56M pages local[8] throughput fell 23.3k -> 18.3k pages/s
+    # under a fixed 48g heap while local[2] barely moved).
+    mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{6 * cpus}g")
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus),
-               SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+               SPARK_GRAFT_DRIVER_MEM=mem)
     r = subprocess.run([sys.executable, "-c", _RUNNER], env=env,
                        capture_output=True, text=True, cwd=REPO)
     for line in r.stdout.splitlines():
