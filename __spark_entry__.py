@@ -4070,6 +4070,113 @@ WHERE pred = 'acctbalCents'
 """
 
 
+def q_sparql_update_using(spark, sf_dir):
+    """USING / USING NAMED dataset clauses on INSERT WHERE (SPARQL 1.1
+    Update §3.1.4, compiled onto the query engine's FROM / FROM NAMED):
+    op 1 evaluates WHERE only against user:1 ∪ user:2 while the WITH
+    graph receives the template (USING overrides WITH for matching,
+    §3.1.3); op 2 proves USING NAMED scopes GRAPH ?g.
+    plans/sparql_update.py (reference write path
+    /root/reference/src/bin/rdf-diff-writer.rs:45-91)."""
+    from rdf_diff_store_spark.operators.versioned import snapshot_triples
+    from rdf_diff_store_spark.plans.sparql_update import apply_update
+
+    log = changelog_from_events(spark, sf_dir)
+    upd = """
+PREFIX ex: <http://ex.org/>
+WITH <urn:flagged> INSERT { ?s ex:flaggedValue ?v }
+USING <user:1> USING <user:2> WHERE { ?s ex:value ?v } ;
+INSERT { GRAPH <urn:sources> { <urn:sources> ex:sawGraph ?g } }
+USING NAMED <user:3> WHERE { GRAPH ?g { ?s ex:value ?v } }
+"""
+    new_log = apply_update(log, upd, T_UPDATE)
+    return (
+        snapshot_triples(new_log, T_UPDATE)
+        .filter(F.col("graph_id").isin("urn:flagged", "urn:sources"))
+        .select("graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang")
+    )
+
+
+def q_sparql_text_ebv(spark, sf_dir):
+    """Effective boolean value (SPARQL 1.1 §17.2.2) in FILTER / ! /
+    && / IF over a TYPED view: xsd:boolean terms coerce by value,
+    numeric terms by != 0, and !?v keeps the rows whose EBV is false
+    (type errors drop plain and negated alike).
+    plans/sparql_text.py::_compile_ebv."""
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    cust = load_table(spark, sf_dir, "customer")
+    subj = F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+    vip = cust.select(
+        F.lit("g").alias("graph_id"),
+        subj.alias("subj"),
+        F.lit("vip").alias("pred"),
+        F.when(F.col("c_custkey") % 3 == 0, "true").otherwise("false").alias("obj"),
+        F.lit(xsd + "boolean").alias("obj_dt"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    bal = cust.select(
+        F.lit("g").alias("graph_id"),
+        subj.alias("subj"),
+        F.lit("bal").alias("pred"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string").alias("obj"),
+        F.lit(xsd + "integer").alias("obj_dt"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+    triples = vip.unionByName(bal)
+    r1 = sparql_query(
+        triples, "SELECT ?s WHERE { ?s <vip> ?v FILTER(?v) }"
+    ).withColumn("q", F.lit("vip_true"))
+    r2 = sparql_query(
+        triples, "SELECT ?s WHERE { ?s <vip> ?v FILTER(!?v) }"
+    ).withColumn("q", F.lit("vip_false"))
+    r3 = sparql_query(
+        triples,
+        'SELECT ?s (IF(?b && ?b < 0, "y", "n") AS ?tag) '
+        "WHERE { ?s <bal> ?b FILTER(?b) }",
+    ).select("s", F.concat(F.lit("bal_"), F.col("tag")).alias("q"))
+    return r1.unionByName(r2).unionByName(r3)
+
+
+_ORACLE_R4["sparql_update_using"] = f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY graph_id
+      ORDER BY ts DESC, op DESC, coalesce(content_hash, '') DESC) AS rn
+  FROM changelog
+),
+live AS (
+  SELECT graph_id,
+         regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+         regexp_extract(payload, '"([^"]*)"', 1) AS cents
+  FROM ranked WHERE rn = 1 AND op <> 'delete'
+)
+SELECT 'urn:flagged' AS graph_id, subj, 'http://ex.org/flaggedValue' AS pred,
+       cents AS obj, 'http://www.w3.org/2001/XMLSchema#string' AS obj_dt,
+       CAST(NULL AS VARCHAR) AS obj_lang
+FROM live WHERE graph_id IN ('user:1', 'user:2')
+UNION ALL
+SELECT 'urn:sources', 'urn:sources', 'http://ex.org/sawGraph', graph_id,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM live WHERE graph_id = 'user:3'
+"""
+
+_ORACLE_R4["sparql_text_ebv"] = """
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'vip_true' AS q
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'vip_false'
+FROM customer WHERE c_custkey % 3 <> 0
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'bal_' || CASE WHEN CAST(ROUND(c_acctbal * 100) AS BIGINT) < 0
+                      THEN 'y' ELSE 'n' END
+FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) <> 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -4231,6 +4338,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r04 session-2 additions (r05 window material) -------------
         "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
         "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
+        "sparql_update_using": q_sparql_update_using,
+        "sparql_text_ebv": q_sparql_text_ebv,
     }
 
 

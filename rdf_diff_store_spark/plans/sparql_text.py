@@ -80,7 +80,7 @@ _TOKEN = re.compile(
   | (?P<number>-?[0-9]+(?:\.[0-9]+)?)
   | (?P<kw>\b(?:PREFIX|SELECT|DISTINCT|WHERE|OPTIONAL|FILTER|UNION|MINUS
        |BIND|VALUES|UNDEF|EXISTS|NOT|AS|ASK|CONSTRUCT|DESCRIBE|GRAPH|REDUCED
-       |FROM|NAMED
+       |FROM|NAMED|USING
        |INSERT|DELETE|DATA|WITH|CLEAR|DROP|ALL|DEFAULT|LOAD|INTO|SILENT
        |COPY|MOVE|ADD|TO
        |{_AGG_KWS}|SEPARATOR|IN|TRUE|FALSE
@@ -947,11 +947,12 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
     if op == "bool":
         return F.lit(ast[1])
     if op == "and":
-        return _compile_expr(ast[1]) & _compile_expr(ast[2])
+        # operands of &&/||/! are boolean contexts → EBV (§17.2.2)
+        return _compile_ebv(ast[1]) & _compile_ebv(ast[2])
     if op == "or":
-        return _compile_expr(ast[1]) | _compile_expr(ast[2])
+        return _compile_ebv(ast[1]) | _compile_ebv(ast[2])
     if op == "not":
-        return ~_compile_expr(ast[1])
+        return ~_compile_ebv(ast[1])
     if op == "arith":
         _, o, a, b = ast
         ca, cb = _compile_expr(a, numeric=True), _compile_expr(b, numeric=True)
@@ -1230,7 +1231,7 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         if fn == "COALESCE":
             return F.coalesce(*a)
         if fn == "IF":
-            return F.when(_compile_expr(args[0]), a[1]).otherwise(a[2])
+            return F.when(_compile_ebv(args[0]), a[1]).otherwise(a[2])
         if fn == "BOUND":
             return a[0].isNotNull()
         if fn == "STRBEFORE":
@@ -1338,6 +1339,113 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                 return F.coalesce(F.col(f"_lang_{v}"), F.lit(""))
             return F.col(f"_dt_{v}")
     raise SparqlParseError(f"unsupported expression op {op!r}")
+
+
+_XSD_BOOLEAN = _XSD_NS + "boolean"
+
+# fns whose _compile_expr result is already xsd:boolean-valued
+_BOOLEAN_FNS = {
+    "REGEX", "STRSTARTS", "STRENDS", "CONTAINS", "BOUND", "LANGMATCHES",
+    "ISIRI", "ISURI", "ISLITERAL", "ISBLANK", "ISNUMERIC", "SAMETERM",
+}
+
+
+def _lexical_ebv(lex: Column) -> Column:
+    """EBV of a term whose datatype is unrecorded (untyped views,
+    computed strings): boolean lexical forms by value, numeric lexical
+    forms by != 0 (NaN → false), anything else by non-emptiness — the
+    same documented untyped-view pragmatism as numeric comparisons
+    (COVERAGE.md known deviations)."""
+    d = lex.try_cast("double")
+    return (
+        F.when(lex == "true", F.lit(True))
+        .when(lex == "false", F.lit(False))
+        .when(d.isNotNull(), (d != 0.0) & ~F.isnan(d))
+        .otherwise(F.length(lex) > 0)
+    )
+
+
+def _compile_ebv(ast) -> Column:
+    """SPARQL 1.1 §17.2.2 Effective Boolean Value: coerce an
+    expression in boolean context (FILTER, &&/||/!, IF, HAVING) to a
+    boolean. Type errors (IRIs, unbound vars, non-EBV datatypes,
+    ill-formed boolean/numeric lexical forms) compile to NULL, so the
+    row drops in FILTER and !error stays an error, per §17.2's
+    error-propagation table (which Spark's three-valued &&/||/NOT on
+    NULL reproduces exactly)."""
+    ast = _fold_typed_ctor(ast)
+    op = ast[0]
+    if op in ("cmp", "bool", "in"):
+        return _compile_expr(ast)
+    if op == "and":
+        return _compile_ebv(ast[1]) & _compile_ebv(ast[2])
+    if op == "or":
+        return _compile_ebv(ast[1]) | _compile_ebv(ast[2])
+    if op == "not":
+        return ~_compile_ebv(ast[1])
+    if op == "fn" and ast[1] in _BOOLEAN_FNS:
+        return _compile_expr(ast)
+    if op == "fn" and ast[1] == "IF":
+        args = ast[2]
+        return F.when(_compile_ebv(args[0]), _compile_ebv(args[1])).otherwise(
+            _compile_ebv(args[2])
+        )
+    if op == "fn" and ast[1] == "COALESCE":
+        return F.coalesce(*[_compile_ebv(x) for x in ast[2]])
+    if op == "num":
+        v = float(ast[1])
+        return F.lit(v != 0.0 and v == v)
+    if op == "str":
+        return F.lit(len(ast[1]) > 0)
+    if op == "typedlit":
+        _, lex, dt, lang = ast
+        if lang is not None or dt in (None, _XSD_NS + "string"):
+            return F.lit(len(lex) > 0)
+        if dt == _XSD_BOOLEAN:
+            if lex in ("true", "1"):
+                return F.lit(True)
+            if lex in ("false", "0"):
+                return F.lit(False)
+            return F.lit(None).cast("boolean")  # ill-formed → type error
+        if dt in _NUMERIC_DTS:
+            try:
+                v = float(lex)
+            except ValueError:
+                return F.lit(None).cast("boolean")
+            return F.lit(v != 0.0 and v == v)
+        return F.lit(None).cast("boolean")  # no EBV for this datatype
+    if op == "var":
+        v = ast[1]
+        lex = F.col(v).cast("string")
+        typed_frame = bool(_FRAME_COLUMNS) and (
+            f"_lang_{v}" in _FRAME_COLUMNS[-1]
+            or f"_dt_{v}" in _FRAME_COLUMNS[-1]
+        )
+        if not typed_frame:
+            return _lexical_ebv(lex)
+        lang_c = _typing_col(f"_lang_{v}")
+        dt_c = _typing_col(f"_dt_{v}")
+        d = lex.try_cast("double")
+        return (
+            # lang-tagged / simple / xsd:string literal: non-emptiness
+            F.when(
+                lang_c.isNotNull() | (dt_c == _XSD_NS + "string"),
+                F.length(lex) > 0,
+            )
+            .when(
+                dt_c == _XSD_BOOLEAN,
+                F.when(lex.isin("true", "1"), F.lit(True)).when(
+                    lex.isin("false", "0"), F.lit(False)
+                ),  # ill-formed lexical falls through to NULL
+            )
+            .when(dt_c.isin(*_NUMERIC_DTS), (d != 0.0) & ~F.isnan(d))
+            # IRI/bnode (both typing cols NULL), other datatypes,
+            # unbound: type error
+            .otherwise(F.lit(None).cast("boolean"))
+        )
+    # any other scalar expression (arithmetic, string fns, …): render
+    # and classify the lexical form
+    return _lexical_ebv(_compile_expr(ast).cast("string"))
 
 
 def _compile_agg(ast, alias: str) -> Column:
@@ -1690,7 +1798,7 @@ def _compile_group(triples: DataFrame, g: _Group, graph=None, named: DataFrame |
         raise SparqlParseError("empty pattern group")
     for f_ast in deferred_filters:
         with _frame_columns(df):
-            df = df.filter(_compile_expr(f_ast))
+            df = df.filter(_compile_ebv(f_ast))
     return df
 
 
@@ -1874,7 +1982,7 @@ def _compile_select(
         df = grouped.agg(*agg_cols)
         for h in having_cols:
             with _frame_columns(df):
-                df = df.filter(_compile_expr(h))
+                df = df.filter(_compile_ebv(h))
         df = df.select(*post_select, *ord_hidden)
     else:
         if q.having:

@@ -12,8 +12,10 @@ Supported operations (sequences separated by `;`):
 
 * ``INSERT DATA { quads }`` / ``DELETE DATA { quads }``
 * ``DELETE WHERE { pattern }``
-* ``[WITH <g>] DELETE { tmpl } INSERT { tmpl } WHERE { group }``
-  (either template may be absent)
+* ``[WITH <g>] DELETE { tmpl } INSERT { tmpl } [USING [NAMED] <g>]*
+  WHERE { group }`` (either template may be absent; USING/USING NAMED
+  define the WHERE dataset — compiled to FROM / FROM NAMED — and
+  override WITH for pattern matching per §3.1.3)
 * ``CLEAR GRAPH <g> | CLEAR ALL`` / ``DROP GRAPH <g> | DROP ALL``
 * ``COPY | MOVE | ADD [GRAPH] <g1> TO [GRAPH] <g2>`` (§3.2.3-5:
   COPY replaces g2 with g1's triples, MOVE additionally drops g1,
@@ -92,6 +94,8 @@ class _Op:
     deletes: list = field(default_factory=list)
     where_tokens: list = field(default_factory=list)  # token values incl. braces
     with_graph: str | None = None
+    using: list = field(default_factory=list)  # USING <iri> (WHERE default graph)
+    using_named: list = field(default_factory=list)  # USING NAMED <iri>
     clear_target: str | None = None  # IRI or "ALL"
     has_explicit_graph_in_where: bool = False
     load_source: str | None = None  # LOAD document IRI
@@ -341,6 +345,15 @@ def _parse_update(text: str) -> tuple[list[_Op], dict[str, str]]:
                 op.inserts = parse_quads(allow_var=True)
             else:
                 raise SparqlParseError(f"expected DELETE or INSERT, got {val!r}")
+            # UsingClause* (§3.1.4): USING <g> merges into the WHERE's
+            # default graph, USING NAMED <g> scopes its GRAPH clauses.
+            while ts.peek()[1] == "USING":
+                ts.next()
+                if ts.peek()[1] == "NAMED":
+                    ts.next()
+                    op.using_named.append(iri_token())
+                else:
+                    op.using.append(iri_token())
             ts.expect("WHERE")
             op.where_tokens, op.has_explicit_graph_in_where = capture_group()
             ops.append(op)
@@ -475,17 +488,27 @@ def _where_bindings(
     state: DataFrame, op: _Op, prefixes: dict[str, str]
 ) -> tuple[DataFrame, bool]:
     """Compile the op's WHERE group with the existing query engine.
-    Without explicit GRAPH clauses (and no WITH), the group is wrapped
-    in GRAPH ?g_upd_scope so each solution carries the graph it
-    matched in."""
+    Without explicit GRAPH clauses (and no WITH/USING), the group is
+    wrapped in GRAPH ?g_upd_scope so each solution carries the graph
+    it matched in. USING / USING NAMED compile to the query engine's
+    FROM / FROM NAMED dataset clause — and per §3.1.3 they override
+    WITH for WHERE evaluation."""
     body = " ".join(op.where_tokens)
-    scope = not op.has_explicit_graph_in_where and op.with_graph is None
-    if scope:
-        body = "{ GRAPH ?%s %s }" % (SCOPE_VAR, body)
-    elif op.with_graph is not None:
-        body = "{ GRAPH <%s> %s }" % (op.with_graph, body)
+    dataset = ""
+    if op.using or op.using_named:
+        scope = False
+        dataset = " ".join(
+            [f"FROM <{g}>" for g in op.using]
+            + [f"FROM NAMED <{g}>" for g in op.using_named]
+        ) + " "
+    else:
+        scope = not op.has_explicit_graph_in_where and op.with_graph is None
+        if scope:
+            body = "{ GRAPH ?%s %s }" % (SCOPE_VAR, body)
+        elif op.with_graph is not None:
+            body = "{ GRAPH <%s> %s }" % (op.with_graph, body)
     prologue = " ".join(f"PREFIX {p}: <{iri}>" for p, iri in prefixes.items())
-    text = f"{prologue} SELECT * WHERE {body}"
+    text = f"{prologue} SELECT * {dataset}WHERE {body}"
     bindings = sparql_query(state, text, keep_typing=True)
     if scope and SCOPE_VAR not in bindings.columns:
         raise SparqlParseError(
@@ -602,13 +625,18 @@ def apply_update(
             bindings, scope = _where_bindings(view(), op, prefixes)
             # one evaluation of the WHERE, shared by both templates
             bindings = bindings.localCheckpoint()
+            # with USING (no WITH) unGRAPHed template quads target the
+            # store's default graph, per §3.1.3's Graph Store reading
+            tmpl_graph = op.with_graph
+            if tmpl_graph is None and (op.using or op.using_named):
+                tmpl_graph = default_graph
             if op.deletes:
-                dels = _instantiate(op.deletes, bindings, op.with_graph, scope)
+                dels = _instantiate(op.deletes, bindings, tmpl_graph, scope)
             if op.inserts:
                 # instantiate BOTH templates against the same bindings
                 # before mutating state (SPARQL applies delete+insert
                 # atomically against the pre-op store)
-                ins = _instantiate(op.inserts, bindings, op.with_graph, scope)
+                ins = _instantiate(op.inserts, bindings, tmpl_graph, scope)
             if op.deletes:
                 do_delete(dels)
             if op.inserts:

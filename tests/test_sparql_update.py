@@ -388,3 +388,64 @@ class TestExecuteDispatch:
 
         with pytest.raises(ValueError, match="timestamp"):
             execute(base_log, "CLEAR ALL")
+
+
+class TestUsingClauses:
+    """USING / USING NAMED (§3.1.4) define the WHERE dataset and
+    override WITH for pattern matching (§3.1.3)."""
+
+    def test_using_restricts_where_to_listed_graph(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "INSERT { GRAPH <g:dst> { ?s <http://e/flag> \"y\" } } "
+            "USING <g:1> WHERE { ?s <http://e/value> ?v }",
+            T1,
+        )
+        flagged = {t[1] for t in _triples(out) if t[0] == "g:dst"}
+        assert flagged == {"http://e/s1"}
+
+    def test_using_named_scopes_graph_clauses(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "INSERT { GRAPH <g:dst> { ?s <http://e/src> ?g } } "
+            "USING NAMED <g:2> WHERE { GRAPH ?g { ?s <http://e/value> ?v } }",
+            T1,
+        )
+        rows = {(t[1], t[3]) for t in _triples(out) if t[0] == "g:dst"}
+        assert rows == {("http://e/s2", "g:2")}
+
+    def test_using_template_defaults_to_default_graph(self, spark, base_log):
+        out = apply_update(
+            base_log,
+            "INSERT { ?s <http://e/flag> \"y\" } "
+            "USING <g:1> WHERE { ?s <http://e/value> ?v }",
+            T1,
+        )
+        in_default = {t[1] for t in _triples(out) if t[0] == "urn:x-default"}
+        assert in_default == {"http://e/s1"}
+
+    def test_using_overrides_with_for_where_only(self, spark, base_log):
+        # WHERE matches in g:2 (USING), template writes to g:dst (WITH)
+        out = apply_update(
+            base_log,
+            "WITH <g:dst> INSERT { ?s <http://e/flag> \"y\" } "
+            "USING <g:2> WHERE { ?s <http://e/value> ?v }",
+            T1,
+        )
+        flagged = {t[1] for t in _triples(out) if t[0] == "g:dst"}
+        assert flagged == {"http://e/s2"}
+
+    def test_using_delete_targets_default_graph(self, spark, base_log):
+        # seed the default graph, then DELETE via a USING-scoped WHERE
+        seeded = apply_update(
+            base_log,
+            'INSERT DATA { <http://e/s1> <http://e/flag> "y" }',
+            T1,
+        )
+        out = apply_update(
+            seeded,
+            "DELETE { ?s <http://e/flag> \"y\" } "
+            "USING <g:1> WHERE { ?s <http://e/value> ?v }",
+            T2,
+        )
+        assert not any(t[0] == "urn:x-default" for t in _triples(out, "2024-08-01 00:00:00"))

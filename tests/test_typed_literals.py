@@ -260,3 +260,103 @@ class TestCsvTsvResults:
 
         assert sparql_csv(typed, 'ASK { ?s <p> "x"@en }') == "result\r\ntrue\r\n"
         assert sparql_csv(typed, 'ASK { ?s <nope> ?v }', tsv=True) == "?result\nfalse\n"
+
+
+@pytest.fixture(scope="module")
+def ebv_frame(spark):
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    return spark.createDataFrame(
+        [
+            ("g", "b1", "flag", "true", xsd + "boolean", None),
+            ("g", "b2", "flag", "false", xsd + "boolean", None),
+            ("g", "n0", "flag", "0", xsd + "integer", None),
+            ("g", "n1", "flag", "42", xsd + "integer", None),
+            ("g", "s0", "flag", "", xsd + "string", None),
+            ("g", "s1", "flag", "hello", xsd + "string", None),
+            ("g", "l1", "flag", "false", None, "en"),
+            ("g", "e1", "flag", "2024-01-01", xsd + "date", None),
+        ],
+        "graph_id string, subj string, pred string, obj string, "
+        "obj_dt string, obj_lang string",
+    ).localCheckpoint()
+
+
+class TestEffectiveBooleanValue:
+    """SPARQL 1.1 §17.2.2: FILTER/&&/||/!/IF coerce operands by EBV;
+    type errors (IRIs, non-EBV datatypes) drop the row both plain and
+    negated."""
+
+    def test_filter_bare_variable(self, ebv_frame):
+        rows = sparql_query(
+            ebv_frame, "SELECT ?s WHERE { ?s <flag> ?v FILTER(?v) }"
+        ).collect()
+        # "false"@en is a LANG-TAGGED literal: EBV = non-empty = true
+        assert sorted(r.s for r in rows) == ["b1", "l1", "n1", "s1"]
+
+    def test_negated_variable_keeps_errors_out(self, ebv_frame):
+        rows = sparql_query(
+            ebv_frame, "SELECT ?s WHERE { ?s <flag> ?v FILTER(!?v) }"
+        ).collect()
+        # !false → true for boolean/numeric/empty-string rows; the
+        # xsd:date row is a TYPE ERROR and !error is still an error
+        assert sorted(r.s for r in rows) == ["b2", "n0", "s0"]
+
+    def test_constant_ebv(self, ebv_frame):
+        assert (
+            sparql_query(
+                ebv_frame, "SELECT ?s WHERE { ?s <flag> ?v FILTER(0) }"
+            ).count()
+            == 0
+        )
+        assert (
+            sparql_query(
+                ebv_frame, 'SELECT ?s WHERE { ?s <flag> ?v FILTER("x") }'
+            ).count()
+            == 8
+        )
+        assert (
+            sparql_query(
+                ebv_frame, 'SELECT ?s WHERE { ?s <flag> ?v FILTER("") }'
+            ).count()
+            == 0
+        )
+
+    def test_typed_boolean_constant(self, ebv_frame):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            'SELECT ?s WHERE { ?s <flag> ?v FILTER("false"^^xsd:boolean) }'
+        )
+        assert sparql_query(ebv_frame, q).count() == 0
+
+    def test_and_coerces_operands(self, ebv_frame):
+        rows = sparql_query(
+            ebv_frame,
+            'SELECT ?s WHERE { ?s <flag> ?v FILTER(?v && CONTAINS(?s, "1")) }',
+        ).collect()
+        assert sorted(r.s for r in rows) == ["b1", "l1", "n1", "s1"]
+
+    def test_if_condition_uses_ebv(self, ebv_frame):
+        rows = sparql_query(
+            ebv_frame,
+            'SELECT ?s (IF(?v, "y", "n") AS ?tag) '
+            "WHERE { ?s <flag> ?v FILTER(?s = \"b2\" || ?s = \"n1\") }",
+        ).collect()
+        got = {r.s: r.tag for r in rows}
+        assert got == {"b2": "n", "n1": "y"}
+
+    def test_untyped_view_lexical_heuristic(self, spark):
+        plain = spark.createDataFrame(
+            [
+                ("s1", "p", "true"),
+                ("s2", "p", "false"),
+                ("s3", "p", "0"),
+                ("s4", "p", "7"),
+                ("s5", "p", ""),
+                ("s6", "p", "abc"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        rows = sparql_query(
+            plain, "SELECT ?s WHERE { ?s <p> ?o FILTER(?o) }"
+        ).collect()
+        assert sorted(r.s for r in rows) == ["s1", "s4", "s6"]
