@@ -1613,6 +1613,69 @@ def q_ngram_jaccard_topk(spark, sf_dir):
     )
 
 
+def q_doc_neardup_clusters(spark, sf_dir):
+    """Near-duplicate document CLUSTERING — the C4/FineWeb training-set
+    dedup workflow end-to-end: portable MinHash-LSH candidate pairs
+    (band equi-join, never n²) → exact-Jaccard verification (≥ 0.5) →
+    undirected connected components
+    (operators/graph.py::connected_components, min-id canonical
+    representative) → one keep per cluster. Output one row per doc:
+    (doc_id, cluster_id, keep); docs in no verified pair are their own
+    singleton cluster. The DuckDB twin reproduces the components with
+    a WITH RECURSIVE min-label reachability (oracle-exact because the
+    md5 minhash is engine-portable)."""
+    from rdf_diff_store_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    # eager checkpoint: sh feeds the signature build AND both
+    # verification joins (lazy localCheckpoints race when two branches
+    # of one job materialize them)
+    sh = docs.select("doc_id", _doc_shingles_col().alias("sh")).localCheckpoint()
+    sig = sh.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_SHINGLE_SEEDS - 1)),
+                lambda s: F.array_min(
+                    F.transform(
+                        F.col("sh"),
+                        lambda x: F.md5(F.concat(s.cast("string"), F.lit("|"), x)),
+                    )
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = sig.select("band", "band_hash", F.col("doc_id").alias("id_a"))
+    b = sig.select("band", "band_hash", F.col("doc_id").alias("id_b"))
+    pairs = (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    edges = (
+        pairs.join(sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .filter(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= 0.5
+        )
+        .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    comp = connected_components(edges)
+    cluster = F.coalesce(F.col("component"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            cluster.alias("cluster_id"),
+            (cluster == F.col("doc_id")).alias("keep"),
+        )
+    )
+
+
 def q_doc_token_count_bpe(spark, sf_dir):
     """BPE-ish pre-tokenization counts (letters/digits/punct runs) —
     the corpus-budget number; whitespace counting undercounts
@@ -1710,6 +1773,40 @@ SELECT id_a, id_b, jaccard, rn FROM (
   FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
   WHERE a.doc_id < 10
 ) WHERE rn <= 3
+""",
+    "doc_neardup_clusters": f"""
+WITH RECURSIVE sh AS ({_DOC_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id, s.b AS band,
+         list_min(list_transform(shingles, x -> md5(s.b::VARCHAR || '|' || x))) AS band_hash
+  FROM sh, generate_series(0, {_SHINGLE_SEEDS - 1}) s(b)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh a ON a.doc_id = cand.id_a
+  JOIN sh b ON b.doc_id = cand.id_b
+  WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0
+        / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+),
+undirected AS (
+  SELECT id_a AS u, id_b AS v FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+),
+reach AS (
+  SELECT doc_id AS id, doc_id AS r FROM sh
+  UNION
+  SELECT e.v AS id, reach.r
+  FROM reach JOIN undirected e ON e.u = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster_id, id = min(r) AS keep
+FROM reach GROUP BY id
 """,
     "doc_token_count_bpe": r"""
 SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS n_bpe_tokens
@@ -4185,11 +4282,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     BM25/tf-idf/PMI, TPC-H q2/q8/q11/q20/q21, ...), the re-fixed
     sparql_numeric_fns (r03's one red row - dtype, not values), the
     newly value-oracled ANN pair (md5-portable planes/centroids), the
-    new typed-literal-comparison row, and 20 re-verification rows for
-    code paths this round touched (sparql_text filter compilation,
-    similarity/dedup operators). With r04 every registry entry has a
-    driver row across r01..r04. All entries are value-checked every
-    round by scripts/check_oracle.py at two scale factors."""
+    four queries ADDED in r04 (typed temporal comparisons, sameTerm
+    constructors, UPDATE USING clauses, EBV filter coercion), and 16
+    re-verification rows for code paths this round touched
+    (sparql_text filter compilation, similarity/dedup operators).
+    With r04 every registry entry has a driver row across r01..r04.
+    All entries are value-checked every round by
+    scripts/check_oracle.py at two scale factors."""
     return {
         # ===== r04 first-50 window ==================================
         # -- the 26 session-2 queries never driver-checked (r01-r03) --
@@ -4224,6 +4323,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "sparql_text_typed_compare": q_sparql_text_typed_compare,
+        # -- r04 in-round additions (typed comparisons, sameTerm
+        #    IRI-ness, UPDATE dataset clauses, EBV filter compilation;
+        #    these double as re-verification of the r04-touched
+        #    comparison/filter code) -----------------------------------
+        "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
+        "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
+        "sparql_update_using": q_sparql_update_using,
+        "sparql_text_ebv": q_sparql_text_ebv,
         # -- re-verification of rows whose code paths changed in r04 --
         "sparql_text_select": q_sparql_text_select,
         "sparql_text_group_agg": q_sparql_text_group_agg,
@@ -4232,12 +4339,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_exists": q_sparql_text_exists,
         "sparql_text_path": q_sparql_text_path,
         "sparql_text_ask": q_sparql_text_ask,
-        "sparql_text_construct": q_sparql_text_construct,
-        "sparql_text_offset": q_sparql_text_offset,
         "sparql_text_subselect": q_sparql_text_subselect,
-        "sparql_text_describe": q_sparql_text_describe,
         "sparql_text_graph": q_sparql_text_graph,
-        "sparql_over_snapshot": q_sparql_over_snapshot,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_cosine_topk": q_ann_cosine_topk,
         "kg_pipeline": q_kg_pipeline,
@@ -4335,11 +4438,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "percentile": q_percentile,
         "pivot_status": q_pivot_status,
-        # -- r04 session-2 additions (r05 window material) -------------
-        "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
-        "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
-        "sparql_update_using": q_sparql_update_using,
-        "sparql_text_ebv": q_sparql_text_ebv,
+        # -- rotated out of the r04 window to make room for the r04
+        #    in-round additions (all driver-green r01-r03 and
+        #    locally re-checked at two SFs every round) ----------------
+        "sparql_text_construct": q_sparql_text_construct,
+        "sparql_text_offset": q_sparql_text_offset,
+        "sparql_text_describe": q_sparql_text_describe,
+        "sparql_over_snapshot": q_sparql_over_snapshot,
+        # -- r04 session-3 addition (r05 window material) --------------
+        "doc_neardup_clusters": q_doc_neardup_clusters,
     }
 
 
