@@ -4274,6 +4274,195 @@ FROM customer WHERE CAST(ROUND(c_acctbal * 100) AS BIGINT) <> 0
 """
 
 
+def q_doc_sequence_pack(spark, sf_dir):
+    """LLM sequence packing — concatenate the corpus token stream and
+    cut fixed 512-token training sequences (the GPT-style pack-and-cut
+    pipeline stage). Scale design: docs shard by doc_id % 8 (in
+    production: a hash-partition count ~ cluster parallelism) so the
+    cumulative-offset window runs per shard in parallel — no global
+    order, no single-partition window. Output one row per (shard,
+    sequence): how many docs START in it and their token mass."""
+    docs = load_table(spark, sf_dir, "documents")
+    seq_len = 512
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    d = docs.select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), n_tok.alias("n_tokens")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    offset = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    packed = d.select(
+        "shard",
+        "doc_id",
+        "n_tokens",
+        F.floor(offset / seq_len).alias("seq_id"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def q_doc_gopher_filter(spark, sf_dir):
+    """Gopher quality rules (Rae et al. 2021 §A1.1) as one JVM-side
+    pass — the rule battery a pretraining corpus filter applies before
+    dedup: word-count bounds, mean-word-length band, symbol-to-word
+    ratio, alphabetic-word ratio, stopword floor. Pure built-in
+    expressions (split/aggregate/filter) — no UDF, whole-stage
+    codegen, scan prunes to (doc_id, text). The stopword floor is 1
+    here (Gopher uses 2) because the synthetic vocab carries only
+    'the'; the rule battery and plumbing are what's under test."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    # Every ratio is emitted as a scaled-by-10^4 INTEGER (floor) and
+    # every pass predicate is pure integer arithmetic: 5-6 docs at
+    # sf0.01 land exactly on a round(., 4) half-boundary, where Spark
+    # (BigDecimal shortest-repr HALF_UP) and DuckDB (double*1e4
+    # std::round) can disagree by 1 ulp — integer div is bit-exact in
+    # both engines (same class as the r01 HUGEINT lesson).
+    n_words = F.size(words)
+    # mean word length == non-whitespace chars / words (identical to
+    # avg(length(word)) over a whitespace split)
+    n_chars = F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-z]")))
+    hash_syms = F.length(F.col("text")) - F.length(F.regexp_replace("text", "#", ""))
+    # each '...' occurrence removes exactly 3 chars -> exact count
+    ellipses = (
+        F.length(F.col("text"))
+        - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    stop_hits = sum(
+        F.array_contains(words, s).cast("int")
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    d = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        alpha_words.alias("n_alpha"),
+        (hash_syms + ellipses.cast("int")).alias("n_sym"),
+        stop_hits.alias("stop_hits"),
+    )
+    e4 = lambda num: F.expr(f"CAST({num} AS BIGINT) * 10000 div n_words")  # noqa: E731
+    passes = (
+        F.col("n_words").between(50, 100000)
+        # 3 <= n_chars/n_words <= 10, symbol < 0.1, alpha > 0.8 —
+        # cross-multiplied to integers
+        & (F.col("n_chars") >= 3 * F.col("n_words"))
+        & (F.col("n_chars") <= 10 * F.col("n_words"))
+        & (10 * F.col("n_sym") < F.col("n_words"))
+        & (5 * F.col("n_alpha") > 4 * F.col("n_words"))
+        & (F.col("stop_hits") >= 1)
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        e4("n_chars").alias("mean_word_len_e4"),
+        e4("n_alpha").alias("alpha_word_ratio_e4"),
+        e4("n_sym").alias("symbol_ratio_e4"),
+        "stop_hits",
+        passes.alias("passes"),
+    )
+
+
+def q_dataset_mixture_sample(spark, sf_dir):
+    """Weighted dataset mixture — the pretraining-mix stage that
+    downsamples each source to its target weight. Seedless and
+    engine-portable: keep a doc iff the first hex digit of
+    md5(doc_id) clears the source's weight threshold (src0 16/16,
+    src1 8/16, src2 4/16, else 2/16), so the SAME mix falls out on
+    every run, engine, and partitioning — rand()-based sampling can't
+    be replayed or oracle-checked. One scan, one agg; the keep gate
+    is a map-side filter at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    keep = (
+        F.when(F.col("source") == "src0", F.lit(True))
+        .when(F.col("source") == "src1", h1 < "8")
+        .when(F.col("source") == "src2", h1 < "4")
+        .otherwise(h1 < "2")
+    )
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        docs.select("source", keep.alias("keep"), n_tok.alias("n_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("bigint")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+        )
+    )
+
+
+_ORACLE_R4["doc_sequence_pack"] = """
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+offs AS (
+  SELECT shard, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) - n_tokens AS off
+  FROM d)
+SELECT shard, CAST(floor(off / 512) AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+       CAST(min(doc_id) AS BIGINT) AS first_doc
+FROM offs GROUP BY 1, 2
+"""
+
+_ORACLE_R4["doc_gopher_filter"] = """
+WITH base AS (
+  SELECT doc_id, text,
+         str_split_regex(trim(lower(text)), '\\s+') AS words,
+         len(str_split_regex(trim(lower(text)), '\\s+')) AS n_words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_chars,
+         length(text) - length(replace(text, '#', '')) AS hash_syms,
+         (length(text) - length(replace(text, '...', ''))) // 3 AS ellipses
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_words, n_chars,
+         len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS n_alpha,
+         hash_syms + ellipses AS n_sym,
+         CAST(list_contains(words, 'the') AS INT) + CAST(list_contains(words, 'be') AS INT)
+         + CAST(list_contains(words, 'to') AS INT) + CAST(list_contains(words, 'of') AS INT)
+         + CAST(list_contains(words, 'and') AS INT) + CAST(list_contains(words, 'that') AS INT)
+         + CAST(list_contains(words, 'have') AS INT) + CAST(list_contains(words, 'with') AS INT)
+           AS stop_hits
+  FROM base)
+SELECT doc_id, CAST(n_words AS INT) AS n_words,
+       CAST(n_chars * 10000 // n_words AS BIGINT) AS mean_word_len_e4,
+       CAST(n_alpha * 10000 // n_words AS BIGINT) AS alpha_word_ratio_e4,
+       CAST(n_sym * 10000 // n_words AS BIGINT) AS symbol_ratio_e4,
+       stop_hits,
+       (n_words BETWEEN 50 AND 100000)
+       AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+       AND 10 * n_sym < n_words AND 5 * n_alpha > 4 * n_words
+       AND stop_hits >= 1 AS passes
+FROM feat
+"""
+
+_ORACLE_R4["dataset_mixture_sample"] = """
+WITH d AS (
+  SELECT source,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h1,
+         len(str_split_regex(trim(text), '\\s+')) AS n_tokens
+  FROM documents),
+k AS (
+  SELECT source, n_tokens,
+         CASE WHEN source = 'src0' THEN TRUE
+              WHEN source = 'src1' THEN h1 < '8'
+              WHEN source = 'src2' THEN h1 < '4'
+              ELSE h1 < '2' END AS keep
+  FROM d)
+SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN keep THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+FROM k GROUP BY source
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -4445,8 +4634,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_offset": q_sparql_text_offset,
         "sparql_text_describe": q_sparql_text_describe,
         "sparql_over_snapshot": q_sparql_over_snapshot,
-        # -- r04 session-3 addition (r05 window material) --------------
+        # -- r04 session-3+ additions (r05 window material) ------------
         "doc_neardup_clusters": q_doc_neardup_clusters,
+        "doc_sequence_pack": q_doc_sequence_pack,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "dataset_mixture_sample": q_dataset_mixture_sample,
     }
 
 

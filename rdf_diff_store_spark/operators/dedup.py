@@ -55,7 +55,7 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 
 def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     """MinHash signature array<long>: component i = min over shingles
-    of xxhash64(i-salted shingle). All built-in expressions.
+    of an i-seeded 64-bit hash. All built-in expressions.
 
     NB: `shingles` should be a *materialized column reference* (not an
     inline expression) — the expression is referenced num_hashes
@@ -66,14 +66,23 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     rather than num_hashes separate array_min expressions: the
     expanded form made Janino compile ~40 s of generated code on
     first use; this form compiles in well under a second with the
-    same evaluation cost."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)),
-            )
+    same evaluation cost.
+
+    Allocation-free inner loop (r04): each shingle STRING is hashed
+    exactly once (xxhash64 over the existing UTF8String bytes, no
+    copy), and the i-th permutation is xxhash64(h, i) — Spark's hash
+    codegen chains hashLong() per field with zero allocation. The
+    previous form, xxhash64(concat(i, '|', s)), built a fresh string
+    per (shingle × seed): at 1.78M pages × ~30 shingles × 32 seeds
+    that is ~1.7e9 short-lived UTF8Strings per run, and GC on those
+    was the measured scaling bottleneck of the alias_edges stage
+    (BENCH.md r04 per-stage profile)."""
+    hashed = F.transform(shingles, lambda s: F.xxhash64(s))
+    return bind_once(
+        hashed,
+        lambda hs: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(F.transform(hs, lambda h: F.xxhash64(h, i))),
         ),
     )
 

@@ -1,0 +1,157 @@
+"""Training-data pipeline operators added in round 4 session 3+:
+sequence packing, Gopher quality rules, weighted mixture sampling.
+
+Each has a DuckDB twin in __spark_entry__.py (value-checked by
+scripts/check_oracle.py at two SFs); these tests pin the invariants
+the hash compare can't express — conservation laws, determinism, and
+the rule semantics on crafted rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+
+
+class TestSequencePack:
+    def test_token_conservation_per_shard(self, spark, sf_dir):
+        """Every token lands in exactly one (shard, seq): the packed
+        sums re-add to each shard's total token count."""
+        from __spark_entry__ import q_doc_sequence_pack, load_table
+
+        packed = q_doc_sequence_pack(spark, sf_dir)
+        by_shard = (
+            packed.groupBy("shard")
+            .agg(F.sum("pack_tokens").alias("t"), F.sum("n_docs").alias("d"))
+            .collect()
+        )
+        docs = load_table(spark, sf_dir, "documents")
+        truth = {
+            r["shard"]: (r["t"], r["d"])
+            for r in docs.select(
+                (F.col("doc_id") % 8).alias("shard"),
+                F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+            )
+            .groupBy("shard")
+            .agg(F.sum("n").alias("t"), F.count("*").alias("d"))
+            .collect()
+        }
+        assert {r["shard"]: (r["t"], r["d"]) for r in by_shard} == truth
+
+    def test_seq_ids_are_contiguous_from_zero(self, spark, sf_dir):
+        """Cut points walk the concatenated stream: per shard the seq
+        ids are 0..max with no holes (every 512-token window holds at
+        least the doc that straddles into it)."""
+        from __spark_entry__ import q_doc_sequence_pack
+
+        packed = q_doc_sequence_pack(spark, sf_dir)
+        for r in (
+            packed.groupBy("shard")
+            .agg(F.min("seq_id"), F.max("seq_id"), F.countDistinct("seq_id"))
+            .collect()
+        ):
+            lo, hi, n = r[1], r[2], r[3]
+            assert lo == 0 and n == hi + 1
+
+    def test_offsets_deterministic(self, spark):
+        """Crafted shard: docs of 200/200/200 tokens pack as
+        seq0={d0,d8 (offsets 0,200)}, seq1={d16 (offset 400 crosses
+        512? no: floor(400/512)=0)} — all three start in seq 0."""
+        from __spark_entry__ import q_doc_sequence_pack  # noqa: F401
+
+        rows = [
+            (0, " ".join(["w"] * 200), "en", "src0", 0),
+            (8, " ".join(["w"] * 200), "en", "src0", 0),
+            (16, " ".join(["w"] * 200), "en", "src0", 0),
+            (24, " ".join(["w"] * 200), "en", "src0", 0),
+        ]
+        docs = _docs(spark, rows)
+        # same formula as the query, inlined over the crafted frame
+        from pyspark.sql import Window
+
+        n_tok = F.size(F.split(F.trim("text"), r"\s+"))
+        d = docs.select(
+            "doc_id", (F.col("doc_id") % 8).alias("shard"), n_tok.alias("n")
+        )
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        off = F.sum("n").over(w) - F.col("n")
+        got = {
+            r["doc_id"]: r["seq"]
+            for r in d.select(
+                "doc_id", F.floor(off / 512).alias("seq")
+            ).collect()
+        }
+        # offsets 0, 200, 400, 600 -> seqs 0, 0, 0, 1
+        assert got == {0: 0, 8: 0, 16: 0, 24: 1}
+
+
+class TestGopherFilter:
+    def test_rule_semantics_on_crafted_docs(self, spark, sf_dir, monkeypatch):
+        """A long stopword-bearing doc passes; a 5-word doc fails the
+        word-count floor; a symbol-soup doc fails the symbol ratio."""
+        import __spark_entry__ as entry
+
+        good = "the quick brown fox jumps over and over with glee " * 10  # 100 words
+        short = "too short to pass filter"
+        symbols = ("the and of to # " * 30).strip()  # '#' every 5th word
+        rows = [
+            (1, good.strip(), "en", "src0", 0),
+            (2, short, "en", "src0", 0),
+            (3, symbols, "en", "src0", 0),
+        ]
+        docs = _docs(spark, rows)
+        monkeypatch.setattr(entry, "load_table", lambda s, d, t: docs)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in entry.q_doc_gopher_filter(spark, sf_dir).collect()
+        }
+        assert out[1]["passes"] is True
+        assert out[2]["passes"] is False and out[2]["n_words"] == 5
+        assert out[3]["passes"] is False and out[3]["symbol_ratio_e4"] >= 1000
+
+    def test_all_columns_bounded(self, spark, sf_dir):
+        from __spark_entry__ import q_doc_gopher_filter
+
+        df = q_doc_gopher_filter(spark, sf_dir)
+        bad = df.filter(
+            (F.col("alpha_word_ratio_e4") < 0) | (F.col("alpha_word_ratio_e4") > 10000)
+            | (F.col("symbol_ratio_e4") < 0)
+            | (F.col("stop_hits") < 0) | (F.col("stop_hits") > 8)
+        )
+        assert bad.count() == 0
+
+
+class TestMixtureSample:
+    def test_src0_keeps_everything(self, spark, sf_dir):
+        from __spark_entry__ import q_dataset_mixture_sample
+
+        rows = {r["source"]: r.asDict() for r in q_dataset_mixture_sample(spark, sf_dir).collect()}
+        assert rows["src0"]["n_kept"] == rows["src0"]["n_total"]
+        for src, r in rows.items():
+            assert 0 <= r["n_kept"] <= r["n_total"]
+            assert r["kept_tokens"] >= r["n_kept"]  # every doc has >= 1 token
+
+    def test_weights_order(self, spark, sf_dir):
+        """Expected keep-rates are monotone in the configured weights
+        (1, 1/2, 1/4, 1/8) — with md5 uniformity the realized rates
+        sit near them; assert the coarse ordering, not the exact
+        binomial draw."""
+        from __spark_entry__ import q_dataset_mixture_sample
+
+        rows = {r["source"]: r for r in q_dataset_mixture_sample(spark, sf_dir).collect()}
+        rate = {s: r["n_kept"] / r["n_total"] for s, r in rows.items()}
+        assert rate["src0"] == 1.0
+        if "src1" in rate and "src2" in rate:
+            assert rate["src1"] > rate["src2"] > 0
+
+    def test_deterministic_replay(self, spark, sf_dir):
+        from __spark_entry__ import q_dataset_mixture_sample
+
+        a = sorted(map(tuple, q_dataset_mixture_sample(spark, sf_dir).collect()))
+        b = sorted(map(tuple, q_dataset_mixture_sample(spark, sf_dir).collect()))
+        assert a == b
