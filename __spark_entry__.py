@@ -4463,6 +4463,170 @@ FROM k GROUP BY source
 """
 
 
+def q_corpus_kmv_distinct(spark, sf_dir):
+    """KMV distinct-count sketch per language: estimated distinct
+    token count from the k=64 smallest md5-52bit hashes vs the exact
+    count (operators/sketch.py::kmv_distinct — Bar-Yossef et al.
+    2002). The sketch state per group is 64 longs, merging shards is
+    re-ranking, and the shuffle after the (lang, hash) distinct
+    carries only |distinct| rows — the shape that replaces exact
+    COUNT(DISTINCT) at 10^12 tokens. Values are 5-char shingles
+    (~1.9k distinct per lang at sf0.001, so the ESTIMATOR branch is
+    exercised, not just the exact-below-k one). Portable oracle: the
+    hash is the first 13 md5 hex digits (exact-double 52-bit
+    integer), so DuckDB reproduces the sketch bit-for-bit."""
+    from rdf_diff_store_spark.operators.dedup import bind_once
+    from rdf_diff_store_spark.operators.sketch import kmv_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shingles_of(s):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 4, F.lit(1))),
+            lambda i: s.substr(i, F.lit(5)),
+        )
+
+    toks = docs.select(
+        "lang",
+        F.explode(
+            bind_once(F.trim(F.lower(F.col("text"))), shingles_of)
+        ).alias("tok"),
+    )
+    sk = kmv_distinct(toks, ["lang"], "tok", k=64)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    return sk.join(exact, "lang").select(
+        "lang", "n_kept", "kth_hash", "est_distinct", "exact_distinct"
+    )
+
+
+def q_doc_priority_sample(spark, sf_dir):
+    """Priority sampling (Duffield/Lund/Thorup JACM 2007): a k=100
+    token-weighted document sample whose per-row est_weight sums give
+    unbiased subset-sum estimates (operators/sketch.py::
+    priority_sample). Priorities are exact-double md5 arithmetic —
+    bit-identical in DuckDB — and the plan is TakeOrderedAndProject
+    (bounded per-partition heaps), never a global sort: the same plan
+    at 1e12 docs."""
+    from rdf_diff_store_spark.operators.sketch import priority_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("weight"),
+    )
+    return priority_sample(d, "weight", k=100, id_col="doc_id", keep_cols=["source", "weight"])
+
+
+def q_doc_pii_redact(spark, sf_dir):
+    """PII scrub pass (functions/text.py::pii_redact): redact emails,
+    international phone numbers, and IPv4s, counting each class. The
+    corpus is synthetic, so deterministic PII is appended per doc
+    (user<id>@example.com, +47 ..., 10.0.<id%256>.7) to exercise every
+    pattern on both engines; the regexes stay inside the Java∩RE2
+    common subset. Map-only JVM pass — at 100 TB the cost is the regex
+    scan, no shuffle, no UDF."""
+    from rdf_diff_store_spark.functions.text import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +47 2234 55"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    from rdf_diff_store_spark.functions.text import (
+        PII_EMAIL_RE,
+        PII_IPV4_RE,
+        PII_PHONE_RE,
+    )
+
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count(aug, F.lit(PII_PHONE_RE)).alias("n_phone"),
+        F.regexp_count(aug, F.lit(PII_IPV4_RE)).alias("n_ipv4"),
+        F.length(pii_redact(aug)).alias("redacted_len"),
+    )
+
+
+_ORACLE_R4["corpus_kmv_distinct"] = """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_transform(
+           range(1, greatest(length(trim(lower(text))) - 4, 1) + 1),
+           i -> substr(trim(lower(text)), CAST(i AS INT), 5))) AS tok
+  FROM documents),
+hashed AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(tok), 1, 13))::BIGINT AS h
+  FROM toks),
+ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS r
+  FROM hashed),
+sk AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+         max(h) AS kth_hash,
+         CAST(CASE WHEN count(*) < 64 THEN count(*)
+              ELSE floor(63 * (4503599627370496.0::DOUBLE) / max(h)) END AS BIGINT)
+           AS est_distinct
+  FROM ranked WHERE r <= 64 GROUP BY lang),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY lang)
+SELECT sk.lang, n_kept, kth_hash, est_distinct, exact_distinct
+FROM sk JOIN exact USING (lang)
+"""
+
+_ORACLE_R4["doc_priority_sample"] = """
+WITH d AS (
+  SELECT doc_id, source,
+         len(str_split_regex(trim(text), '\\s+')) AS weight,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS h
+  FROM documents),
+p AS (
+  SELECT doc_id, source, weight,
+         (CAST(weight AS DOUBLE) * (4503599627370496.0::DOUBLE)) / (h + 1) AS pri
+  FROM d),
+top AS (
+  SELECT * FROM p ORDER BY pri DESC, doc_id DESC LIMIT 101),
+tau AS (SELECT min(pri) AS tau FROM top)
+SELECT doc_id, source, CAST(weight AS INT) AS weight,
+       round(pri, 4) AS priority,
+       round(greatest(CAST(weight AS DOUBLE), tau), 4) AS est_weight
+FROM (SELECT * FROM top ORDER BY pri DESC, doc_id DESC LIMIT 100), tau
+"""
+
+_ORACLE_R4["doc_pii_redact"] = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +47 2234 55'
+              || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+       CAST(len(regexp_extract_all(t, '\\+\\d[\\d -]{7,}\\d')) AS INT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ipv4,
+       CAST(length(
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             '\\+\\d[\\d -]{7,}\\d', '[PHONE]', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g')
+       ) AS INT) AS redacted_len
+FROM aug
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -4471,10 +4635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     BM25/tf-idf/PMI, TPC-H q2/q8/q11/q20/q21, ...), the re-fixed
     sparql_numeric_fns (r03's one red row - dtype, not values), the
     newly value-oracled ANN pair (md5-portable planes/centroids), the
-    four queries ADDED in r04 (typed temporal comparisons, sameTerm
-    constructors, UPDATE USING clauses, EBV filter coercion), and 16
+    eleven queries ADDED in r04 (typed temporal comparisons, sameTerm
+    constructors, UPDATE USING clauses, EBV filter coercion, near-dup
+    clustering, sequence packing, Gopher rules, mixture sampling, KMV
+    distinct sketch, priority sampling, PII redaction), and 9
     re-verification rows for code paths this round touched
-    (sparql_text filter compilation, similarity/dedup operators).
+    (sparql_text filter/BIND compilation, MinHash signatures, the
+    mention-quads shuffle, similarity re-rank).
     With r04 every registry entry has a driver row across r01..r04.
     All entries are value-checked every round by
     scripts/check_oracle.py at two scale factors."""
@@ -4520,18 +4687,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
         "sparql_update_using": q_sparql_update_using,
         "sparql_text_ebv": q_sparql_text_ebv,
-        # -- re-verification of rows whose code paths changed in r04 --
-        "sparql_text_select": q_sparql_text_select,
+        # -- queries ADDED during r04 (near-dup clustering, training
+        #    ops, sketches/sampling/PII) — first driver rows ----------
+        "doc_neardup_clusters": q_doc_neardup_clusters,
+        "doc_sequence_pack": q_doc_sequence_pack,
+        "doc_gopher_filter": q_doc_gopher_filter,
+        "dataset_mixture_sample": q_dataset_mixture_sample,
+        "corpus_kmv_distinct": q_corpus_kmv_distinct,
+        "doc_priority_sample": q_doc_priority_sample,
+        "doc_pii_redact": q_doc_pii_redact,
+        # -- re-verification of rows whose code paths changed in r04
+        #    (MinHash signatures, mention-quads shuffle, _compile_expr
+        #    filter/BIND compilation, similarity re-rank) -------------
         "sparql_text_group_agg": q_sparql_text_group_agg,
         "sparql_text_bind_values": q_sparql_text_bind_values,
-        "sparql_text_minus": q_sparql_text_minus,
         "sparql_text_exists": q_sparql_text_exists,
-        "sparql_text_path": q_sparql_text_path,
-        "sparql_text_ask": q_sparql_text_ask,
-        "sparql_text_subselect": q_sparql_text_subselect,
-        "sparql_text_graph": q_sparql_text_graph,
         "embedding_near_dup": q_embedding_near_dup,
-        "ann_cosine_topk": q_ann_cosine_topk,
         "kg_pipeline": q_kg_pipeline,
         "diff_triples": q_diff_triples,
         "snapshot_at": q_snapshot_at,
@@ -4539,6 +4710,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_path_plus": q_sparql_path_plus,
         # ================= end of the 50-row driver window ===========
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
+        "sparql_text_select": q_sparql_text_select,
+        "sparql_text_minus": q_sparql_text_minus,
+        "sparql_text_path": q_sparql_text_path,
+        "sparql_text_ask": q_sparql_text_ask,
+        "sparql_text_subselect": q_sparql_text_subselect,
+        "sparql_text_graph": q_sparql_text_graph,
+        "ann_cosine_topk": q_ann_cosine_topk,
         "sessionize": q_sessionize,
         "sparql_text_shared_obj_var": q_sparql_text_shared_obj_var,
         "sparql_text_values_undef_first": q_sparql_text_values_undef_first,
@@ -4634,11 +4812,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_offset": q_sparql_text_offset,
         "sparql_text_describe": q_sparql_text_describe,
         "sparql_over_snapshot": q_sparql_over_snapshot,
-        # -- r04 session-3+ additions (r05 window material) ------------
-        "doc_neardup_clusters": q_doc_neardup_clusters,
-        "doc_sequence_pack": q_doc_sequence_pack,
-        "doc_gopher_filter": q_doc_gopher_filter,
-        "dataset_mixture_sample": q_dataset_mixture_sample,
     }
 
 

@@ -254,3 +254,31 @@ def unigram_logprob(
             F.round(F.avg(F.log(F.col("c") / F.col("t"))), 4).alias("avg_logprob"),
         )
     )
+
+
+# PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
+# the oracle engine) interpret identically: character classes, bounded
+# repetition, \b, \d — no backrefs, no lookaround. Order matters:
+# emails are redacted before phones/IPs so the digits inside a
+# redacted token can't double-match.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d[\d -]{7,}\d"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_redact(text: "Column") -> "Column":
+    """Redact emails, international-format phone numbers, and IPv4
+    addresses — the standard pre-training privacy scrub (the C4 /
+    FineWeb pipelines run exactly this class of regex pass before
+    publishing a corpus).
+
+    Pure JVM `regexp_replace` chain: no UDF, no shuffle, runs inside
+    whole-stage codegen and scales embarrassingly parallel — at
+    100 TB this is a map-only pass whose cost is the regex scan
+    itself. Counting is left to the caller (`F.regexp_count` on the
+    ORIGINAL column) so the plan stays one projection."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
+    return F.regexp_replace(out, PII_IPV4_RE, "[IP]")

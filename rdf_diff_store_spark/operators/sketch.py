@@ -1,0 +1,144 @@
+"""Engine-portable sketch + weighted-sampling operators for corpus
+statistics at 100 TB.
+
+The reference exposes repo/graph statistics through its metadata API
+(/root/reference/src/metrics.rs:1-40 counts stores and graphs
+exactly); at web scale exact distinct counts and uniform samples stop
+being computable in one pass, so this module adds the two standard
+sub-linear substitutes a training-data pipeline runs instead:
+
+* KMV (k-minimum-values) distinct-count sketch — Bar-Yossef et al.
+  2002: keep the k smallest hash values per group; the kth smallest
+  order statistic u_(k) estimates cardinality as (k-1)/u_(k).
+* Priority sampling — Duffield, Lund, Thorup (JACM 2007): weight-aware
+  fixed-size sample with unbiased subset-sum estimates; priority
+  q_i = w_i / u_i, keep the k largest, and every kept item's weight
+  estimate is max(w_i, tau) where tau is the (k+1)th priority.
+
+Portability design (the md5 trick that made MinHash/SimHash/ANN
+oracle-checkable): the uniform u_i is derived from the first 13 hex
+digits of md5(value) — a 52-bit integer, EXACTLY representable as an
+IEEE double — so Spark and DuckDB compute bit-identical priorities
+from `(w * 2^52) / (h + 1)` with no transcendental functions and no
+RNG. rand()-based sketches can't be replayed across engines,
+partitionings, or runs; md5-based ones can.
+
+Design for 100 TB:
+* KMV dedups (group, hash) first — map-side partial aggregation
+  shrinks the shuffle to |distinct| rows — then ranks within group
+  (sort-based aggregation, spillable). The sketch state per group is
+  k longs; merging shards is re-ranking, the same plan shape.
+* Priority sampling is a global top-(k+1) — Spark executes
+  `ORDER BY priority DESC LIMIT k+1` as TakeOrderedAndProject:
+  per-partition bounded heaps + a single k-row merge at the driver,
+  never a global sort shuffle.
+* 52-bit hashes collide (birthday) around 2^26 distinct values per
+  group; that is inherent sketch error territory (KMV's own relative
+  error is ~1/sqrt(k-1)) and documented here rather than hidden.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 2^52 — the largest power of two for which every smaller non-negative
+# integer is exactly representable as an IEEE-754 double, so the
+# 13-hex-digit hash and this scale factor round-trip exactly in BOTH
+# engines and `w * 2^52 / (h+1)` is a correctly-rounded identical
+# double on each.
+_TWO_52 = 4503599627370496.0
+_HEX_DIGITS = 13
+
+
+def hash52(col) -> Column:
+    """First 13 hex digits of md5(col) as a 52-bit non-negative long.
+
+    DuckDB twin: ``('0x' || substr(md5(v), 1, 13))::BIGINT``.
+    """
+    return F.conv(
+        F.substring(F.md5(F.col(col) if isinstance(col, str) else col), 1, _HEX_DIGITS),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count sketch (Bar-Yossef et al. 2002).
+
+    Returns one row per group: ``n_kept`` (min(k, exact distinct)),
+    ``kth_hash`` (the kth smallest 52-bit hash, the sketch's whole
+    state boundary), and ``est_distinct`` — exact when the group has
+    fewer than k distinct values, else floor((k-1) * 2^52 / kth_hash).
+
+    Plan shape: distinct on (group, hash) — map-side partial agg, the
+    shuffle carries |distinct| rows, not |input| — then a per-group
+    row_number window keeps k rows per group. At 1e12 input rows with
+    1e6 groups the post-distinct frame is the only shuffled state and
+    each group's sort is k·log(k)-ish after AQE coalescing.
+    """
+    hashed = (
+        df.select(*group_cols, hash52(F.col(value_col).cast("string")).alias("_h"))
+        .distinct()
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h")
+    ranked = hashed.withColumn("_r", F.row_number().over(w)).filter(F.col("_r") <= k)
+    kth = F.max("_h")
+    n_kept = F.count("*")
+    return ranked.groupBy(*group_cols).agg(
+        n_kept.alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.when(n_kept < k, n_kept)
+        .otherwise(F.floor(F.lit((k - 1) * _TWO_52) / kth))
+        .cast("long")
+        .alias("est_distinct"),
+    )
+
+
+def priority_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int = 100,
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Priority sampling (Duffield/Lund/Thorup JACM 2007): a k-row
+    weight-aware sample with per-row unbiased subset-sum weights.
+
+    priority q_i = w_i * 2^52 / (h_i + 1) with h_i the 52-bit md5
+    hash of the id — all exact-double IEEE ops, bit-identical across
+    engines. The k largest priorities are kept; tau = the (k+1)th
+    priority; each kept row carries ``est_weight`` = max(w_i, tau),
+    whose sum is an unbiased estimator of total weight over ANY
+    subset predicate on the sample.
+
+    Plan shape: ORDER BY priority LIMIT (k+1) lowers to
+    TakeOrderedAndProject (bounded per-partition heaps, single small
+    merge) — there is no global sort and no k-dependent shuffle, so
+    the same plan runs at 1e12 rows. tau is a 1-row broadcast.
+    """
+    keep_cols = keep_cols if keep_cols is not None else [weight_col]
+    pri = (F.col(weight_col).cast("double") * F.lit(_TWO_52)) / (
+        hash52(F.col(id_col).cast("string")) + F.lit(1)
+    )
+    scored = df.select(id_col, *keep_cols, pri.alias("priority"))
+    top = scored.orderBy(F.col("priority").desc(), F.col(id_col).desc()).limit(k + 1)
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.orderBy(F.col("priority").desc(), F.col(id_col).desc())
+        .limit(k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            *keep_cols,
+            F.round("priority", 4).alias("priority"),
+            F.round(
+                F.greatest(F.col(weight_col).cast("double"), F.col("tau")), 4
+            ).alias("est_weight"),
+        )
+    )

@@ -218,6 +218,33 @@ def main() -> None:
         )
     )
 
+    # 12. priority sampling lowers to TakeOrderedAndProject (bounded
+    # per-partition heaps + one k-row merge) — a global Sort before
+    # the limit would be the 100-TB failure mode
+    p_ps = plan_of(qs["doc_priority_sample"](spark, sf_dir))
+    checks.append(
+        (
+            "priority_sample top-k is TakeOrderedAndProject",
+            "TakeOrderedAndProject" in p_ps,
+            "no global sort",
+        )
+    )
+
+    # 13. KMV sketch: the (group, hash) distinct compiles to
+    # partial+final HashAggregate pairs (map-side combine shrinks the
+    # dedup shuffle to |distinct| rows) feeding the per-group rank
+    # Window — a plan that shipped raw rows to the window would sort
+    # |input| instead
+    p_kmv = plan_of(qs["corpus_kmv_distinct"](spark, sf_dir))
+    n_hashagg = len(_re.findall(r"\(\d+\) HashAggregate", p_kmv))
+    checks.append(
+        (
+            "kmv distinct is partial+final agg feeding Window rank",
+            n_hashagg >= 2 and "Window" in p_kmv,
+            f"{n_hashagg} HashAggregate nodes",
+        )
+    )
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)

@@ -1,0 +1,135 @@
+"""Sketch + weighted-sampling operators (operators/sketch.py) and the
+PII scrub (functions/text.py::pii_redact).
+
+Reference context: the reference reports exact store/graph counts
+through its metadata surface (/root/reference/src/metrics.rs:1-40);
+at web scale these operators are the sub-linear substitutes. All
+randomness is md5-derived, so every assertion here is deterministic —
+reruns must produce byte-identical results (pinned below).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.text import pii_redact
+from rdf_diff_store_spark.operators.sketch import (
+    hash52,
+    kmv_distinct,
+    priority_sample,
+)
+
+
+class TestKmvDistinct:
+    def test_exact_below_k(self, spark):
+        # 40 distinct values < k=64 -> the sketch IS the exact count
+        df = spark.range(400).select(
+            F.lit("g").alias("g"), (F.col("id") % 40).alias("v")
+        )
+        row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+        assert row.n_kept == 40
+        assert row.est_distinct == 40
+
+    def test_estimate_within_kmv_error(self, spark):
+        # 5000 distinct values, k=64: KMV relative error ~ 1/sqrt(63)
+        # ~ 12.6%; allow 3 sigma. Deterministic (md5), so this either
+        # always passes or always fails.
+        df = spark.range(5000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+        assert row.n_kept == 64
+        assert abs(row.est_distinct - 5000) / 5000 < 0.38
+
+    def test_duplicates_do_not_move_estimate(self, spark):
+        # the sketch sees DISTINCT hashes: replicating every value 7x
+        # must leave the sketch state bit-identical
+        base = spark.range(1000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        dup = spark.range(7000).select(
+            F.lit("g").alias("g"), (F.col("id") % 1000).alias("v")
+        )
+        a = kmv_distinct(base, ["g"], "v", k=32).collect()[0]
+        b = kmv_distinct(dup, ["g"], "v", k=32).collect()[0]
+        assert (a.kth_hash, a.est_distinct) == (b.kth_hash, b.est_distinct)
+
+    def test_per_group_independence(self, spark):
+        df = spark.range(600).select(
+            F.when(F.col("id") < 40, "small").otherwise("big").alias("g"),
+            F.col("id").alias("v"),
+        )
+        rows = {r.g: r for r in kmv_distinct(df, ["g"], "v", k=64).collect()}
+        assert rows["small"].est_distinct == 40  # exact below k
+        assert rows["big"].n_kept == 64  # 560 distinct: estimator branch
+
+
+class TestPrioritySample:
+    def test_size_and_determinism(self, spark):
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (1 + F.col("id") % 10).alias("w")
+        )
+        a = priority_sample(df, "w", k=50, id_col="doc_id").collect()
+        b = priority_sample(df, "w", k=50, id_col="doc_id").collect()
+        assert len(a) == 50
+        assert a == b  # md5-derived priorities: fully replayable
+
+    def test_subset_sum_estimator(self, spark):
+        # Duffield/Lund/Thorup: sum over the sample of est_weight is an
+        # unbiased estimator of total weight; for k=100 of 2000 near-
+        # uniform weights the single-draw relative error is ~1/sqrt(k).
+        df = spark.range(2000).select(
+            F.col("id").alias("doc_id"), (1 + F.col("id") % 10).alias("w")
+        )
+        total = 2000 * (1 + (0 + 9) / 2.0)  # weights 1..10 uniform
+        est = (
+            priority_sample(df, "w", k=100, id_col="doc_id")
+            .agg(F.sum("est_weight"))
+            .collect()[0][0]
+        )
+        assert abs(est - total) / total < 0.3
+
+    def test_weight_bias(self, spark):
+        # one row with weight 10_000 among 1000 weight-1 rows must be
+        # sampled (its priority is ~10^4 x the median)
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") == 77, 10_000).otherwise(1).alias("w"),
+        )
+        ids = {
+            r.doc_id
+            for r in priority_sample(df, "w", k=20, id_col="doc_id").collect()
+        }
+        assert 77 in ids
+
+    def test_hash52_range(self, spark):
+        mx = (
+            spark.range(500)
+            .select(hash52(F.col("id").cast("string")).alias("h"))
+            .agg(F.max("h"), F.min("h"))
+            .collect()[0]
+        )
+        assert 0 <= mx[1] and mx[0] < 2**52
+
+
+class TestPiiRedact:
+    def test_patterns(self, spark):
+        cases = [
+            ("mail bob.smith+x@corp.example.org now", "mail [EMAIL] now"),
+            ("call +47 22 34 55 66 today", "call [PHONE] today"),
+            ("host 192.168.0.1 up", "host [IP] up"),
+            ("none here", "none here"),
+            # email first: the phone pattern must not eat digits the
+            # email redaction already replaced
+            ("a1234567890@x.io +1 234 567 8901", "[EMAIL] [PHONE]"),
+        ]
+        df = spark.createDataFrame([(t,) for t, _ in cases], ["t"])
+        got = [r[0] for r in df.select(pii_redact(F.col("t"))).collect()]
+        assert got == [want for _, want in cases]
+
+    def test_plain_digits_not_redacted(self, spark):
+        df = spark.createDataFrame([("version 2 of 10 items",)], ["t"])
+        assert (
+            df.select(pii_redact(F.col("t"))).collect()[0][0]
+            == "version 2 of 10 items"
+        )
