@@ -3849,6 +3849,46 @@ def q_sparql_text_sameterm_ctor(spark, sf_dir):
     )
 
 
+def q_sparql_text_strlang_dyn(spark, sf_dir):
+    """DYNAMIC-arg STRLANG/STRDT in term comparisons (r04 deviation
+    closure — was a loud raise outside BIND): `?o = STRLANG(STR(?o),
+    "en")` keeps exactly the en-tagged terms, `?o = STRDT(STR(?o),
+    xsd:integer)` the integer-typed ones, sameTerm accepts a
+    constructed term, and != is the complement. plans/sparql_text.py
+    _term_components (shared =/!=/sameTerm component view)."""
+    from rdf_diff_store_spark.functions.turtle import parse_triples
+    from rdf_diff_store_spark.plans.sparql_text import sparql_query
+
+    docs = spark.createDataFrame(
+        [("g", 0, _TYPED_LIT_DOC)], "graph_id string, ts long, payload string"
+    )
+    triples = parse_triples(docs)
+    pfx = "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+    lang_eq = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(?o = STRLANG(STR(?o), "en")) }',
+    ).withColumn("q", F.lit("dyn_lang_eq"))
+    dt_eq = sparql_query(
+        triples,
+        pfx + "SELECT ?s WHERE { ?s <http://ex.org/size> ?o . "
+        "FILTER(?o = STRDT(STR(?o), xsd:integer)) }",
+    ).withColumn("q", F.lit("dyn_dt_eq"))
+    same_dyn = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(sameTerm(?o, STRLANG(LCASE("HELLO"), "de"))) }',
+    ).withColumn("q", F.lit("sameterm_dyn"))
+    neq = sparql_query(
+        triples,
+        'SELECT ?s WHERE { ?s <http://ex.org/label> ?o . '
+        'FILTER(?o != STRLANG(STR(?o), "en")) }',
+    ).withColumn("q", F.lit("dyn_neq"))
+    return (
+        lang_eq.unionByName(dt_eq).unionByName(same_dyn).unionByName(neq)
+    )
+
+
 def q_doc_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per document by rational tf-idf
     (tf × N/df — the log-free variant, so the score is exact IEEE
@@ -4157,6 +4197,19 @@ SELECT * FROM (VALUES
 # d5's size is the SIMPLE literal "5" (parsed dt = xsd:string): on a
 # typed view, string >= integer is a SPARQL §17.3 type error → the
 # row DROPS (r04 session-2 value-semantics rework; oxigraph agrees).
+
+_ORACLE_R4["sparql_text_strlang_dyn"] = """
+SELECT * FROM (VALUES
+  ('http://ex.org/d1', 'dyn_lang_eq'),
+  ('http://ex.org/d4', 'dyn_dt_eq'),
+  ('http://ex.org/d2', 'sameterm_dyn'),
+  ('http://ex.org/d2', 'dyn_neq'),
+  ('http://ex.org/d3', 'dyn_neq')
+) AS t(s, q)
+"""
+# dyn_neq: d2 ("hello"@de) and d3 (simple "hello") both fail the
+# lang-tag component against the constructed "hello"@en, so != keeps
+# them; d1 IS "hello"@en and drops.
 
 _ORACLE_R4["sparql_text_typed_compare"] = f"""
 WITH triples AS ({_T})
@@ -4556,6 +4609,143 @@ def q_doc_pii_redact(spark, sf_dir):
     )
 
 
+def q_doc_shared_spans(spark, sf_dir):
+    """Cross-document duplicated-SPAN detection — the exact-substring
+    dedup shape of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), reduced to Spark relational algebra:
+    winnowing fingerprints per doc (k=12-char grams, w=8 — LONG grams,
+    because span dedup wants multi-word matches, unlike the k=5
+    doc-level fingerprints), an inverted index FREQUENCY-CAPPED to
+    fingerprints shared by 2..20 docs, pair-count, top-50. The df cap
+    is the 100-TB load-bearing piece: it bounds per-key self-join
+    fanout the way stopword removal bounds a text index (a boilerplate
+    gram in 10^9 docs would otherwise create 10^18 pairs); the pair
+    shuffle carries only (doc_a, doc_b) ids. Portable md5 hashing, so
+    the DuckDB twin reproduces fingerprints bit-for-bit."""
+    from rdf_diff_store_spark.operators.dedup import bind_once
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+
+    def gram_hashes(s):
+        n = F.greatest(F.length(s) - 11, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.md5(s.substr(i, F.lit(12)))
+        )
+
+    def window_mins(hs):
+        n = F.greatest(F.size(hs) - 7, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.array_min(F.slice(hs, i, 8))
+            )
+        )
+
+    fps = bind_once(bind_once(t, gram_hashes), window_mins)
+    ex = docs.select("doc_id", F.explode(fps).alias("fp"))
+    keep = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= 20))
+        .select("fp")
+    )
+    cand = ex.join(keep, "fp")
+    pairs = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("shared_spans"))
+        .orderBy(F.desc("shared_spans"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+def q_doc_ppl_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head/middle/tail terciles of the
+    corpus-unigram log-prob score (the LM-perplexity stand-in this
+    repo already value-checks as doc_unigram_logprob) and report
+    per-bucket counts and score ranges — the standard corpus
+    partitioning step that feeds mixture sampling. ntile(3) over a
+    per-lang window ordered by (rounded) score then doc_id: fully
+    deterministic, engine-portable, partitioned windows only (never a
+    global sort)."""
+    from rdf_diff_store_spark.functions.text import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = unigram_logprob(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy(F.desc("avg_logprob"), "doc_id")
+    b = scored.withColumn("bucket", F.ntile(3).over(w))
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.max("avg_logprob").alias("best_logprob"),
+            F.min("avg_logprob").alias("worst_logprob"),
+        )
+        .withColumn(
+            "tier",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("bucket"),
+            ),
+        )
+        .select("lang", "bucket", "tier", "n_docs", "best_logprob", "worst_logprob")
+    )
+
+
+_ORACLE_R4["doc_shared_spans"] = """
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+h AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 11, 1)),
+                            i -> md5(substr(s, i, 12))) AS hs
+      FROM t),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                                          i -> list_min(hs[i:i+7]))) AS fps
+      FROM h),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+cand AS (SELECT doc_id, fp FROM ex JOIN keep USING (fp)),
+pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM cand a JOIN cand b USING (fp)
+          WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS shared_spans
+FROM pairs GROUP BY doc_a, doc_b
+ORDER BY shared_spans DESC, doc_a, doc_b LIMIT 50
+"""
+
+_ORACLE_R4["doc_ppl_buckets"] = """
+WITH toks AS (
+  SELECT doc_id, unnest(str_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM counts),
+scored AS (
+  SELECT doc_id, round(avg(ln(c / t)), 4) AS avg_logprob
+  FROM toks JOIN counts USING (tok) CROSS JOIN total GROUP BY doc_id),
+j AS (SELECT s.doc_id, d.lang, s.avg_logprob
+      FROM scored s JOIN documents d USING (doc_id)),
+nt AS (SELECT *, ntile(3) OVER (PARTITION BY lang
+                                ORDER BY avg_logprob DESC, doc_id) AS bucket
+       FROM j)
+SELECT lang, CAST(bucket AS INT) AS bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(avg_logprob) AS best_logprob,
+       min(avg_logprob) AS worst_logprob
+FROM nt GROUP BY lang, bucket
+"""
+
 _ORACLE_R4["corpus_kmv_distinct"] = """
 WITH toks AS (
   SELECT lang,
@@ -4635,13 +4825,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     BM25/tf-idf/PMI, TPC-H q2/q8/q11/q20/q21, ...), the re-fixed
     sparql_numeric_fns (r03's one red row - dtype, not values), the
     newly value-oracled ANN pair (md5-portable planes/centroids), the
-    eleven queries ADDED in r04 (typed temporal comparisons, sameTerm
-    constructors, UPDATE USING clauses, EBV filter coercion, near-dup
-    clustering, sequence packing, Gopher rules, mixture sampling, KMV
-    distinct sketch, priority sampling, PII redaction), and 9
-    re-verification rows for code paths this round touched
-    (sparql_text filter/BIND compilation, MinHash signatures, the
-    mention-quads shuffle, similarity re-rank).
+    fourteen queries ADDED in r04 (typed temporal comparisons,
+    sameTerm constructors, dynamic STRLANG/STRDT comparisons, UPDATE
+    USING clauses, EBV filter coercion, near-dup clustering, sequence
+    packing, Gopher rules, mixture sampling, KMV distinct sketch,
+    priority sampling, PII redaction, duplicated-span detection, CCNet
+    perplexity buckets), and re-verification rows for code paths this
+    round touched (sparql_text filter/BIND compilation, MinHash
+    signatures, the mention-quads shuffle, similarity re-rank).
     With r04 every registry entry has a driver row across r01..r04.
     All entries are value-checked every round by
     scripts/check_oracle.py at two scale factors."""
@@ -4699,17 +4890,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- re-verification of rows whose code paths changed in r04
         #    (MinHash signatures, mention-quads shuffle, _compile_expr
         #    filter/BIND compilation, similarity re-rank) -------------
-        "sparql_text_group_agg": q_sparql_text_group_agg,
+        "sparql_text_strlang_dyn": q_sparql_text_strlang_dyn,
         "sparql_text_bind_values": q_sparql_text_bind_values,
         "sparql_text_exists": q_sparql_text_exists,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_pipeline": q_kg_pipeline,
         "diff_triples": q_diff_triples,
-        "snapshot_at": q_snapshot_at,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        "sparql_path_plus": q_sparql_path_plus,
+        # -- session-5 additions (duplicated-span detection, CCNet
+        #    perplexity buckets) — first driver rows -------------------
+        "doc_shared_spans": q_doc_shared_spans,
+        "doc_ppl_buckets": q_doc_ppl_buckets,
         # ================= end of the 50-row driver window ===========
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
+        "snapshot_at": q_snapshot_at,
+        "sparql_path_plus": q_sparql_path_plus,
+        "sparql_text_group_agg": q_sparql_text_group_agg,
         "sparql_text_select": q_sparql_text_select,
         "sparql_text_minus": q_sparql_text_minus,
         "sparql_text_path": q_sparql_text_path,

@@ -905,6 +905,67 @@ def _fold_typed_ctor(ast):
     return ast
 
 
+def _is_dyn_ctor(ast) -> bool:
+    """A STRLANG/STRDT call whose args did NOT fold to a constant —
+    i.e. at least one argument is a computed expression."""
+    return (
+        ast[0] == "fn"
+        and ast[1] in ("STRLANG", "STRDT")
+        and len(ast[2]) == 2
+        and _fold_typed_ctor(ast)[0] == "fn"
+    )
+
+
+def _term_components(x):
+    """(value, lang, dt, kind) Columns for a term-valued expression —
+    the component view =/!= and sameTerm compare field-by-field.
+
+    kind is "iri" / "lit" / NULL-unknown: over a PARSED typed view an
+    IRI object has BOTH typing columns NULL while a simple literal
+    carries dt=xsd:string, so an IRI and a same-lexical SIMPLE literal
+    compare unequal; untyped views and constants (the expression
+    grammar folds <iri> and "str" to the same node) carry no IRI-ness
+    and match anything.
+
+    Dynamic-arg STRLANG/STRDT (SPARQL 1.1 §17.4.2.8-9) construct their
+    typing tags from compiled scalar expressions here, so term
+    comparisons work without a BIND materializing hidden columns —
+    closes the r03 "only as the top-level expression of a BIND"
+    deviation for the =/!=/sameTerm cases."""
+    x = _fold_typed_ctor(x)
+    none = F.lit(None).cast("string")
+    if _is_dyn_ctor(x):
+        val, tag = [_compile_expr(a).cast("string") for a in x[2]]
+        if x[1] == "STRLANG":
+            return (val, tag, none, F.lit("lit"))
+        return (val, none, _norm_dt(tag), F.lit("lit"))
+    if x[0] == "var":
+        v = x[1]
+        lang_c = _typing_col(f"_lang_{v}")
+        dt_c = _typing_col(f"_dt_{v}")
+        typed_frame = bool(_FRAME_COLUMNS) and (
+            f"_lang_{v}" in _FRAME_COLUMNS[-1]
+            or f"_dt_{v}" in _FRAME_COLUMNS[-1]
+        )
+        kind = (
+            F.when(lang_c.isNotNull() | dt_c.isNotNull(), F.lit("lit")).otherwise(
+                F.lit("iri")
+            )
+            if typed_frame
+            else none
+        )
+        return (F.col(v).cast("string"), lang_c, _norm_dt(dt_c), kind)
+    if x[0] == "typedlit":
+        _, lex, dt, lang = x
+        return (
+            F.lit(lex),
+            F.lit(lang).cast("string"),
+            _norm_dt(F.lit(dt).cast("string")),
+            F.lit("lit"),
+        )
+    return _compile_expr(x).cast("string"), none, none, none
+
+
 _TEMPORAL_DTS = {_XSD_NS + "date", _XSD_NS + "dateTime"}
 
 
@@ -983,6 +1044,20 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
     if op == "cmp":
         _, o, a, b = ast
         a, b = _fold_typed_ctor(a), _fold_typed_ctor(b)
+        if o in ("=", "!=") and (_is_dyn_ctor(a) or _is_dyn_ctor(b)):
+            # dynamic-arg STRLANG/STRDT in a term comparison: compare
+            # component-wise (value ==, tags eqNullSafe) — the same
+            # contract as the typedlit-vs-var path below, no BIND
+            # needed to carry the constructed tag
+            va, la, da, ka = _term_components(a)
+            vb, lb, db, kb = _term_components(b)
+            eq = (
+                (va == vb)
+                & la.eqNullSafe(lb)
+                & da.eqNullSafe(db)
+                & (ka.isNull() | kb.isNull() | (ka == kb))
+            )
+            return eq if o == "=" else ~eq
         typed = a[0] == "typedlit" or b[0] == "typedlit"
         tdt = _temporal_dt(a) or _temporal_dt(b)
         num_tl = any(
@@ -1136,37 +1211,10 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
             # constants — the expression grammar folds <iri> and "str"
             # to the same node) matches anything, preserving prior
             # behavior where IRI-ness is genuinely unrecorded.
-            def term(x):
-                x = _fold_typed_ctor(x)
-                if x[0] == "var":
-                    v = x[1]
-                    lang_c = _typing_col(f"_lang_{v}")
-                    dt_c = _typing_col(f"_dt_{v}")
-                    typed_frame = bool(_FRAME_COLUMNS) and (
-                        f"_lang_{v}" in _FRAME_COLUMNS[-1]
-                        or f"_dt_{v}" in _FRAME_COLUMNS[-1]
-                    )
-                    kind = (
-                        F.when(
-                            lang_c.isNotNull() | dt_c.isNotNull(), F.lit("lit")
-                        ).otherwise(F.lit("iri"))
-                        if typed_frame
-                        else F.lit(None).cast("string")
-                    )
-                    return (F.col(v).cast("string"), lang_c, _norm_dt(dt_c), kind)
-                if x[0] == "typedlit":
-                    _, lex, dt, lang = x
-                    return (
-                        F.lit(lex),
-                        F.lit(lang).cast("string"),
-                        _norm_dt(F.lit(dt).cast("string")),
-                        F.lit("lit"),
-                    )
-                none = F.lit(None).cast("string")
-                return _compile_expr(x).cast("string"), none, none, none
-
-            va, la, da, ka = term(args[0])
-            vb, lb, db, kb = term(args[1])
+            # (Shared component view _term_components — also handles
+            # dynamic-arg STRLANG/STRDT constructors.)
+            va, la, da, ka = _term_components(args[0])
+            vb, lb, db, kb = _term_components(args[1])
             return (
                 va.eqNullSafe(vb)
                 & la.eqNullSafe(lb)
@@ -1318,15 +1366,18 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
         if fn == "RAND":
             return F.rand()
         if fn in ("STRLANG", "STRDT"):
-            # constant-arg calls were folded to typedlit at entry; only
-            # DYNAMIC args reach here, and those need the hidden typing
-            # columns only a BIND can materialize
+            # constant-arg calls fold to typedlit at entry; dynamic-arg
+            # calls are handled structurally in =/!=/sameTerm
+            # (_term_components) and as the top-level expression of a
+            # BIND. Only OTHER scalar positions (ORDER BY, nested in
+            # another function) reach here — there a single column
+            # can't carry the constructed tag.
             raise SparqlParseError(
-                f"{fn} with non-constant arguments is supported only as "
-                "the top-level expression of a BIND (the constructed tag "
-                "lives in hidden typing columns a scalar expression "
-                "can't carry); constant-arg calls work anywhere a typed "
-                "literal does"
+                f"{fn} with non-constant arguments is supported in "
+                "=/!= and sameTerm comparisons and as the top-level "
+                "expression of a BIND; other scalar positions can't "
+                "carry the constructed typing tag. Constant-arg calls "
+                "work anywhere a typed literal does"
             )
         if fn in ("LANG", "DATATYPE"):
             # typing rides in hidden _lang_/_dt_ columns projected by

@@ -245,6 +245,21 @@ def main() -> None:
         )
     )
 
+    # 14. duplicated-span detection: the pair join must be an
+    # equi-join on the fingerprint key (hash/sort-merge — a
+    # BroadcastNestedLoopJoin would mean the a.doc_id < b.doc_id
+    # predicate leaked into the join condition as the ONLY key), and
+    # the top-50 lowers to TakeOrderedAndProject
+    p_ss = plan_of(qs["doc_shared_spans"](spark, sf_dir))
+    checks.append(
+        (
+            "shared_spans pair join is fp equi-join + top-k",
+            "BroadcastNestedLoopJoin" not in p_ss
+            and "TakeOrderedAndProject" in p_ss,
+            "equi-join, no cartesian",
+        )
+    )
+
     # 6. anti-join diff reuses the dual-state exchange at runtime
     # (static explain duplicates the subtree; AQE dedups it)
     diff_df = qs["diff_versions"](spark, sf_dir)

@@ -155,3 +155,59 @@ class TestMixtureSample:
         a = sorted(map(tuple, q_dataset_mixture_sample(spark, sf_dir).collect()))
         b = sorted(map(tuple, q_dataset_mixture_sample(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestSharedSpans:
+    """Cross-doc duplicated-span detection (Lee et al. 2022 shape):
+    df-capped inverted index over long-gram winnowing fingerprints."""
+
+    def test_pairs_ordered_and_bounded(self, spark, sf_dir):
+        from __spark_entry__ import q_doc_shared_spans
+
+        rows = q_doc_shared_spans(spark, sf_dir).collect()
+        assert 0 < len(rows) <= 50
+        # doc_a < doc_b canonical orientation, counts descending
+        assert all(r.doc_a < r.doc_b for r in rows)
+        counts = [r.shared_spans for r in rows]
+        assert counts == sorted(counts, reverse=True)
+
+    def test_identical_docs_dominate(self, spark):
+        from __spark_entry__ import q_doc_shared_spans
+        import tempfile, os
+
+        # two identical long docs + unrelated filler: the clone pair
+        # must surface with the highest shared-span count
+        body = " ".join(f"tok{i % 97} word{i % 31}" for i in range(300))
+        rows = [(1, "src", "en", body), (2, "src", "en", body)] + [
+            (i, "src", "en", f"unique text number {i} " + " ".join(
+                f"w{i}x{j}" for j in range(50)))
+            for i in range(3, 23)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, text string"
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+            out = q_doc_shared_spans(spark, d).collect()
+        assert (out[0].doc_a, out[0].doc_b) == (1, 2)
+
+
+class TestPplBuckets:
+    def test_terciles_partition_each_lang(self, spark, sf_dir):
+        from __spark_entry__ import q_doc_ppl_buckets
+
+        rows = q_doc_ppl_buckets(spark, sf_dir).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r)
+        for lang, rs in by_lang.items():
+            assert sorted(r.bucket for r in rs) == [1, 2, 3]
+            tiers = {r.bucket: r.tier for r in rs}
+            assert tiers == {1: "head", 2: "middle", 3: "tail"}
+            # ntile sizes differ by at most one
+            ns = [r.n_docs for r in rs]
+            assert max(ns) - min(ns) <= 1
+            # head scores >= tail scores
+            head = next(r for r in rs if r.bucket == 1)
+            tail = next(r for r in rs if r.bucket == 3)
+            assert head.worst_logprob >= tail.best_logprob

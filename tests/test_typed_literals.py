@@ -360,3 +360,63 @@ class TestEffectiveBooleanValue:
             plain, "SELECT ?s WHERE { ?s <p> ?o FILTER(?o) }"
         ).collect()
         assert sorted(r.s for r in rows) == ["s1", "s4", "s6"]
+
+
+class TestDynamicCtorComparisons:
+    """Dynamic-arg STRLANG/STRDT in =/!=/sameTerm — r04 deviation
+    closure (was a loud raise anywhere but BIND). Compiled via the
+    shared _term_components view, no hidden-column materialization."""
+
+    def test_strlang_dyn_eq_keeps_tagged(self, typed):
+        rows = sparql_query(
+            typed,
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            'FILTER(?o = STRLANG(STR(?o), "en")) }',
+        ).collect()
+        assert [r.s for r in rows] == ["s1"]
+
+    def test_strlang_dyn_neq_is_complement(self, typed):
+        rows = sparql_query(
+            typed,
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            'FILTER(?o != STRLANG(STR(?o), "en")) }',
+        ).collect()
+        assert sorted(r.s for r in rows) == ["s2", "s3", "s4", "s5"]
+
+    def test_strdt_dyn_eq_keeps_typed(self, typed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            "FILTER(?o = STRDT(STR(?o), xsd:integer)) }"
+        )
+        assert [r.s for r in sparql_query(typed, q).collect()] == ["s4"]
+
+    def test_strdt_dyn_xsd_string_is_simple(self, typed):
+        # xsd:string normalizes to the simple-literal spelling (RDF
+        # 1.1), so STRDT(..., xsd:string) matches plain + xsd:string
+        # literals but NOT lang-tagged ones
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            "FILTER(?o = STRDT(STR(?o), xsd:string)) }"
+        )
+        assert sorted(r.s for r in sparql_query(typed, q).collect()) == [
+            "s3",
+            "s5",
+        ]
+
+    def test_sameterm_with_dynamic_ctor(self, typed):
+        rows = sparql_query(
+            typed,
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            'FILTER(sameTerm(?o, STRLANG(LCASE("X"), "de"))) }',
+        ).collect()
+        assert [r.s for r in rows] == ["s2"]
+
+    def test_other_scalar_positions_still_raise(self, typed):
+        with pytest.raises(SparqlParseError, match="STRLANG"):
+            sparql_query(
+                typed,
+                "SELECT ?s WHERE { ?s <p> ?o } "
+                'ORDER BY STRLANG(STR(?o), "en")',
+            )

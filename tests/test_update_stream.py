@@ -62,6 +62,26 @@ class TestUpdateStream:
         app.process_batch(batch, 0)  # crash-recovery replay
         assert app.changelog().count() == n
 
+    def test_replayed_multi_timestamp_batch_appends_nothing(
+        self, spark, tmp_path
+    ):
+        """The r03 advisor's exact scenario: a batch with MORE THAN ONE
+        distinct ts is replayed after a crash between the parquet
+        append and the checkpoint commit. prev_max then already
+        includes this batch's own rows, so a strict reqs[0].ts <
+        prev_max guard would raise on every restart and wedge the
+        stream; the max-based guard must fall through to the anti-join
+        and append nothing."""
+        app = UpdateStreamApplier(spark, str(tmp_path))
+        batch = _reqs(spark, [
+            (T1, 'INSERT DATA { GRAPH <g:1> { <http://e/s> <http://e/p> "a" } }'),
+            (T2, 'INSERT DATA { GRAPH <g:2> { <http://e/t> <http://e/q> "b" } }'),
+        ])
+        app.process_batch(batch, 0)
+        n = app.changelog().count()
+        app.process_batch(batch, 0)  # crash-recovery replay, multi-ts
+        assert app.changelog().count() == n
+
     def test_out_of_order_batch_is_loud(self, spark, tmp_path):
         app = UpdateStreamApplier(spark, str(tmp_path))
         app.process_batch(
