@@ -65,10 +65,13 @@ def bench_kg_pipeline(spark, cpus: int) -> dict:
     # recorded kg_wall sat at the cold-path ~21.8 s both rounds while
     # warmed in-repo reps measured ~11 s (r02 VERDICT perf note).
     build_kg(spark, pages)
-    # min of 3 timed reps: run-to-run noise on this host is ±30-90%
-    # (BENCH.md methodology); a single sample mis-ranks rounds
+    # min of 5 timed reps: run-to-run noise on this host is ±30-90%
+    # and WITHIN one warmed process walls still swing ±180% (r04 s5
+    # measured [18.1, 34.3, 12.1] on three consecutive reps) — at ~12 s
+    # a rep, two extra reps are cheap insurance against the driver's
+    # clock recording a steal-time spike as the round's number
     wall, n_quads = None, None
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         changelog, rec = build_kg(spark, pages)
         n_quads = next(m["rows"] for m in rec.metrics if m["stage"] == "quads")
