@@ -117,15 +117,19 @@ class TestTypedCtorConstants:
         ).collect()
         assert {r.s for r in rows} == {"n2"}
 
-    def test_dynamic_strlang_outside_bind_still_raises(self, term_triples):
-        from rdf_diff_store_spark.plans.sparql_text import SparqlParseError
-
-        with pytest.raises(SparqlParseError, match="non-constant"):
-            _q(
-                term_triples,
-                "SELECT ?s WHERE { ?s <label> ?o . "
-                '  FILTER(sameTerm(?o, STRLANG(?o, "en"))) }',
-            ).collect()
+    def test_dynamic_strlang_in_sameterm_now_works(self, term_triples):
+        """r04 session 5 closed the old "dynamic ctor only in BIND"
+        deviation for term comparisons: sameTerm(?o, STRLANG(?o, "en"))
+        keeps exactly the en-tagged literals (value trivially equal,
+        constructed lang "en", dt NULL). TestDynamicCtorComparisons in
+        test_typed_literals.py pins the remaining raise (ORDER BY /
+        nested scalar positions)."""
+        rows = _q(
+            term_triples,
+            "SELECT ?s WHERE { ?s <label> ?o . "
+            '  FILTER(sameTerm(?o, STRLANG(?o, "en"))) }',
+        ).collect()
+        assert {r.s for r in rows} == {"b1"}
 
 
 class TestXsdStringEqualityNormalized:
