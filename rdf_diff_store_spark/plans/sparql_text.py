@@ -1154,10 +1154,50 @@ def _compile_expr(ast, numeric: bool = False) -> Column:
                     | _typing_col(f"_dt_{v}").isNotNull()
                 )
             return eq if o == "=" else ~eq
+        str_tl = any(
+            x[0] == "typedlit" and x[3] is None and x[2] == _XSD_NS + "string"
+            for x in (a, b)
+        )
+        if typed and str_tl:
+            # ordering on xsd:string-typed literals (=/!= took the
+            # term-level branch above): fn:compare value semantics
+            # (SPARQL 1.1 §17.3) — xsd:string ≡ simple literal, so
+            # this is plain string ordering. On typed views a var
+            # whose term is lang-tagged, non-string-typed, or an IRI
+            # is a type error → guard false → the row drops; on
+            # untyped views the lexical form compares directly (the
+            # same documented pragmatism as numeric comparisons).
+            guards = []
+
+            def scol(x):
+                if x[0] == "typedlit":
+                    return F.lit(x[1])
+                if x[0] == "var":
+                    v = x[1]
+                    if bool(_FRAME_COLUMNS) and (
+                        f"_lang_{v}" in _FRAME_COLUMNS[-1]
+                        or f"_dt_{v}" in _FRAME_COLUMNS[-1]
+                    ):
+                        guards.append(
+                            _typing_col(f"_lang_{v}").isNull()
+                            & (
+                                _typing_col(f"_dt_{v}")
+                                == F.lit(_XSD_NS + "string")
+                            )
+                        )
+                    return F.col(v).cast("string")
+                return _compile_expr(x).cast("string")
+
+            ca, cb = scol(a), scol(b)
+            res = {"<": ca < cb, "<=": ca <= cb, ">": ca > cb, ">=": ca >= cb}[o]
+            for gd in guards:
+                res = res & gd
+            return res
         if typed and not (_is_numeric(a) or _is_numeric(b)):
             raise SparqlParseError(
                 "ordering comparisons on typed literals need a numeric "
-                "or xsd:date/xsd:dateTime datatype"
+                "or xsd:date/xsd:dateTime datatype (lang-tagged "
+                "ordering is undefined in SPARQL 1.1 §17.3)"
             )
         num = _is_numeric(a) or _is_numeric(b)
         ca, cb = _compile_expr(a, numeric=num), _compile_expr(b, numeric=num)

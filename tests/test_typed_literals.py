@@ -420,3 +420,31 @@ class TestDynamicCtorComparisons:
                 "SELECT ?s WHERE { ?s <p> ?o } "
                 'ORDER BY STRLANG(STR(?o), "en")',
             )
+
+
+class TestStringTypedOrdering:
+    """Ordering on xsd:string-typed literals — SPARQL 1.1 §17.3
+    fn:compare (r04 session 5; was a loud raise). xsd:string ≡ simple
+    literal, so this is plain string ordering; non-string terms are
+    type errors and drop on typed views."""
+
+    def test_string_ordering_keeps_greater(self, typed):
+        q = (
+            "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> "
+            "SELECT ?s WHERE { ?s <p> ?o . "
+            'FILTER(?o > "4"^^xsd:string) }'
+        )
+        # string ordering: "x" > "4" (s3), "5" > "4" (s5); the
+        # lang-tagged "x"s (s1, s2) and the integer-typed 5 (s4) are
+        # type errors on a typed view and drop
+        assert sorted(r.s for r in sparql_query(typed, q).collect()) == [
+            "s3",
+            "s5",
+        ]
+
+    def test_lang_tagged_ordering_still_raises(self, typed):
+        with pytest.raises(SparqlParseError, match="ordering"):
+            sparql_query(
+                typed,
+                'SELECT ?s WHERE { ?s <p> ?o . FILTER(?o > "x"@en) }',
+            )
