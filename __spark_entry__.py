@@ -4817,6 +4817,214 @@ FROM aug
 """
 
 
+def q_corpus_countmin_topk(spark, sf_dir):
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005;
+    operators/sketch.py::countmin_topk): the d=3 × w=256 counter
+    sketch over the corpus token stream, top-40 tokens by estimated
+    count with the exact count alongside so the sketch's one-sided
+    error (est ≥ exact, never under) is part of the checked values.
+    Sketch state is 768 longs TOTAL — mergeable by addition across
+    shards/micro-batches — and the counter build is one map-side-
+    combinable pass; estimation broadcasts the 768-row counter table.
+    Portable oracle: buckets are md5-52bit hashes mod w, bit-identical
+    in DuckDB."""
+    from rdf_diff_store_spark.operators.sketch import countmin_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("tok")
+    )
+    return countmin_topk(toks, "tok", k=40, depth=3, width=256)
+
+
+_ORACLE_R4["corpus_countmin_topk"] = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+rows_ AS (SELECT unnest([0, 1, 2]) AS r),
+counters AS (
+  SELECT r,
+         (('0x' || substr(md5(r::VARCHAR || ':' || tok), 1, 13))::BIGINT) % 256 AS bucket,
+         count(*) AS counter
+  FROM toks CROSS JOIN rows_ GROUP BY 1, 2),
+exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY tok),
+cand AS (
+  SELECT e.tok, e.exact_count, r.r,
+         (('0x' || substr(md5(r.r::VARCHAR || ':' || e.tok), 1, 13))::BIGINT) % 256 AS bucket
+  FROM exact e CROSS JOIN rows_ r)
+SELECT c.tok,
+       CAST(min(ct.counter) AS BIGINT) AS est_count,
+       CAST(max(c.exact_count) AS BIGINT) AS exact_count
+FROM cand c JOIN counters ct USING (r, bucket)
+GROUP BY c.tok
+ORDER BY est_count DESC, tok
+LIMIT 40
+"""
+
+
+def q_doc_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. NeurIPS 2023;
+    functions/text.py::dsir_weights): hashed-unigram importance of
+    every document against the English-subset target distribution —
+    the data-selection score that decides what a 100-TB crawl
+    contributes to a training mix. Per-bucket log-ratios are rounded
+    to integer micro-logs BEFORE the per-doc sum, so the score is an
+    exact BIGINT in both engines (no float-summation-order hazard);
+    buckets are md5-52bit mod 512. The 512-row log-ratio table is
+    broadcast; the only big shuffle is the (doc, bucket) count."""
+    from rdf_diff_store_spark.functions.text import dsir_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = dsir_weights(docs, F.col("lang") == "en", n_buckets=512)
+    return scored.join(docs.select("doc_id", "lang"), "doc_id").select(
+        "doc_id", "lang", "n_tokens", "logw_micro"
+    )
+
+
+_ORACLE_R4["doc_dsir_weights"] = """
+WITH words AS (
+  SELECT doc_id, (lang = 'en') AS is_t,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+toks AS (
+  SELECT doc_id, is_t,
+         (('0x' || substr(md5(tok), 1, 13))::BIGINT) % 512 AS bucket
+  FROM words),
+db AS (SELECT doc_id, bucket, count(*) AS c FROM toks GROUP BY doc_id, bucket),
+bb AS (SELECT bucket, count(*) AS raw_c,
+              sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c
+       FROM toks GROUP BY bucket),
+tot AS (SELECT sum(raw_c) AS raw_tot, sum(tgt_c) AS tgt_tot FROM bb),
+lr AS (SELECT bucket,
+              CAST(round((ln(tgt_c + 1) - ln(tgt_tot + 512)
+                          - ln(raw_c + 1) + ln(raw_tot + 512)) * 1000000) AS BIGINT) AS lr_micro
+       FROM bb CROSS JOIN tot),
+sc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(sum(c * lr_micro) AS BIGINT) AS logw_micro
+       FROM db JOIN lr USING (bucket) GROUP BY doc_id)
+SELECT s.doc_id, d.lang, s.n_tokens, s.logw_micro
+FROM sc s JOIN documents d USING (doc_id)
+"""
+
+
+def q_range_join_intervals(spark, sf_dir):
+    """Point-in-interval range join (operators/ranges.py::
+    bucketed_range_join): every event joined to every 30-minute
+    post-signup window of the same user — the generalization of the
+    reference's checkout-by-timestamp binary search
+    (/root/reference/src/git.rs:131-162) to event×interval volume.
+    Spark's native plan for a pure inequality join is
+    BroadcastNestedLoopJoin (O(n·m) — dead at scale); the operator
+    rewrites it as an EQUI-join on (user, 30-min time bucket) with
+    intervals exploded into the ≤2 buckets they overlap and the exact
+    start<=ts<end predicate re-filtering — hash-joinable, AQE-skew-
+    splittable, the 100-TB shape. DuckDB's oracle runs the plain
+    inequality join (its IEJoin handles it natively at small SF)."""
+    from rdf_diff_store_spark.operators.ranges import bucketed_range_join
+
+    HALF_HOUR_US = 1_800_000_000
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", _ntz_us(F.col("ts")).alias("ts_us"), "event_type"
+    )
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts_us").alias("start_us"),
+        (F.col("ts_us") + HALF_HOUR_US).alias("end_us"),
+    )
+    joined = bucketed_range_join(
+        ev.drop("event_type"),
+        iv,
+        key="user_id",
+        ts_col="ts_us",
+        start_col="start_us",
+        end_col="end_us",
+        bucket_width=HALF_HOUR_US,
+    )
+    return joined.select(
+        "signup_id",
+        "event_id",
+        (F.col("ts_us") - F.col("start_us")).cast("bigint").alias("gap_us"),
+    )
+
+
+_ORACLE_R4["range_join_intervals"] = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+iv AS (
+  SELECT event_id AS signup_id, user_id, ts_us AS start_us,
+         ts_us + 1800000000 AS end_us
+  FROM ev WHERE event_type = 'signup')
+SELECT i.signup_id, e.event_id,
+       CAST(e.ts_us - i.start_us AS BIGINT) AS gap_us
+FROM ev e
+JOIN iv i ON e.user_id = i.user_id
+         AND e.ts_us >= i.start_us AND e.ts_us < i.end_us
+"""
+
+
+def q_asof_join_purchase(spark, sf_dir):
+    """As-of join (operators/ranges.py::asof_join): every click event
+    picks the user's LATEST purchase at-or-before it — the temporal
+    join the reference's checkout-by-timestamp binary search performs
+    one graph at a time (/root/reference/src/git.rs:131-162), at
+    full-table volume. Physically NOT a join: clicks and purchases
+    are unioned with a side tag and ONE window carries the last
+    purchase forward as a struct — one shuffle total, vs the naive
+    join+max-per-event double shuffle or the inequality-predicate
+    BroadcastNestedLoopJoin. Left-outer: clicks before any purchase
+    keep NULLs. Oracle: DuckDB's native ASOF LEFT JOIN."""
+    from rdf_diff_store_spark.operators.ranges import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        _ntz_us(F.col("ts")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts_us").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts_col="ts_us",
+        quote_ts_col="p_ts",
+        matched_ts_alias="p_ts_us",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        F.round("purchase_value", 2).alias("purchase_value"),
+        (F.col("ts_us") - F.col("p_ts_us")).cast("bigint").alias("gap_us"),
+    )
+
+
+_ORACLE_R4["asof_join_purchase"] = """
+WITH ev AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+  FROM events),
+c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+p AS (SELECT user_id, ts_us AS p_ts, event_id AS purchase_id,
+             value AS purchase_value
+      FROM ev WHERE event_type = 'purchase')
+SELECT c.event_id, c.user_id, p.purchase_id,
+       round(p.purchase_value, 2) AS purchase_value,
+       CAST(c.ts_us - p.p_ts AS BIGINT) AS gap_us
+FROM c ASOF LEFT JOIN p
+  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -4902,6 +5110,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shared_spans": q_doc_shared_spans,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         # ================= end of the 50-row driver window ===========
+        # -- session-6 additions (count-min heavy hitters, DSIR data
+        #    selection, bucketed range join) — local-oracle evidence
+        #    this round, r05 window candidates ------------------------
+        "corpus_countmin_topk": q_corpus_countmin_topk,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "range_join_intervals": q_range_join_intervals,
+        "asof_join_purchase": q_asof_join_purchase,
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
         "snapshot_at": q_snapshot_at,
         "sparql_path_plus": q_sparql_path_plus,

@@ -256,6 +256,78 @@ def unigram_logprob(
     )
 
 
+def dsir_weights(
+    docs: "DataFrame",
+    target_filter,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 512,
+) -> "DataFrame":
+    """DSIR importance weights (Xie et al., NeurIPS 2023 — "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed-unigram profile is,
+    log w(x) = Σ_features c(f) · [ln p_target(f) − ln p_raw(f)],
+    with add-1-smoothed bucket distributions over ``n_buckets`` hashed
+    word buckets. Documents matching ``target_filter`` (a boolean
+    Column over the docs frame) define the target distribution; the
+    whole corpus is the raw distribution.
+
+    Engine portability: buckets are md5-52bit hashes mod n_buckets
+    (bit-identical in DuckDB), and the per-bucket log-ratio is rounded
+    to an INTEGER micro-log (×1e6) before the per-doc sum — so the doc
+    score is an exact BIGINT sum of identical integers in both
+    engines, immune to float summation order.
+
+    Plan shape at 10^12 docs: one token explode feeding (a) the
+    per-(doc,bucket) counts — map-side combinable, the only big
+    shuffle — and (b) two n_buckets-row aggregates. The log-ratio
+    table is n_buckets rows and BROADCAST onto the doc-bucket counts;
+    nothing else is joined. Scoring is one more map-side-combinable
+    aggregation on id_col.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from rdf_diff_store_spark.operators.sketch import hash52  # noqa: PLC0415
+
+    toks = docs.select(
+        F.col(id_col),
+        target_filter.alias("_is_target"),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    ).select(id_col, "_is_target", (hash52(F.col("tok")) % n_buckets).alias("bucket"))
+
+    doc_buckets = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
+
+    by_bucket = toks.groupBy("bucket").agg(
+        F.count("*").alias("raw_c"),
+        F.sum(F.col("_is_target").cast("long")).alias("tgt_c"),
+    )
+    totals = by_bucket.agg(
+        F.sum("raw_c").alias("raw_tot"), F.sum("tgt_c").alias("tgt_tot")
+    )
+    logratio = by_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(F.col("tgt_c") + 1)
+                - F.log(F.col("tgt_tot") + n_buckets)
+                - F.log(F.col("raw_c") + 1)
+                + F.log(F.col("raw_tot") + n_buckets)
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    return (
+        doc_buckets.join(F.broadcast(logratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lr_micro")).cast("bigint").alias("logw_micro"),
+        )
+    )
+
+
 # PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
 # the oracle engine) interpret identically: character classes, bounded
 # repetition, \b, \d — no backrefs, no lookaround. Order matters:

@@ -100,6 +100,66 @@ def kmv_distinct(
     )
 
 
+def countmin_topk(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    k: int = 40,
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005).
+
+    The reference reports exact per-store counts through its metadata
+    API (/root/reference/src/metrics.rs:1-40); at 10^12 tokens the
+    frequent-item question ("which tokens dominate the corpus?") is
+    answered with a d×w counter sketch instead, whose one-sided error
+    bound est ≥ exact (never under) and est ≤ exact + 2N/w w.h.p.
+
+    Portability: row r's bucket for token t is
+    ``hash52(r || ':' || t) % width`` — the md5-52bit trick, so DuckDB
+    rebuilds the identical sketch and the oracle checks values, not
+    just shapes.
+
+    Plan shape, and why it scales:
+    * Counters: ONE pass over the token stream, exploded ×depth (a
+      map-side constant), then groupBy (row, bucket) — partial
+      aggregation collapses everything to depth×width rows before the
+      shuffle. Sketch state is depth×width longs TOTAL, mergeable by
+      addition — the streaming/shardable shape.
+    * Estimation: candidate tokens (distinct) join the counter table
+      — depth×width rows, broadcast — and take min over rows. No
+      shuffle touches per-token counters.
+    * Output: top-k by estimated count with a deterministic (est
+      DESC, token) tiebreak, exact count joined alongside so the
+      sketch error is visible in the checked values.
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    tok = F.col(token_col)
+    bucket = (
+        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), tok)) % width
+    ).alias("bucket")
+    counters = (
+        tokens.select(tok.alias(token_col), rows)
+        .select(token_col, "r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+    exact = tokens.groupBy(tok.alias(token_col)).agg(
+        F.count("*").alias("exact_count")
+    )
+    est = (
+        exact.select(token_col, "exact_count", rows)
+        .select(token_col, "exact_count", "r", bucket)
+        .join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(token_col)
+        .agg(
+            F.min("counter").cast("bigint").alias("est_count"),
+            F.max("exact_count").cast("bigint").alias("exact_count"),
+        )
+    )
+    return est.orderBy(F.desc("est_count"), token_col).limit(k)
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,

@@ -1,0 +1,231 @@
+"""Bucketed range join (operators/ranges.py) and DSIR importance
+weights (functions/text.py::dsir_weights).
+
+Reference context: the range join generalizes the reference's
+checkout-by-timestamp binary search (/root/reference/src/git.rs:131-162)
+to event×interval volume; DSIR is the Xie et al. 2023 data-selection
+score a 100-TB crawl pipeline runs before training. All randomness is
+md5-derived — assertions are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.text import dsir_weights
+from rdf_diff_store_spark.operators.ranges import bucketed_range_join
+
+
+def _naive(ev, iv, key, ts, start, end):
+    cond = (
+        (F.col(f"e.{key}") == F.col(f"i.{key}"))
+        & (F.col(f"e.{ts}") >= F.col(f"i.{start}"))
+        & (F.col(f"e.{ts}") < F.col(f"i.{end}"))
+    )
+    cols = [f"e.{c}" for c in ev.columns] + [
+        f"i.{c}" for c in iv.columns if c != key
+    ]
+    return ev.alias("e").join(iv.alias("i"), cond).select(*cols)
+
+
+class TestBucketedRangeJoin:
+    def test_matches_naive_inequality_join(self, spark):
+        # md5-scattered timestamps and interval bounds; intervals span
+        # 0..3 buckets at width=100 — every explode shape exercised.
+        ev = spark.range(300).select(
+            F.col("id").alias("eid"),
+            (F.col("id") % 7).alias("k"),
+            (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 4), 16, 10)
+             .cast("long") % 1000).alias("ts"),
+        )
+        iv = spark.range(60).select(
+            F.col("id").alias("vid"),
+            (F.col("id") % 7).alias("k"),
+            (F.conv(F.substring(F.md5(F.concat(F.lit("s"), F.col("id"))), 1, 4), 16, 10)
+             .cast("long") % 900).alias("s"),
+        ).withColumn(
+            "e",
+            F.col("s")
+            + 1
+            + F.conv(
+                F.substring(F.md5(F.concat(F.lit("l"), F.col("vid"))), 1, 3), 16, 10
+            ).cast("long")
+            % 250,
+        )
+        got = bucketed_range_join(
+            ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_width=100,
+        )
+        want = _naive(ev, iv, "k", "ts", "s", "e")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        assert got.count() > 0  # non-vacuous
+
+    def test_boundary_semantics(self, spark):
+        # start inclusive, end exclusive — including when ts sits
+        # exactly on a bucket boundary shared with end.
+        ev = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 199), (3, 1, 200), (4, 1, 99)],
+            ["eid", "k", "ts"],
+        )
+        iv = spark.createDataFrame([(9, 1, 100, 200)], ["vid", "k", "s", "e"])
+        got = bucketed_range_join(
+            ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_width=100,
+        )
+        assert sorted(r.eid for r in got.collect()) == [1, 2]
+
+    def test_no_duplicate_pairs_across_buckets(self, spark):
+        # one interval spanning 5 buckets: each covered event matches
+        # exactly once (events carry a single bucket).
+        ev = spark.range(50).select(
+            F.col("id").alias("eid"), F.lit(1).alias("k"),
+            (F.col("id") * 10).alias("ts"),
+        )
+        iv = spark.createDataFrame([(9, 1, 0, 500)], ["vid", "k", "s", "e"])
+        got = bucketed_range_join(
+            ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_width=100,
+        )
+        assert got.count() == got.select("eid").distinct().count() == 50
+
+    def test_plan_is_equi_join_not_nested_loop(self, spark):
+        # the whole point: the physical plan must be a hash/sort-merge
+        # equi-join, never BroadcastNestedLoopJoin/CartesianProduct.
+        ev = spark.range(100).select(
+            F.col("id").alias("eid"), (F.col("id") % 5).alias("k"),
+            F.col("id").alias("ts"),
+        )
+        iv = spark.range(20).select(
+            F.col("id").alias("vid"), (F.col("id") % 5).alias("k"),
+            (F.col("id") * 3).alias("s"), (F.col("id") * 3 + 40).alias("e"),
+        )
+        plan = (
+            bucketed_range_join(
+                ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+                bucket_width=32,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestDsirWeights:
+    def _docs(self, spark):
+        # target dialect: 'alpha beta'; raw-only dialect: 'gamma delta'
+        rows = []
+        for i in range(20):
+            rows.append((f"t{i}", "en", "alpha beta alpha beta alpha"))
+        for i in range(20):
+            rows.append((f"r{i}", "xx", "gamma delta gamma delta gamma"))
+        rows.append(("mix", "xx", "alpha beta alpha beta alpha"))
+        return spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+
+    def test_target_like_docs_score_higher(self, spark):
+        docs = self._docs(spark)
+        got = {
+            r.doc_id: (r.n_tokens, r.logw_micro)
+            for r in dsir_weights(docs, F.col("lang") == "en").collect()
+        }
+        assert all(n == 5 for n, _ in got.values())
+        # every target-dialect doc outranks every raw-only-dialect doc
+        assert min(got[f"t{i}"][1] for i in range(20)) > max(
+            got[f"r{i}"][1] for i in range(20)
+        )
+        # the mixed doc scores identically to the target docs (same
+        # bucket profile), even though it is not in the target set —
+        # importance is about CONTENT, not membership
+        assert got["mix"][1] == got["t0"][1]
+
+    def test_score_is_sum_of_bucket_logratios(self, spark):
+        # within ONE corpus (one log-ratio table), a doc with doubled
+        # token counts scores exactly 2x a single-count doc — integer
+        # micro-logs make the linearity bit-exact
+        docs = self._docs(spark).unionAll(
+            self._docs(spark)
+            .filter(F.col("doc_id") == "mix")
+            .select(
+                F.lit("mix2").alias("doc_id"),
+                "lang",
+                F.concat(F.col("text"), F.lit(" "), F.col("text")).alias("text"),
+            )
+        )
+        got = {
+            r.doc_id: r.logw_micro
+            for r in dsir_weights(docs, F.col("lang") == "en").collect()
+        }
+        assert got["mix2"] == 2 * got["mix"]
+
+    def test_deterministic(self, spark):
+        docs = self._docs(spark)
+        a = sorted(map(tuple, dsir_weights(docs, F.col("lang") == "en").collect()))
+        b = sorted(map(tuple, dsir_weights(docs, F.col("lang") == "en").collect()))
+        assert a == b
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        from rdf_diff_store_spark.operators.ranges import asof_join
+
+        ev = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 25), (3, "a", 5), (4, "b", 100)],
+            ["eid", "k", "ts"],
+        )
+        q = spark.createDataFrame(
+            [("a", 10, "q10"), ("a", 20, "q20"), ("b", 200, "q200")],
+            ["k", "qts", "val"],
+        )
+        return asof_join, ev, q
+
+    def test_backward_inclusive_and_left_outer(self, spark):
+        asof_join, ev, q = self._frames(spark)
+        got = {
+            r.eid: r.val
+            for r in asof_join(
+                ev, q, key="k", ts_col="ts", quote_ts_col="qts"
+            ).collect()
+        }
+        # eid=1 ts=10 matches the EQUAL-ts quote (inclusive backward);
+        # eid=3 ts=5 precedes every quote -> NULL; eid=4 likewise
+        assert got == {1: "q10", 2: "q20", 3: None, 4: None}
+
+    def test_forward_direction(self, spark):
+        asof_join, ev, q = self._frames(spark)
+        got = {
+            r.eid: r.val
+            for r in asof_join(
+                ev, q, key="k", ts_col="ts", quote_ts_col="qts",
+                direction="forward",
+            ).collect()
+        }
+        assert got == {1: "q10", 2: None, 3: "q10", 4: "q200"}
+
+    def test_null_payload_quote_is_matched_not_skipped(self, spark):
+        # a quote whose payload is NULL must still win over an older
+        # non-null quote (the struct trick: ignorenulls skips event
+        # rows, never real quotes)
+        from rdf_diff_store_spark.operators.ranges import asof_join
+
+        ev = spark.createDataFrame([(1, "a", 30)], ["eid", "k", "ts"])
+        q = spark.createDataFrame(
+            [("a", 10, "old"), ("a", 20, None)], ["k", "qts", "val"]
+        )
+        rows = asof_join(
+            ev, q, key="k", ts_col="ts", quote_ts_col="qts",
+            matched_ts_alias="mts",
+        ).collect()
+        assert rows[0].val is None and rows[0].mts == 20
+
+    def test_plan_has_no_join_node(self, spark):
+        asof_join, ev, q = self._frames(spark)
+        plan = (
+            asof_join(ev, q, key="k", ts_col="ts", quote_ts_col="qts")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # union + one window, zero joins
+        assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from rdf_diff_store_spark.functions.text import pii_redact
 from rdf_diff_store_spark.operators.sketch import (
+    countmin_topk,
     hash52,
     kmv_distinct,
     priority_sample,
@@ -133,3 +134,57 @@ class TestPiiRedact:
             df.select(pii_redact(F.col("t"))).collect()[0][0]
             == "version 2 of 10 items"
         )
+
+
+class TestCountMinTopk:
+    def test_never_underestimates_and_orders(self, spark):
+        # 200 distinct tokens with zipf-ish exact counts; the CM bound
+        # is one-sided: est >= exact for EVERY token, and the output
+        # is (est DESC, token) ordered, k rows.
+        toks = spark.range(200).select(
+            F.explode(
+                F.array_repeat(
+                    F.concat(F.lit("t"), F.col("id")),
+                    (F.lit(201) - F.col("id")).cast("int"),
+                )
+            ).alias("tok")
+        )
+        rows = countmin_topk(toks, "tok", k=25, depth=3, width=256).collect()
+        assert len(rows) == 25
+        assert all(r.est_count >= r.exact_count for r in rows)
+        keys = [(-r.est_count, r.tok) for r in rows]
+        assert keys == sorted(keys)
+
+    def test_exact_when_sparse(self, spark):
+        # 5 tokens in a 3x256 sketch: collisions essentially impossible
+        # (deterministic md5 buckets — this either always holds or the
+        # bucket layout changed).
+        toks = spark.createDataFrame(
+            [("a",)] * 7 + [("b",)] * 5 + [("c",)] * 3 + [("d",)] * 2 + [("e",)],
+            ["tok"],
+        )
+        rows = countmin_topk(toks, "tok", k=5).collect()
+        assert [(r.tok, r.est_count, r.exact_count) for r in rows] == [
+            ("a", 7, 7),
+            ("b", 5, 5),
+            ("c", 3, 3),
+            ("d", 2, 2),
+            ("e", 1, 1),
+        ]
+
+    def test_heavy_hitter_survives_collisions(self, spark):
+        # one token with half the mass in a deliberately tight w=16
+        # sketch: overestimation happens, but the heavy hitter still
+        # ranks first and its estimate stays within est <= exact + N/w
+        # summed over colliders (loose sanity: est - exact < N).
+        n_noise = 400
+        heavy = spark.range(n_noise).select(F.lit("HEAVY").alias("tok"))
+        noise = spark.range(n_noise).select(
+            F.concat(F.lit("n"), F.col("id")).alias("tok")
+        )
+        rows = countmin_topk(
+            heavy.unionAll(noise), "tok", k=1, depth=3, width=16
+        ).collect()
+        assert rows[0].tok == "HEAVY"
+        assert rows[0].exact_count == n_noise
+        assert n_noise <= rows[0].est_count < 2 * n_noise
