@@ -5025,6 +5025,58 @@ FROM c ASOF LEFT JOIN p
 """
 
 
+def q_kg_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py::pagerank) over
+    the KG's entity edges (customer/supplier→nation, nation→region,
+    nation→nation chains) — entity importance for the graph the
+    reference stores as RDF (SURVEY.md §2B has only path queries;
+    ranking is the batch complement). Integer micro-unit arithmetic
+    (div, never float division) makes every rank a BIGINT sum of
+    identical integers in both engines — the oracle unrolls the same
+    5 iterations as chained CTEs and matches bit-exactly, with no
+    convergence-threshold nondeterminism. One join + one combinable
+    sum per iteration; lineage cut by eager checkpoints."""
+    from rdf_diff_store_spark.operators.graph import pagerank
+
+    t = triples_from_tpch(spark, sf_dir)
+    edges = t.filter(
+        F.col("pred").isin("inNation", "inRegion", "nextNation")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return pagerank(edges, iterations=5)
+
+
+def _pagerank_oracle(iterations: int = 5, damping: int = 85) -> str:
+    base = (1_000_000 * (100 - damping)) // 100
+    sql = [
+        f"""
+WITH triples AS ({_T}),
+edges0 AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM triples
+  WHERE pred IN ('inNation', 'inRegion', 'nextNation')),
+od AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+edges AS (SELECT e.src, e.dst, o.outdeg FROM edges0 e JOIN od o USING (src)),
+nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    ]
+    for k in range(iterations):
+        sql.append(
+            f""",
+pr{k + 1} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(c.in_micro, 0) AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((p.rank_micro * {damping}) // (100 * e.outdeg)) AS in_micro
+    FROM edges e JOIN pr{k} p ON p.node = e.src
+    GROUP BY e.dst) c USING (node))"""
+        )
+    sql.append(f"\nSELECT node, rank_micro FROM pr{iterations}")
+    return "".join(sql)
+
+
+_ORACLE_R4["kg_pagerank"] = _pagerank_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5117,6 +5169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "range_join_intervals": q_range_join_intervals,
         "asof_join_purchase": q_asof_join_purchase,
+        "kg_pagerank": q_kg_pagerank,
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
         "snapshot_at": q_snapshot_at,
         "sparql_path_plus": q_sparql_path_plus,

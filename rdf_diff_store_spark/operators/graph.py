@@ -234,3 +234,71 @@ def connected_components(
             "not approximate, if returned unconverged)"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank in exact integer micro-units.
+
+    Entity importance over the KG the reference stores as RDF graphs
+    (SURVEY.md §2B exposes only path queries; ranking the entities a
+    100-TB crawl links most is the batch-analytics complement). The
+    node set is every id appearing as ``src`` or ``dst``; each node
+    starts at 1,000,000 micro-units and iterates
+
+        r'(v) = base + Σ_{u→v} (r(u) · damping_pct) div (100 · outdeg(u))
+
+    with ``base = 1e6·(100−damping_pct) div 100`` and *integer* (div)
+    arithmetic throughout — every rank is a BIGINT sum of identical
+    integers in any engine, so a DuckDB oracle unrolling the same
+    ``iterations`` steps is bit-exact (no float summation order, no
+    convergence-threshold nondeterminism). Dangling-node mass is
+    dropped (the standard sink-truncation variant); ranks then need
+    no global normalization pass.
+
+    Plan shape at 10^10 edges: outdeg is computed ONCE and joined
+    onto the edge list before the loop; each iteration is exactly one
+    shuffle-hash join (ranks ⋈ edges on src) plus one map-side-
+    combinable sum on dst — hot dst nodes (celebrity entities) are
+    absorbed by partial aggregation, hot src fan-out splits under AQE
+    skew handling. `localCheckpoint` per iteration truncates lineage
+    (module docstring); the loop is a fixed, data-independent
+    constant, never a driver-side convergence poll.
+    """
+    base = (1_000_000 * (100 - damping_pct)) // 100
+    e = edges.select("src", "dst").distinct()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e = e.join(outdeg, "src").localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    ranks = nodes.withColumn("rank_micro", F.lit(1_000_000).cast("bigint"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(rank_micro * {damping_pct}) div (100 * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_micro"))
+        )
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.coalesce(F.col("in_micro"), F.lit(0)))
+                .cast("bigint")
+                .alias("rank_micro"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

@@ -229,3 +229,39 @@ class TestAsofJoin:
         )
         assert "Join" not in plan  # union + one window, zero joins
         assert plan.count("Exchange") <= 2  # window shuffle (+AQE read)
+
+
+class TestPagerank:
+    def test_two_cycle_is_a_fixed_point(self, spark):
+        # a<->b: contrib = (1e6*85) div 100 = 850000, +150000 base
+        # -> every iteration reproduces exactly 1,000,000
+        from rdf_diff_store_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+        got = {r.node: r.rank_micro for r in pagerank(e, iterations=3).collect()}
+        assert got == {"a": 1_000_000, "b": 1_000_000}
+
+    def test_star_center_dominates(self, spark):
+        from rdf_diff_store_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(
+            [(f"leaf{i}", "hub") for i in range(10)], ["src", "dst"]
+        )
+        got = {r.node: r.rank_micro for r in pagerank(e, iterations=5).collect()}
+        assert got["hub"] > got["leaf0"]
+        # dangling hub drops its mass; leaves get base only
+        assert all(got[f"leaf{i}"] == 150_000 for i in range(10))
+        # hub = base + 10 * (150000*85 div 100) after convergence
+        assert got["hub"] == 150_000 + 10 * ((150_000 * 85) // 100)
+
+    def test_deterministic_bigint(self, spark):
+        from rdf_diff_store_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(
+            [(str(i % 7), str((i * 3 + 1) % 7)) for i in range(20)],
+            ["src", "dst"],
+        )
+        a = sorted(map(tuple, pagerank(e).collect()))
+        b = sorted(map(tuple, pagerank(e).collect()))
+        assert a == b
+        assert all(isinstance(r, int) for _, r in a)
