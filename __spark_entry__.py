@@ -5077,6 +5077,39 @@ pr{k + 1} AS (
 _ORACLE_R4["kg_pagerank"] = _pagerank_oracle()
 
 
+def q_bucketed_snapshot(spark, sf_dir):
+    """Snapshot over BUCKETED changelog storage (sources/
+    bucketed_store.py): the changelog is persisted bucketed+sorted by
+    graph_id, so the latest-wins snapshot aggregation — and every
+    other graph_id-keyed read (as-of diff self-joins, compaction) —
+    runs with ZERO Exchange nodes (asserted by explain_audit check 7
+    and tests/test_bucketed_store.py). This is the Spark-native
+    analogue of the reference keeping each graph's whole history
+    inside one git repo (/root/reference/src/git.rs:60-162): storage
+    layout = access path, so snapshot reads move no data. Results are
+    identical to the unbucketed `snapshot_at` — same oracle SQL —
+    only the physical plan differs."""
+    import re as _re
+
+    from rdf_diff_store_spark.sources.bucketed_store import (
+        read_bucketed_changelog,
+        write_bucketed_changelog,
+    )
+
+    suffix = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    write_bucketed_changelog(
+        changelog_from_events(spark, sf_dir),
+        f"changelog_bucketed_{suffix}",
+        f"/tmp/spark_graft_bucketed_{suffix}",
+        n_buckets=16,
+    )
+    t = read_bucketed_changelog(spark, f"changelog_bucketed_{suffix}")
+    return snapshot_at(t, T_MID).select("graph_id", "payload", "content_hash")
+
+
+_ORACLE_R4["bucketed_snapshot"] = _snapshot_sql(T_MID)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5170,6 +5203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_intervals": q_range_join_intervals,
         "asof_join_purchase": q_asof_join_purchase,
         "kg_pagerank": q_kg_pagerank,
+        "bucketed_snapshot": q_bucketed_snapshot,
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
         "snapshot_at": q_snapshot_at,
         "sparql_path_plus": q_sparql_path_plus,

@@ -278,12 +278,13 @@ def dsir_weights(
     score is an exact BIGINT sum of identical integers in both
     engines, immune to float summation order.
 
-    Plan shape at 10^12 docs: one token explode feeding (a) the
-    per-(doc,bucket) counts — map-side combinable, the only big
-    shuffle — and (b) two n_buckets-row aggregates. The log-ratio
-    table is n_buckets rows and BROADCAST onto the doc-bucket counts;
-    nothing else is joined. Scoring is one more map-side-combinable
-    aggregation on id_col.
+    Plan shape at 10^12 docs: ONE token explode feeding ONE
+    per-(doc,bucket) count — map-side combinable, the only big
+    shuffle; the two bucket distributions then derive from those
+    counts (an n_buckets-row aggregate — the corpus is never scanned
+    twice). The log-ratio table is n_buckets rows and BROADCAST onto
+    the doc-bucket counts; nothing else is joined. Scoring is one
+    more map-side-combinable aggregation on id_col.
     """
     from pyspark.sql import functions as F  # noqa: PLC0415
 
@@ -295,11 +296,16 @@ def dsir_weights(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
     ).select(id_col, "_is_target", (hash52(F.col("tok")) % n_buckets).alias("bucket"))
 
-    doc_buckets = toks.groupBy(id_col, "bucket").agg(F.count("*").alias("c"))
+    # _is_target is functionally dependent on id_col, so grouping by
+    # both keeps (doc, bucket) grain while letting the distribution
+    # aggregates derive from these counts instead of a second scan
+    doc_buckets = toks.groupBy(id_col, "_is_target", "bucket").agg(
+        F.count("*").alias("c")
+    )
 
-    by_bucket = toks.groupBy("bucket").agg(
-        F.count("*").alias("raw_c"),
-        F.sum(F.col("_is_target").cast("long")).alias("tgt_c"),
+    by_bucket = doc_buckets.groupBy("bucket").agg(
+        F.sum("c").alias("raw_c"),
+        F.sum(F.when(F.col("_is_target"), F.col("c")).otherwise(0)).alias("tgt_c"),
     )
     totals = by_bucket.agg(
         F.sum("raw_c").alias("raw_tot"), F.sum("tgt_c").alias("tgt_tot")

@@ -121,10 +121,13 @@ def countmin_topk(
     just shapes.
 
     Plan shape, and why it scales:
-    * Counters: ONE pass over the token stream, exploded ×depth (a
-      map-side constant), then groupBy (row, bucket) — partial
-      aggregation collapses everything to depth×width rows before the
-      shuffle. Sketch state is depth×width longs TOTAL, mergeable by
+    * ONE pass over the token stream (the per-token counts), from
+      which the counters derive by a |vocab|-row aggregation —
+      the corpus is never scanned twice. In a sketch-only deployment
+      (exact column dropped), build the counters straight from the
+      stream: explode ×depth, groupBy (row, bucket), map-side partial
+      agg collapses to depth×width rows before the shuffle. Either
+      way sketch state is depth×width longs TOTAL, mergeable by
       addition — the streaming/shardable shape.
     * Estimation: candidate tokens (distinct) join the counter table
       — depth×width rows, broadcast — and take min over rows. No
@@ -138,14 +141,18 @@ def countmin_topk(
     bucket = (
         hash52(F.concat(F.col("r").cast("string"), F.lit(":"), tok)) % width
     ).alias("bucket")
-    counters = (
-        tokens.select(tok.alias(token_col), rows)
-        .select(token_col, "r", bucket)
-        .groupBy("r", "bucket")
-        .agg(F.count("*").alias("counter"))
-    )
+    # ONE scan of the token stream: the counter table derives from the
+    # per-token counts (sum of counts landing in a bucket ≡ counting
+    # the raw rows there), so the second aggregation runs over |vocab|
+    # rows, never re-reading the corpus.
     exact = tokens.groupBy(tok.alias(token_col)).agg(
         F.count("*").alias("exact_count")
+    )
+    counters = (
+        exact.select(token_col, "exact_count", rows)
+        .select("exact_count", "r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.sum("exact_count").alias("counter"))
     )
     est = (
         exact.select(token_col, "exact_count", rows)

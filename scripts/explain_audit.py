@@ -269,6 +269,57 @@ def main() -> None:
         ("diff reuses dual-state exchange", "ReusedExchange" in executed, "executed plan")
     )
 
+    # 7. bucketed changelog storage: the graph_id-keyed reads are
+    # EXCHANGE-FREE — the whole point of paying the bucketed write
+    # (sources/bucketed_store.py). Broadcast is disabled for the
+    # self-join leg to force the merge path a 100-TB side would take.
+    from rdf_diff_store_spark.sources.bucketed_store import (
+        read_bucketed_changelog,
+        write_bucketed_changelog,
+    )
+
+    bdir = tempfile.mkdtemp(prefix="audit_bucketed_")
+    write_bucketed_changelog(
+        changelog_from_events(spark, sf_dir), "audit_chg_b", bdir + "/tbl", 8
+    )
+    tb = read_bucketed_changelog(spark, "audit_chg_b")
+    p_bsnap = (
+        snapshot_at(tb, "2024-01-10 00:00:00")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    checks.append(
+        (
+            "bucketed snapshot is exchange-free",
+            "Exchange" not in p_bsnap and "Bucketed: true" in p_bsnap,
+            "bucket-aligned aggregation",
+        )
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        b1 = snapshot_at(tb, "2024-01-10 00:00:00").select(
+            "graph_id", "content_hash"
+        )
+        b2 = snapshot_at(tb, "2024-01-20 00:00:00").select(
+            "graph_id", F.col("content_hash").alias("h2")
+        )
+        p_bjoin = (
+            b1.join(b2, "graph_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    checks.append(
+        (
+            "bucketed as-of self-join is exchange-free",
+            "Exchange" not in p_bjoin,
+            "diff of two as-of states, merge path, zero shuffles",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
