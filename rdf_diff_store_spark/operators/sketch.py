@@ -167,6 +167,68 @@ def countmin_topk(
     return est.orderBy(F.desc("est_count"), token_col).limit(k)
 
 
+def countmin_counters(
+    tokens: DataFrame,
+    token_col: str = "tok",
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """The raw d×w counter table for one shard / micro-batch — built
+    straight from the stream in one map-side-combinable pass (explode
+    ×depth is a constant; partial agg collapses to ≤ depth×width rows
+    per partition before the shuffle). Combine shards with
+    ``countmin_merge`` — the sketch is additive, so incremental /
+    streaming maintenance is `old + batch`, never a recount."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    bucket = (
+        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), F.col(token_col)))
+        % width
+    ).alias("bucket")
+    return (
+        tokens.select(F.col(token_col), rows)
+        .select("r", bucket)
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("counter"))
+    )
+
+
+def countmin_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge shard/batch sketches by addition — exact: the merged
+    table is bit-identical to a sketch built over the concatenated
+    input (pytest-pinned). depth×width rows in, depth×width out."""
+    merged = counter_tables[0]
+    for t in counter_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy("r", "bucket").agg(
+        F.sum("counter").alias("counter")
+    )
+
+
+def countmin_estimate(
+    counters: DataFrame,
+    candidates: DataFrame,
+    token_col: str = "tok",
+    depth: int = 3,
+    width: int = 256,
+) -> DataFrame:
+    """Point estimates for ``candidates`` (a frame of distinct tokens)
+    against a counter table: min over the depth rows, one-sided
+    (est ≥ exact always). The counter table is depth×width rows and
+    broadcast — estimation never shuffles it."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    bucket = (
+        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), F.col(token_col)))
+        % width
+    ).alias("bucket")
+    return (
+        candidates.select(F.col(token_col), rows)
+        .select(token_col, "r", bucket)
+        .join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy(token_col)
+        .agg(F.min("counter").cast("bigint").alias("est_count"))
+    )
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,

@@ -188,3 +188,50 @@ class TestCountMinTopk:
         assert rows[0].tok == "HEAVY"
         assert rows[0].exact_count == n_noise
         assert n_noise <= rows[0].est_count < 2 * n_noise
+
+
+class TestCountMinMerge:
+    def _toks(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), (F.col("id") % 37)).alias("tok")
+        )
+
+    def test_shard_merge_equals_whole(self, spark):
+        from rdf_diff_store_spark.operators.sketch import (
+            countmin_counters,
+            countmin_merge,
+        )
+
+        whole = countmin_counters(self._toks(spark, 0, 500))
+        merged = countmin_merge(
+            countmin_counters(self._toks(spark, 0, 200)),
+            countmin_counters(self._toks(spark, 200, 350)),
+            countmin_counters(self._toks(spark, 350, 500)),
+        )
+        assert sorted(map(tuple, whole.collect())) == sorted(
+            map(tuple, merged.collect())
+        )
+
+    def test_estimate_over_merged_matches_topk(self, spark):
+        from rdf_diff_store_spark.operators.sketch import (
+            countmin_counters,
+            countmin_estimate,
+            countmin_merge,
+        )
+
+        toks = self._toks(spark, 0, 500)
+        merged = countmin_merge(
+            countmin_counters(self._toks(spark, 0, 250)),
+            countmin_counters(self._toks(spark, 250, 500)),
+        )
+        est = {
+            r.tok: r.est_count
+            for r in countmin_estimate(
+                merged, toks.distinct(), "tok"
+            ).collect()
+        }
+        want = {
+            r.tok: r.est_count
+            for r in countmin_topk(toks, "tok", k=37).collect()
+        }
+        assert est == want
