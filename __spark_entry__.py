@@ -5123,9 +5123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     USING clauses, EBV filter coercion, near-dup clustering, sequence
     packing, Gopher rules, mixture sampling, KMV distinct sketch,
     priority sampling, PII redaction, duplicated-span detection, CCNet
-    perplexity buckets), and re-verification rows for code paths this
-    round touched (sparql_text filter/BIND compilation, MinHash
-    signatures, the mention-quads shuffle, similarity re-rank).
+    perplexity buckets), and the six session-6 additions (count-min
+    heavy hitters, DSIR weights, range/as-of joins, PageRank, bucketed
+    storage — they took the slots of six re-verification rows that are
+    driver-green in r01-r03 and stay value-checked locally each round).
     With r04 every registry entry has a driver row across r01..r04.
     All entries are value-checked every round by
     scripts/check_oracle.py at two scale factors."""
@@ -5180,30 +5181,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_kmv_distinct": q_corpus_kmv_distinct,
         "doc_priority_sample": q_doc_priority_sample,
         "doc_pii_redact": q_doc_pii_redact,
-        # -- re-verification of rows whose code paths changed in r04
-        #    (MinHash signatures, mention-quads shuffle, _compile_expr
-        #    filter/BIND compilation, similarity re-rank) -------------
         "sparql_text_strlang_dyn": q_sparql_text_strlang_dyn,
-        "sparql_text_bind_values": q_sparql_text_bind_values,
-        "sparql_text_exists": q_sparql_text_exists,
-        "embedding_near_dup": q_embedding_near_dup,
-        "kg_pipeline": q_kg_pipeline,
-        "diff_triples": q_diff_triples,
-        "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        # -- session-5 additions (duplicated-span detection, CCNet
-        #    perplexity buckets) — first driver rows -------------------
+        # -- session-5/6 additions (duplicated-span detection, CCNet
+        #    perplexity buckets, count-min heavy hitters, DSIR data
+        #    selection, range/as-of joins, PageRank, bucketed storage)
+        #    — first driver rows ---------------------------------------
         "doc_shared_spans": q_doc_shared_spans,
         "doc_ppl_buckets": q_doc_ppl_buckets,
-        # ================= end of the 50-row driver window ===========
-        # -- session-6 additions (count-min heavy hitters, DSIR data
-        #    selection, bucketed range join) — local-oracle evidence
-        #    this round, r05 window candidates ------------------------
         "corpus_countmin_topk": q_corpus_countmin_topk,
         "doc_dsir_weights": q_doc_dsir_weights,
         "range_join_intervals": q_range_join_intervals,
         "asof_join_purchase": q_asof_join_purchase,
         "kg_pagerank": q_kg_pagerank,
         "bucketed_snapshot": q_bucketed_snapshot,
+        # ================= end of the 50-row driver window ===========
+        # -- re-verification rows for code paths r04 touched: all six
+        #    were driver-green in r01-r03 and stay value-checked at two
+        #    SFs by check_oracle.py every round; they ceded their
+        #    window slots to the session-6 first-evidence rows ---------
+        "sparql_text_bind_values": q_sparql_text_bind_values,
+        "sparql_text_exists": q_sparql_text_exists,
+        "embedding_near_dup": q_embedding_near_dup,
+        "kg_pipeline": q_kg_pipeline,
+        "diff_triples": q_diff_triples,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
         # -- driver-green in r01|r02|r03 (re-checked locally each run) -
         "snapshot_at": q_snapshot_at,
         "sparql_path_plus": q_sparql_path_plus,
