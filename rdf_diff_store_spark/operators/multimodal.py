@@ -289,6 +289,77 @@ def image_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     return out
 
 
+def resize_png(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a PNG payload: real decode →
+    integer-index resample (src = (dst·src_dim) div dst_dim, exact
+    integer arithmetic, so results are bit-reproducible everywhere) →
+    re-encode. Pure stdlib+numpy; the sandbox stand-in for a
+    Pillow/torchvision transform with the identical batch plumbing."""
+    import numpy as np  # noqa: PLC0415
+
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError(f"bad target size {out_w}x{out_h}")
+    w, h, pix = decode_png(payload)
+    bpp = len(pix) // (w * h)
+    arr = np.frombuffer(pix, dtype=np.uint8).reshape(h, w, bpp)
+    iy = (np.arange(out_h) * h) // out_h
+    ix = (np.arange(out_w) * w) // out_w
+    out = arr[np.ix_(iy, ix)]
+    ctype = {1: 0, 3: 2, 4: 6}[bpp]
+    return encode_png(out_w, out_h, out.tobytes(), ctype)
+
+
+def image_resize(
+    media: DataFrame, out_w: int, out_h: int, batch_rows: int = 64
+) -> DataFrame:
+    """Distributed image resize via mapInPandas — the third leg of the
+    decode / feature-extract / RESIZE / frame-sample multimodal set.
+    Output: (media_id, width, height, payload) with payload the
+    re-encoded PNG. Same Arrow-batch cap discipline as image_features
+    (fat payloads can't blow a batch); map-only, no shuffle — resize
+    of 10^10 images is embarrassingly parallel and the only knob that
+    matters is batch_rows × payload size vs executor memory."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                payload = bytes(payload)
+                if payload[:8] != PNG_SIGNATURE:
+                    continue  # non-PNG media: no real codec in sandbox
+                ids.append(mid)
+                outs.append(resize_png(payload, out_w, out_h))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": [out_w] * len(ids),
+                    "height": [out_h] * len(ids),
+                    "payload": outs,
+                }
+            )
+
+    spark = media.sparkSession
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows))
+    try:
+        out = (
+            media.filter(F.col("kind") == "image")
+            .select("media_id", "payload")
+            .mapInPandas(
+                _resize, "media_id long, width int, height int, payload binary"
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+        else:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    return out
+
+
 def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
     """Decode + feature-extract PCM16 WAV audio via mapInPandas:
     (media_id, sample_rate, n_samples, duration_ms, rms). RMS is

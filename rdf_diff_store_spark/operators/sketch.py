@@ -2,7 +2,7 @@
 statistics at 100 TB.
 
 The reference exposes repo/graph statistics through its metadata API
-(/root/reference/src/metrics.rs:1-40 counts stores and graphs
+(/root/reference/src/metrics/mod.rs:1-40 counts stores and graphs
 exactly); at web scale exact distinct counts and uniform samples stop
 being computable in one pass, so this module adds the two standard
 sub-linear substitutes a training-data pipeline runs instead:
@@ -110,7 +110,7 @@ def countmin_topk(
     """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005).
 
     The reference reports exact per-store counts through its metadata
-    API (/root/reference/src/metrics.rs:1-40); at 10^12 tokens the
+    API (/root/reference/src/metrics/mod.rs:1-40); at 10^12 tokens the
     frequent-item question ("which tokens dominate the corpus?") is
     answered with a d×w counter sketch instead, whose one-sided error
     bound est ≥ exact (never under) and est ≤ exact + 2N/w w.h.p.

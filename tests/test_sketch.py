@@ -2,7 +2,7 @@
 PII scrub (functions/text.py::pii_redact).
 
 Reference context: the reference reports exact store/graph counts
-through its metadata surface (/root/reference/src/metrics.rs:1-40);
+through its metadata surface (/root/reference/src/metrics/mod.rs:1-40);
 at web scale these operators are the sub-linear substitutes. All
 randomness is md5-derived, so every assertion here is deterministic —
 reruns must produce byte-identical results (pinned below).

@@ -328,3 +328,35 @@ class TestRealWavDecode:
             assert (r.sample_rate, r.n_samples) == (8000, n)
             assert r.duration_ms == n * 1000 // 8000
             assert abs(r.rms - math.sqrt(sum(s * s for s in samples) / n)) < 1e-9
+
+
+class TestImageResizeOp:
+    def test_resize_then_features_reports_target_dims(self, spark):
+        from rdf_diff_store_spark.operators.multimodal import (
+            image_features,
+            image_resize,
+            synthetic_png_media,
+        )
+
+        media = synthetic_png_media(spark, 12)
+        resized = image_resize(media, 6, 4, batch_rows=5)
+        rows = resized.collect()
+        assert len(rows) == 12
+        assert all(r.width == 6 and r.height == 4 for r in rows)
+        # re-encoded payloads are REAL PNGs: the feature op decodes them
+        feats = image_features(
+            resized.selectExpr("media_id", "payload", "'image' AS kind")
+        ).collect()
+        assert len(feats) == 12
+        assert all(f.dec_width == 6 and f.dec_height == 4 for f in feats)
+
+    def test_resize_deterministic(self, spark):
+        from rdf_diff_store_spark.operators.multimodal import (
+            image_resize,
+            synthetic_png_media,
+        )
+
+        media = synthetic_png_media(spark, 8)
+        a = sorted((r.media_id, bytes(r.payload)) for r in image_resize(media, 3, 3).collect())
+        b = sorted((r.media_id, bytes(r.payload)) for r in image_resize(media, 3, 3).collect())
+        assert a == b
