@@ -5089,6 +5089,7 @@ def q_bucketed_snapshot(spark, sf_dir):
     layout = access path, so snapshot reads move no data. Results are
     identical to the unbucketed `snapshot_at` — same oracle SQL —
     only the physical plan differs."""
+    import os as _os
     import re as _re
 
     from rdf_diff_store_spark.sources.bucketed_store import (
@@ -5096,7 +5097,11 @@ def q_bucketed_snapshot(spark, sf_dir):
         write_bucketed_changelog,
     )
 
+    # pid in the path/table: two concurrent harnesses value-checking
+    # the same sf_dir must not overwrite each other's live table files
+    # (repeat calls within ONE process still reuse + overwrite cleanly)
     suffix = _re.sub(r"\W", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    suffix = f"{suffix}_{_os.getpid()}"
     write_bucketed_changelog(
         changelog_from_events(spark, sf_dir),
         f"changelog_bucketed_{suffix}",

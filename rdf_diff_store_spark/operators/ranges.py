@@ -42,15 +42,30 @@ def bucketed_range_join(
     ``key`` equality AND start <= ts < end, as an equi-join on
     (key, time-bucket). All three time columns must share one unit
     (e.g. epoch micros). Returns events columns + intervals columns
-    (minus the duplicated key)."""
+    (minus the duplicated key). Malformed intervals with
+    ``end <= start`` match nothing (same as the inequality predicate)
+    instead of exploding a descending bucket sequence."""
+    clash = (set(events.columns) & set(intervals.columns)) - {key}
+    if clash:
+        raise ValueError(
+            f"events/intervals share non-key columns {clash}: rename one "
+            "side or the output would carry ambiguous duplicates"
+        )
+    for df, side in ((events, "events"), (intervals, "intervals")):
+        if "_bucket" in df.columns:
+            raise ValueError(f"{side} already has a _bucket column")
 
     def b(c: Column) -> Column:
         return F.floor(c / F.lit(bucket_width)).cast("long")
 
     ev = events.withColumn("_bucket", b(F.col(ts_col)))
     # end is exclusive: an interval touching only the boundary of the
-    # next bucket must not be exploded into it, hence end-1
-    iv = intervals.withColumn(
+    # next bucket must not be exploded into it, hence end-1. The
+    # end > start filter keeps F.sequence ascending — a corrupt row
+    # with end << start would otherwise generate a gap-sized DESCENDING
+    # array (up to the 2^31 array limit) where the plain inequality
+    # join would simply match nothing.
+    iv = intervals.filter(F.col(end_col) > F.col(start_col)).withColumn(
         "_bucket",
         F.explode(F.sequence(b(F.col(start_col)), b(F.col(end_col) - 1))),
     )
@@ -128,7 +143,11 @@ def asof_join(
             quotes.select(q_struct.alias("q")).schema["q"].dataType
         ).alias("_q"),
     )
-    q_side = quotes.select(
+    # SQL comparison with NULL is never true, so a NULL-timestamp
+    # quote can match nothing — drop it here; under asc NULLS FIRST it
+    # would otherwise sort before every event and become the running
+    # "latest" match (DuckDB ASOF JOIN excludes it too).
+    q_side = quotes.filter(F.col(qts).isNotNull()).select(
         F.col(key),
         F.col(qts).alias("_ts"),
         F.lit(0).alias("_side"),
@@ -152,7 +171,14 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = F.last("_q", ignorenulls=True).over(w)
+    # events with NULL ts never match either (comparison with NULL is
+    # never true): under backward's asc NULLS FIRST ordering they sort
+    # before every quote and get NULL naturally, but forward's desc
+    # puts NULLS LAST where the running value is populated — the guard
+    # makes both directions return NULL payloads.
+    matched = F.when(
+        F.col("_ts").isNotNull(), F.last("_q", ignorenulls=True).over(w)
+    )
     out = [F.col(key)] + [F.col(c) for c in ev_only]
     out += [matched.getField(c).alias(c) for c in payload]
     if matched_ts_alias:

@@ -100,6 +100,21 @@ def kmv_distinct(
     )
 
 
+def _cm_rows_bucket(token_col: str, depth: int, width: int):
+    """THE count-min hash recipe — row r's bucket for token t is
+    hash52(r || ':' || t) % width. Single definition on purpose:
+    countmin_topk / countmin_counters / countmin_estimate (and the
+    DuckDB oracle twin) are only sketch-compatible while they hash
+    identically — a drifted copy would make merge/estimate silently
+    return wrong numbers. Returns (row-explode col, bucket col)."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
+    bucket = (
+        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), F.col(token_col)))
+        % width
+    ).alias("bucket")
+    return rows, bucket
+
+
 def countmin_topk(
     tokens: DataFrame,
     token_col: str = "tok",
@@ -136,16 +151,12 @@ def countmin_topk(
       DESC, token) tiebreak, exact count joined alongside so the
       sketch error is visible in the checked values.
     """
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    tok = F.col(token_col)
-    bucket = (
-        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), tok)) % width
-    ).alias("bucket")
+    rows, bucket = _cm_rows_bucket(token_col, depth, width)
     # ONE scan of the token stream: the counter table derives from the
     # per-token counts (sum of counts landing in a bucket ≡ counting
     # the raw rows there), so the second aggregation runs over |vocab|
     # rows, never re-reading the corpus.
-    exact = tokens.groupBy(tok.alias(token_col)).agg(
+    exact = tokens.groupBy(token_col).agg(
         F.count("*").alias("exact_count")
     )
     counters = (
@@ -179,11 +190,7 @@ def countmin_counters(
     per partition before the shuffle). Combine shards with
     ``countmin_merge`` — the sketch is additive, so incremental /
     streaming maintenance is `old + batch`, never a recount."""
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    bucket = (
-        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), F.col(token_col)))
-        % width
-    ).alias("bucket")
+    rows, bucket = _cm_rows_bucket(token_col, depth, width)
     return (
         tokens.select(F.col(token_col), rows)
         .select("r", bucket)
@@ -215,11 +222,7 @@ def countmin_estimate(
     against a counter table: min over the depth rows, one-sided
     (est ≥ exact always). The counter table is depth×width rows and
     broadcast — estimation never shuffles it."""
-    rows = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r")
-    bucket = (
-        hash52(F.concat(F.col("r").cast("string"), F.lit(":"), F.col(token_col)))
-        % width
-    ).alias("bucket")
+    rows, bucket = _cm_rows_bucket(token_col, depth, width)
     return (
         candidates.select(F.col(token_col), rows)
         .select(token_col, "r", bucket)

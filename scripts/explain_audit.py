@@ -296,6 +296,9 @@ def main() -> None:
             "bucket-aligned aggregation",
         )
     )
+    # save/RESTORE, never unset — session.py pins a builder-level
+    # 64 MiB threshold that unset() would drop to the 10 MB default
+    prev_abj = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         b1 = snapshot_at(tb, "2024-01-10 00:00:00").select(
@@ -311,7 +314,7 @@ def main() -> None:
             .toString()
         )
     finally:
-        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_abj)
     checks.append(
         (
             "bucketed as-of self-join is exchange-free",

@@ -58,6 +58,11 @@ class TestBucketedStore:
         # the diff of two as-of states: with broadcast off (the shape
         # a 100-TB side forces), the whole plan must have no Exchange
         # — both aggregations AND the join ride the bucket layout.
+        # save/RESTORE (never unset): session.py pins a builder-level
+        # 64 MiB threshold that unset() would silently drop back to
+        # Spark's 10 MB ConfigEntry default for every later test in
+        # the session-scoped fixture
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             s1 = snapshot_at(bucketed, T1).select("graph_id", "content_hash")
@@ -68,7 +73,7 @@ class TestBucketedStore:
             assert "Exchange" not in _executed(j)
             assert j.count() > 0
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
     def test_reread_after_catalog_loss(self, spark, bucketed, tmp_path):
         # a fresh catalog (new session) re-registers by re-writing to

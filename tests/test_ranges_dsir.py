@@ -10,6 +10,7 @@ md5-derived — assertions are deterministic.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from rdf_diff_store_spark.functions.text import dsir_weights
@@ -265,3 +266,50 @@ class TestPagerank:
         b = sorted(map(tuple, pagerank(e).collect()))
         assert a == b
         assert all(isinstance(r, int) for _, r in a)
+
+
+class TestRangeAsofNullAndMalformed:
+    def test_malformed_interval_matches_nothing(self, spark):
+        # end <= start: the inequality predicate can never hold; the
+        # bucket explode must not generate a descending sequence
+        ev = spark.createDataFrame([(1, 1, 50)], ["eid", "k", "ts"])
+        iv = spark.createDataFrame(
+            [(9, 1, 1_700_000_000_000_000, 0), (8, 1, 40, 40), (7, 1, 40, 60)],
+            ["vid", "k", "s", "e"],
+        )
+        got = bucketed_range_join(
+            ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+            bucket_width=100,
+        ).collect()
+        assert [(r.eid, r.vid) for r in got] == [(1, 7)]
+
+    def test_range_join_rejects_column_clash(self, spark):
+        ev = spark.createDataFrame([(1, 1, 5)], ["eid", "k", "ts"])
+        iv = spark.createDataFrame([(9, 1, 0, 10, 3)], ["vid", "k", "s", "e", "ts"])
+        with pytest.raises(ValueError, match="share non-key columns"):
+            bucketed_range_join(
+                ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+                bucket_width=100,
+            )
+
+    def test_asof_null_timestamps_never_match(self, spark):
+        from rdf_diff_store_spark.operators.ranges import asof_join
+
+        ev = spark.createDataFrame(
+            [(1, "a", 30), (2, "a", None)], ["eid", "k", "ts"]
+        )
+        q = spark.createDataFrame(
+            [("a", None, "bogus"), ("a", 10, "real")], ["k", "qts", "val"]
+        )
+        for direction, want in (
+            ("backward", {1: "real", 2: None}),
+            ("forward", {1: None, 2: None}),
+        ):
+            got = {
+                r.eid: r.val
+                for r in asof_join(
+                    ev, q, key="k", ts_col="ts", quote_ts_col="qts",
+                    direction=direction,
+                ).collect()
+            }
+            assert got == want, direction

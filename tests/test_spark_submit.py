@@ -9,7 +9,6 @@ from __future__ import annotations
 
 import glob
 import os
-import shutil
 import subprocess
 import sys
 
@@ -115,6 +114,6 @@ class TestSparkSubmit:
             assert os.path.relpath(src, REPO) in names
 
 
-def teardown_module(module):  # keep /tmp tidy on repeated local runs
-    for d in glob.glob("/tmp/pytest-of-*/pytest-*/submit*"):
-        shutil.rmtree(d, ignore_errors=True)
+# no teardown: pytest's tmp_path_factory retention (last 3 runs)
+# bounds the dirs, and a glob over /tmp/pytest-of-* would rm-rf a
+# CONCURRENT chunk's live fixture dirs (the suite runs in chunks)
