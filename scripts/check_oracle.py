@@ -118,9 +118,11 @@ def main():
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failed = []
+    n_checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_checked += 1
         if name not in oracles:
             print(f"{name}: NO-ORACLE (rows-only)", flush=True)
             try:
@@ -141,7 +143,9 @@ def main():
                 print(f"  {p}")
         else:
             print(f"{name}: PASS", flush=True)
-    print(f"\n{len(qs) - len(failed)}/{len(qs)} pass")
+    # tally counts CHECKED queries only — with a name filter the old
+    # len(qs) denominator printed "158/158 pass" after checking three
+    print(f"\n{n_checked - len(failed)}/{n_checked} pass")
     sys.exit(1 if failed else 0)
 
 

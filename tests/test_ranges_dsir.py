@@ -14,7 +14,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from rdf_diff_store_spark.functions.text import dsir_weights
-from rdf_diff_store_spark.operators.ranges import bucketed_range_join
+from rdf_diff_store_spark.operators.ranges import asof_join, bucketed_range_join
 
 
 def _naive(ev, iv, key, ts, start, end):
@@ -313,3 +313,87 @@ class TestRangeAsofNullAndMalformed:
                 ).collect()
             }
             assert got == want, direction
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_EV = st.lists(
+    st.tuples(st.integers(0, 3), st.one_of(st.none(), st.integers(0, 300))),
+    min_size=1,
+    max_size=30,
+)
+_IV = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.one_of(st.none(), st.integers(0, 300)),
+        st.integers(-50, 350),
+    ),
+    min_size=0,
+    max_size=15,
+)
+
+
+class TestTemporalJoinProperties:
+    """Model-based: random keys/timestamps (including NULLs and
+    malformed intervals) — the operators must agree with a per-row
+    Python reference implementing the SQL predicate semantics."""
+
+    @settings(max_examples=10, deadline=None)
+    @given(_EV, _IV)
+    def test_range_join_matches_python_model(self, spark, ev_rows, iv_rows):
+        ev = spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(ev_rows)],
+            "eid int, k int, ts int",
+        )
+        iv = spark.createDataFrame(
+            [(100 + j, k, s, e) for j, (k, s, e) in enumerate(iv_rows)],
+            "vid int, k int, s int, e int",
+        )
+        got = sorted(
+            (r.eid, r.vid)
+            for r in bucketed_range_join(
+                ev, iv, key="k", ts_col="ts", start_col="s", end_col="e",
+                bucket_width=64,
+            ).collect()
+        )
+        want = sorted(
+            (i, 100 + j)
+            for i, (k, ts) in enumerate(ev_rows)
+            for j, (k2, s, e) in enumerate(iv_rows)
+            if k == k2 and ts is not None and s is not None and s <= ts < e
+        )
+        assert got == want
+
+    @settings(max_examples=10, deadline=None)
+    @given(_EV, _IV)
+    def test_asof_matches_python_model(self, spark, ev_rows, iv_rows):
+        # reuse the interval strategy's (k, ts) pairs as quotes; make
+        # quotes unique per (k, ts) as the docstring requires
+        seen, q_rows = set(), []
+        for j, (k, qts, _) in enumerate(iv_rows):
+            if (k, qts) not in seen:
+                seen.add((k, qts))
+                q_rows.append((k, qts, f"q{j}"))
+        ev = spark.createDataFrame(
+            [(i, k, ts) for i, (k, ts) in enumerate(ev_rows)],
+            "eid int, k int, ts int",
+        )
+        q = spark.createDataFrame(q_rows, "k int, qts int, val string") if q_rows else (
+            spark.createDataFrame([], "k int, qts int, val string")
+        )
+        got = {
+            r.eid: r.val
+            for r in asof_join(
+                ev, q, key="k", ts_col="ts", quote_ts_col="qts"
+            ).collect()
+        }
+        want = {}
+        for i, (k, ts) in enumerate(ev_rows):
+            best = None
+            if ts is not None:
+                for k2, qts, val in q_rows:
+                    if k2 == k and qts is not None and qts <= ts:
+                        if best is None or qts > best[0]:
+                            best = (qts, val)
+            want[i] = best[1] if best else None
+        assert got == want
