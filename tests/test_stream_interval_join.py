@@ -1,0 +1,117 @@
+"""Native stream-stream interval join
+(streaming/interval_join.py::stream_interval_join): REAL Structured
+Streaming file sources → stream-stream join → memory sink, compared
+against the equivalent static join, plus the state-bound contract.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from rdf_diff_store_spark.streaming.interval_join import stream_interval_join
+
+EV_SCHEMA = StructType(
+    [
+        StructField("eid", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+IV_SCHEMA = StructType(
+    [
+        StructField("vid", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("s", TimestampType()),
+        StructField("e", TimestampType()),
+    ]
+)
+
+
+def _t(minute: int):
+    from datetime import datetime
+
+    return datetime(2024, 1, 1, 10, minute, 0)
+
+
+def _write_sources(spark, tmp_path):
+    ev_rows = [
+        (1, 1, _t(5)),
+        (2, 1, _t(20)),
+        (3, 1, _t(31)),  # outside the 1..31-exclusive interval end
+        (4, 2, _t(7)),
+        (5, 3, _t(9)),  # key with no interval
+    ]
+    iv_rows = [
+        (100, 1, _t(1), _t(31)),
+        (101, 2, _t(6), _t(8)),
+        # malformed/overlong interval (3h > max 2h): must be dropped
+        (102, 3, _t(0), _t(0).replace(hour=13)),
+    ]
+    ev_dir, iv_dir = str(tmp_path / "ev"), str(tmp_path / "iv")
+    spark.createDataFrame(ev_rows, EV_SCHEMA).write.parquet(ev_dir)
+    spark.createDataFrame(iv_rows, IV_SCHEMA).write.parquet(iv_dir)
+    return ev_dir, iv_dir
+
+
+class TestStreamIntervalJoin:
+    def test_matches_static_join_and_bounds_state(self, spark, tmp_path):
+        ev_dir, iv_dir = _write_sources(spark, tmp_path)
+        ev_s = spark.readStream.schema(EV_SCHEMA).parquet(ev_dir)
+        iv_s = spark.readStream.schema(IV_SCHEMA).parquet(iv_dir)
+        joined = stream_interval_join(
+            ev_s, iv_s, key="k", ts_col="ts", start_col="s", end_col="e",
+            max_interval_seconds=7200, watermark_seconds=600,
+        )
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ivj_out")
+            .outputMode("append")
+            .option(
+                "checkpointLocation", str(tmp_path / "ck")
+            )
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = sorted(
+            (r.eid, r.vid) for r in spark.sql("SELECT * FROM ivj_out").collect()
+        )
+        # static truth with the same predicate (overlong interval 102
+        # excluded by the state-bound filter, ts<end exclusive)
+        assert got == [(1, 100), (2, 100), (4, 101)]
+
+    def test_streaming_plan_is_stateful_join(self, spark, tmp_path):
+        ev_dir, iv_dir = _write_sources(spark, tmp_path)
+        ev_s = spark.readStream.schema(EV_SCHEMA).parquet(ev_dir)
+        iv_s = spark.readStream.schema(IV_SCHEMA).parquet(iv_dir)
+        joined = stream_interval_join(
+            ev_s, iv_s, key="k", ts_col="ts", start_col="s", end_col="e",
+            max_interval_seconds=7200,
+        )
+        assert joined.isStreaming
+        # both event-time columns watermarked -> state is evictable
+        plan = joined._jdf.queryExecution().analyzed().toString()
+        assert plan.count("EventTimeWatermark") == 2
+
+    def test_column_clash_rejected(self, spark, tmp_path):
+        ev_dir, iv_dir = _write_sources(spark, tmp_path)
+        ev_s = spark.readStream.schema(EV_SCHEMA).parquet(ev_dir)
+        iv_s = (
+            spark.readStream.schema(IV_SCHEMA)
+            .parquet(iv_dir)
+            .withColumnRenamed("vid", "eid")
+        )
+        with pytest.raises(ValueError, match="share non-key columns"):
+            stream_interval_join(
+                ev_s, iv_s, key="k", ts_col="ts", start_col="s", end_col="e",
+                max_interval_seconds=7200,
+            )
