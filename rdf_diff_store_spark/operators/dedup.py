@@ -216,6 +216,9 @@ def embedding_near_dup(
     n_centroids: int | None = None,
     dim: int | None = None,
     exact: bool = False,
+    two_level: bool = False,
+    band_bits: int = 8,
+    n_tables: int = 4,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim)
     with cos >= threshold and id_a < id_b.
@@ -227,10 +230,21 @@ def embedding_near_dup(
     ~1/n_centroids of the pair space. n_centroids defaults to √n (one
     count job): (n/k)² pairs per cell × k cells = O(n^1.5) total at
     k=√n — a √n factor better than any FIXED k's O(n²/k), though not
-    linear; compose the cell id with an LSH band key for near-linear
-    (r03 verdict weak #3; SCALE.md §IVF). Boundary pairs split across
-    neighboring cells are the recall cost — raise the threshold margin
-    or use exact=True at verification scale."""
+    linear. Boundary pairs split across neighboring cells are the
+    recall cost — raise the threshold margin or use exact=True at
+    verification scale.
+
+    two_level=True composes the cell id with a hyperplane-LSH band
+    key (the r03-verdict near-linear path, SCALE.md §IVF): candidate
+    pairs must share (cell, band) in at least one of ``n_tables``
+    sign-bit tables of ``band_bits`` planes each. Within-cell pair
+    work drops from (n/k)² to the per-(cell, band) bucket sizes —
+    near-linear for high thresholds. Pair recall per table ≈
+    p^band_bits with p = 1 − θ/π (θ the pair angle); OR-ed across
+    tables: at cos ≥ 0.95 (θ≈18°, p≈0.90) the 8-bit × 4-table default
+    keeps ≈ 0.89 of within-cell pairs. The multi-table pair union
+    dedups on IDS ONLY (vectors rejoin once for the cosine verify) —
+    the lsh_topk shuffle lesson."""
     from rdf_diff_store_spark.operators.similarity import (
         _centroid_assign_udf,
         _cosine,
@@ -251,7 +265,31 @@ def embedding_near_dup(
         cell = lambda v: F.element_at(assign(v), 1)  # noqa: E731
         a = a.withColumn("_cell", cell(F.col("va")))
         b = b.withColumn("_cell", cell(F.col("vb")))
-        pairs = a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b")).drop("_cell")
+        if two_level:
+            from rdf_diff_store_spark.operators.similarity import _bucket_udf
+
+            # id+keys only per table — the vectors must NOT ride the
+            # multi-table union/distinct exchange
+            id_pairs = None
+            for t in range(n_tables):
+                band = _bucket_udf(dim, band_bits, table=t)
+                at = a.select("id_a", "_cell", band(F.col("va")).alias("_band"))
+                bt = b.select("id_b", "_cell", band(F.col("vb")).alias("_band"))
+                pt = (
+                    at.join(bt, ["_cell", "_band"])
+                    .filter(F.col("id_a") < F.col("id_b"))
+                    .select("id_a", "id_b")
+                )
+                id_pairs = pt if id_pairs is None else id_pairs.unionByName(pt)
+            pairs = (
+                id_pairs.distinct()
+                .join(a.select("id_a", "va"), "id_a")
+                .join(b.select("id_b", "vb"), "id_b")
+            )
+        else:
+            pairs = (
+                a.join(b, "_cell").filter(F.col("id_a") < F.col("id_b")).drop("_cell")
+            )
     return (
         pairs.withColumn("cos_sim", F.round(_cosine(F.col("va"), F.col("vb")), 6))
         .filter(F.col("cos_sim") >= threshold)

@@ -105,3 +105,51 @@ def test_trained_centroids_beat_random_on_clustered_data(spark):
     # determinism: training twice gives identical centroids
     again = train_centroids(emb, dim=dim, n_centroids=n_clusters, n_iters=3)
     assert trained == again
+
+
+class TestTwoLevelNearDup:
+    def _clustered(self, spark, n_base=40, dim=32):
+        # each base vector gets a tiny-perturbation twin: cos >= 0.99,
+        # 40 planted near-dup pairs among otherwise-scattered vectors
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(n_base, dim)
+        rows = []
+        for i, v in enumerate(base):
+            rows.append((2 * i, [float(x) for x in v]))
+            w = v + 0.02 * rng.randn(dim)
+            rows.append((2 * i + 1, [float(x) for x in w]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_two_level_precision_and_recall(self, spark):
+        from rdf_diff_store_spark.operators.dedup import embedding_near_dup
+
+        df = self._clustered(spark)
+        thr, dim = 0.95, 32
+        exact = {(r.id_a, r.id_b) for r in
+                 embedding_near_dup(df, threshold=thr, exact=True).collect()}
+        planted = {(2 * i, 2 * i + 1) for i in range(40)}
+        assert planted <= exact  # sanity: the twins really are near-dups
+        two = {(r.id_a, r.id_b) for r in
+               embedding_near_dup(df, threshold=thr, dim=dim,
+                                  two_level=True).collect()}
+        # precision is exact by construction (cosine verify), recall is
+        # the (cell agreement) x (band OR-recall ~0.89) product
+        assert two <= exact
+        assert len(two & planted) / len(planted) >= 0.6
+
+    def test_two_level_subset_of_one_level_and_deterministic(self, spark):
+        from rdf_diff_store_spark.operators.dedup import embedding_near_dup
+
+        df = self._clustered(spark)
+        one = {(r.id_a, r.id_b) for r in
+               embedding_near_dup(df, threshold=0.95, dim=32).collect()}
+        t1 = {(r.id_a, r.id_b) for r in
+              embedding_near_dup(df, threshold=0.95, dim=32,
+                                 two_level=True).collect()}
+        t2 = {(r.id_a, r.id_b) for r in
+              embedding_near_dup(df, threshold=0.95, dim=32,
+                                 two_level=True).collect()}
+        assert t1 == t2  # md5 planes/centroids: fully replayable
+        assert t1 <= one  # banding only prunes within cells
