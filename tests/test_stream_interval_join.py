@@ -115,3 +115,56 @@ class TestStreamIntervalJoin:
                 ev_s, iv_s, key="k", ts_col="ts", start_col="s", end_col="e",
                 max_interval_seconds=7200,
             )
+
+
+class TestStreamingHeavyHitters:
+    def _toks(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.concat(F.lit("t"), (F.col("id") % 23)).alias("tok")
+        )
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        from rdf_diff_store_spark.operators.sketch import countmin_counters
+        from rdf_diff_store_spark.streaming.sketch_stream import (
+            StreamingHeavyHitters,
+        )
+
+        hh = StreamingHeavyHitters(spark, str(tmp_path / "hh"))
+        hh.process_batch(self._toks(spark, 0, 300), 0)
+        hh.process_batch(self._toks(spark, 300, 500), 1)
+        got = sorted(map(tuple, hh.counters().collect()))
+        want = sorted(
+            map(tuple, countmin_counters(self._toks(spark, 0, 500)).collect())
+        )
+        assert got == want
+
+    def test_replayed_batch_merges_nothing(self, spark, tmp_path):
+        from rdf_diff_store_spark.streaming.sketch_stream import (
+            StreamingHeavyHitters,
+        )
+
+        hh = StreamingHeavyHitters(spark, str(tmp_path / "hh2"))
+        hh.process_batch(self._toks(spark, 0, 200), 0)
+        before = sorted(map(tuple, hh.counters().collect()))
+        hh.process_batch(self._toks(spark, 0, 200), 0)  # crash replay
+        assert sorted(map(tuple, hh.counters().collect())) == before
+
+    def test_estimates_one_sided(self, spark, tmp_path):
+        from rdf_diff_store_spark.streaming.sketch_stream import (
+            StreamingHeavyHitters,
+        )
+
+        hh = StreamingHeavyHitters(spark, str(tmp_path / "hh3"))
+        hh.process_batch(self._toks(spark, 0, 460), 0)  # 20 x t0..t22ish
+        est = {
+            r.tok: r.est_count
+            for r in hh.estimate(
+                self._toks(spark, 0, 460).distinct()
+            ).collect()
+        }
+        exact = {
+            r.tok: r["count"]
+            for r in self._toks(spark, 0, 460).groupBy("tok").count().collect()
+        }
+        assert set(est) == set(exact)
+        assert all(est[t] >= exact[t] for t in exact)
