@@ -5115,6 +5115,162 @@ def q_bucketed_snapshot(spark, sf_dir):
 _ORACLE_R4["bucketed_snapshot"] = _snapshot_sql(T_MID)
 
 
+def q_corpus_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch per language (Flajolet et
+    al. 2007; operators/sketch.py::hll_registers/hll_estimate):
+    m=256 registers of max-leading-zero ranks, mergeable by
+    register-wise max (idempotent — replay/shard-safe, unlike KMV's
+    re-rank merge). Register index and rank come from disjoint md5
+    hex spans, and the rank uses integer bit-length (bin() string
+    length, identical unpadded semantics in Spark and DuckDB), so
+    the register table is bit-identical in both engines; all
+    cross-register state folds into ONE exact BIGINT (sum of powers
+    of two), making the final float step a single shared-literal
+    IEEE divide — est_distinct matches bit-for-bit. Exact count
+    rides alongside so the ~6.5 % (1.04/√256) sketch error is part
+    of the checked values. Plan: one groupBy (lang, reg) with
+    map-side partial max — the shuffle carries ≤ 256 rows per lang
+    at ANY corpus size."""
+    from rdf_diff_store_spark.operators.dedup import bind_once
+    from rdf_diff_store_spark.operators.sketch import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def shingles_of(s):
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(s) - 4, F.lit(1))),
+            lambda i: s.substr(i, F.lit(5)),
+        )
+
+    toks = docs.select(
+        "lang",
+        F.explode(
+            bind_once(F.trim(F.lower(F.col("text"))), shingles_of)
+        ).alias("tok"),
+    )
+    sk = hll_distinct(toks, ["lang"], "tok", b=8)
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("tok").alias("exact_distinct")
+    )
+    return sk.join(exact, "lang").select(
+        "lang", "n_regs", "sum_scaled", "est_distinct", "exact_distinct"
+    )
+
+
+_ORACLE_R4["corpus_hll_distinct"] = """
+WITH toks AS (
+  SELECT lang,
+         unnest(list_transform(
+           range(1, greatest(length(trim(lower(text))) - 4, 1) + 1),
+           i -> substr(trim(lower(text)), CAST(i AS INT), 5))) AS tok
+  FROM documents),
+rr AS (
+  SELECT lang,
+         ('0x' || substr(md5(tok), 1, 2))::BIGINT AS reg,
+         53 - length(ltrim(bin(('0x' || substr(md5(tok), 3, 13))::BIGINT), '0'))
+           AS rank
+  FROM toks),
+regs AS (SELECT lang, reg, max(rank) AS maxrank FROM rr GROUP BY 1, 2),
+agg AS (
+  SELECT lang, CAST(count(*) AS INT) AS n_regs,
+         CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
+  FROM regs GROUP BY lang),
+est AS (
+  SELECT lang, n_regs,
+         present_sum + CAST(256 - n_regs AS BIGINT) * CAST(9007199254740992 AS BIGINT)
+           AS sum_scaled
+  FROM agg),
+exact AS (
+  SELECT lang, CAST(count(DISTINCT tok) AS BIGINT) AS exact_distinct
+  FROM toks GROUP BY lang)
+SELECT e.lang, n_regs, sum_scaled,
+       CAST(floor(4.2399330249068963e+20 / sum_scaled) AS BIGINT) AS est_distinct,
+       exact_distinct
+FROM est e JOIN exact USING (lang)
+"""
+
+
+def q_doc_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter benchmark decontamination (operators/dedup.py::
+    bloom_bits/bloom_decontaminate) — the broadcast-scan alternative
+    to the exact semi-join sweep (`doc_decontaminate`): the eval
+    set's 3-gram shingles fold into an 8192-position Bloom set
+    (k=3 md5-portable hashes), broadcast once; the train side is a
+    MAP-ONLY probe (nested JVM array expression), so NO shuffle
+    touches the corpus — the exchange the semi-join pays on every
+    train gram disappears, at the price of a sized-in-advance
+    false-positive rate (~(1-e^(-kn/m))^k) and never a false
+    negative. Output (doc_id, n_grams, n_hits, flagged) for every
+    train doc; the DuckDB twin rebuilds the identical position set
+    relationally, so false positives match bit-for-bit too."""
+    from rdf_diff_store_spark.operators.dedup import (
+        bloom_bits,
+        bloom_decontaminate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", _doc_shingles_col().alias("grams"))
+    eval_grams = sh.filter(F.col("doc_id") < 10).select(
+        F.explode("grams").alias("g")
+    )
+    bits = bloom_bits(eval_grams, "g", k=3, m_bits=8192)
+    train = sh.filter(F.col("doc_id") >= 10)
+    return bloom_decontaminate(train, "grams", bits, k=3, m_bits=8192)
+
+
+_ORACLE_R4["doc_bloom_decontaminate"] = f"""
+WITH sh AS ({_DOC_SHINGLES_SQL}),
+ex AS (SELECT doc_id, u.s AS g FROM sh, unnest(shingles) AS u(s)),
+seeds AS (SELECT unnest([0, 1, 2]) AS s),
+posset AS (
+  SELECT DISTINCT
+         (('0x' || substr(md5(s::VARCHAR || ':' || g), 1, 13))::BIGINT) % 8192 AS pos
+  FROM ex, seeds WHERE doc_id < 10),
+probe AS (
+  SELECT doc_id, g, s,
+         (('0x' || substr(md5(s::VARCHAR || ':' || g), 1, 13))::BIGINT) % 8192 AS pos
+  FROM ex, seeds WHERE doc_id >= 10),
+hits AS (
+  SELECT doc_id, g, (count(p.pos) = 3) AS hit
+  FROM probe pr LEFT JOIN posset p ON pr.pos = p.pos
+  GROUP BY doc_id, g)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       (sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0) AS flagged
+FROM hits GROUP BY doc_id
+"""
+
+
+def q_corpus_bpe_pairs(spark, sf_dir):
+    """BPE merge-pair counting (Sennrich et al. 2016; functions/
+    text.py::bpe_pair_counts): the adjacent-symbol-pair frequency
+    table a byte-pair-encoding tokenizer trainer computes once per
+    merge round, at round zero (symbols = characters). Top-30 pairs
+    with counts. The pair expansion is a nested JVM array expression
+    and the only shuffle is a ≤1.3k-key groupBy with map-side
+    partial agg — the same plan at 10^12 documents; top-k lowers to
+    TakeOrderedAndProject."""
+    from rdf_diff_store_spark.functions.text import bpe_pair_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_pair_counts(docs, "text", k=30)
+
+
+_ORACLE_R4["corpus_bpe_pairs"] = """
+WITH words AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS w
+  FROM documents),
+w2 AS (SELECT w FROM words WHERE length(w) >= 2),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substr(w, CAST(i AS INT), 2))) AS pair
+  FROM w2)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5200,6 +5356,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "bucketed_snapshot": q_bucketed_snapshot,
         # ================= end of the 50-row driver window ===========
+        # -- session-8 additions (HLL distinct, Bloom decontamination,
+        #    BPE pair counts) — r05-window candidates, local-oracle
+        #    checked at two SFs every round until then ----------------
+        "corpus_hll_distinct": q_corpus_hll_distinct,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "corpus_bpe_pairs": q_corpus_bpe_pairs,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

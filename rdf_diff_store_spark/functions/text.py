@@ -360,3 +360,52 @@ def pii_redact(text: "Column") -> "Column":
     out = F.regexp_replace(text, PII_EMAIL_RE, "[EMAIL]")
     out = F.regexp_replace(out, PII_PHONE_RE, "[PHONE]")
     return F.regexp_replace(out, PII_IPV4_RE, "[IP]")
+
+
+def bpe_pair_counts(
+    docs: "DataFrame",
+    text_col: str = "text",
+    k: int = 30,
+) -> "DataFrame":
+    """Top-k adjacent symbol-pair frequencies — the inner counting
+    step of byte-pair-encoding tokenizer training (Sennrich et al.
+    2016), the pass a BPE trainer repeats once per merge.
+
+    The corpus is normalized to lowercase [a-z0-9]+ words; within
+    each word every adjacent character pair contributes one count
+    (at merge-round zero symbols are single characters, so pairs are
+    2-char substrings). The most frequent pair is the next merge
+    rule; here the top-k table is returned so the caller sees the
+    whole candidate front.
+
+    Plan shape for a 100-TB corpus: word split + the per-word pair
+    expansion are nested JVM array expressions (split → explode →
+    transform(sequence) → explode) — whole-stage codegen, no Python;
+    the only shuffle is the (pair) count groupBy with map-side
+    partial aggregation (≤ 36² ≈ 1.3k distinct keys at round zero,
+    so the exchange is trivially small no matter the corpus); top-k
+    lowers to TakeOrderedAndProject. A full BPE train loops this
+    with a growing symbol alphabet — each round is this same job
+    over re-segmented words.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    words = docs.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")
+        ).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(k)
+    )

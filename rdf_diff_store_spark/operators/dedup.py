@@ -297,6 +297,85 @@ def embedding_near_dup(
     )
 
 
+def _bloom_pos(seed_col: Column, gram: Column, m_bits: int) -> Column:
+    """Bit position for (seed, gram): md5-52bit of 's:gram' mod m —
+    the same portable recipe as the count-min buckets, so a DuckDB
+    oracle reproduces the filter bit-for-bit."""
+    from rdf_diff_store_spark.operators.sketch import hash52
+
+    return hash52(F.concat(seed_col.cast("string"), F.lit(":"), gram)) % m_bits
+
+
+def bloom_bits(
+    ngrams: DataFrame, gram_col: str = "g", k: int = 3, m_bits: int = 8192
+) -> DataFrame:
+    """Build the Bloom set-membership state from a frame of n-grams:
+    ONE row holding the sorted array of set bit positions.
+
+    Scale shape: the per-gram explode is ×k (a constant); distinct
+    positions collapse map-side, the shuffle carries ≤ m_bits longs,
+    and the result is a single ≤ m_bits-element array — broadcast
+    state, like the reference's in-memory store index
+    (/root/reference/src/rdf/mod.rs:1-60) shrunk to bits. Sizing rule:
+    false-positive rate ≈ (1 - e^(-k·n/m))^k; m = 10·n bits with k=3
+    gives ~3 %. The array-of-longs representation is the ORACLE-
+    portable form; a production deployment at 10^10 eval grams would
+    pack the same positions into a long[] bitset UDF-side — the plan
+    (agg → broadcast → map-only probe) is unchanged.
+    """
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("s")
+    pos = (
+        ngrams.select(F.col(gram_col), seeds)
+        .select(_bloom_pos(F.col("s"), F.col(gram_col), m_bits).alias("pos"))
+        .distinct()
+    )
+    return pos.agg(F.sort_array(F.collect_set("pos")).alias("bits"))
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    grams_col: str,
+    bits: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 8192,
+) -> DataFrame:
+    """Flag documents whose n-gram set hits the Bloom filter — the
+    broadcast-scan alternative to the semi-join decontamination sweep.
+
+    Why this exists next to the exact join (`q_doc_decontaminate`):
+    the join shuffles EVERY train-side gram on its hash; at 10^12
+    documents that is the dominant exchange of the whole sweep. Here
+    the eval side is folded into ≤ m_bits longs, broadcast once, and
+    the train side is a MAP-ONLY pass — no shuffle touches the corpus
+    — at the price of a bounded, sizable-in-advance false-positive
+    rate (never false negatives: contaminated docs are always
+    flagged). Per doc, the gram→k-position→membership test runs as a
+    nested JVM array expression (size/filter/forall/array_contains) —
+    whole-stage codegen, no Python.
+
+    Returns (id, n_grams, n_hits, flagged) for every input doc.
+    """
+    probe = docs.crossJoin(F.broadcast(bits))
+    hit_grams = F.filter(
+        F.col(grams_col),
+        lambda g: F.forall(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(k - 1)),
+                lambda s: _bloom_pos(s, g, m_bits),
+            ),
+            lambda p: F.array_contains(F.col("bits"), p),
+        ),
+    )
+    n_hits = F.size(hit_grams)
+    return probe.select(
+        id_col,
+        F.size(F.col(grams_col)).cast("long").alias("n_grams"),
+        n_hits.cast("long").alias("n_hits"),
+        (n_hits > 0).alias("flagged"),
+    )
+
+
 def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash per document (Arrow-batched pandas UDF; numpy
     bit-bucket accumulation per batch)."""

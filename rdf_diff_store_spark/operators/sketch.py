@@ -232,6 +232,128 @@ def countmin_estimate(
     )
 
 
+def _hll_reg_rank(value_col, b: int):
+    """Register index + rank for one value, engine-portably.
+
+    md5 hex digits are split positionally: the first b/4 digits are
+    the register index (b bits), the NEXT 13 digits (52 bits) feed the
+    rank = number of leading zero bits in that 52-bit field plus one.
+    The rank is computed with pure string/integer ops — ``53 -
+    bit_length`` where bit_length is ``length(bin(h))`` with leading
+    zeros stripped — because log2/floating-point leading-zero tricks
+    are NOT correctly-rounded-identical across engines near powers of
+    two, while ``bin()`` is the same unpadded binary string in both
+    Spark and DuckDB (verified: bin(0)='0', bin(5)='101' in each).
+    """
+    if b % 4 != 0:
+        raise ValueError("b must be a multiple of 4 (whole hex digits)")
+    n_hex = b // 4
+    h = F.md5(F.col(value_col) if isinstance(value_col, str) else value_col)
+    reg = F.conv(F.substring(h, 1, n_hex), 16, 10).cast("int")
+    tail = F.conv(F.substring(h, n_hex + 1, _HEX_DIGITS), 16, 10).cast("long")
+    bitlen = F.when(tail == 0, F.lit(0)).otherwise(F.length(F.bin(tail)))
+    rank = (F.lit(53) - bitlen).cast("int")
+    return reg.alias("reg"), rank.alias("rank")
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HyperLogLog register table (Flajolet et al. 2007).
+
+    The reference answers "how many distinct graphs/triples" exactly
+    from its in-memory store (/root/reference/src/metrics/mod.rs:1-40);
+    at 10^12 values the constant-memory substitute is HLL: m = 2^b
+    registers per group, each holding the max leading-zero rank seen.
+
+    Plan shape: ONE groupBy (group, reg) with max(rank) — map-side
+    partial max collapses every partition to ≤ m rows per group before
+    the shuffle, so the shuffled state is m longs per group regardless
+    of input size. The register table IS the sketch: merge shards with
+    ``hll_merge`` (max is idempotent + commutative — replay-safe), and
+    estimate with ``hll_estimate``. All hashing is md5-positional, so
+    a DuckDB oracle rebuilds registers bit-for-bit.
+    """
+    reg, rank = _hll_reg_rank(F.col(value_col).cast("string"), b)
+    return (
+        df.select(*group_cols, reg, rank)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rank").alias("maxrank"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge shard/batch HLL register tables by max — exact: merging
+    is register-wise max, so merge-of-shards ≡ sketch-of-whole
+    bit-for-bit (pytest-pinned), and re-merging a replayed shard is a
+    no-op (idempotent). ≤ m rows per group in, same out."""
+    merged = register_tables[0]
+    group_cols = [c for c in merged.columns if c not in ("reg", "maxrank")]
+    for t in register_tables[1:]:
+        merged = merged.unionByName(t)
+    return merged.groupBy(*group_cols, "reg").agg(
+        F.max("maxrank").alias("maxrank")
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+    b: int = 8,
+) -> DataFrame:
+    """Raw HLL cardinality estimate per group from a register table.
+
+    All cross-register state is folded into ONE exact integer:
+    ``sum_scaled = Σ 2^(53-maxrank) + (m - p)·2^53`` (absent registers
+    contribute rank 0). Each term is a power of two ≤ 2^53 — exact in
+    BIGINT — so the only floating-point step is the final
+    ``floor(C / sum_scaled)`` with C = α_m·m²·2^53 a shared literal:
+    one correctly-rounded IEEE divide on identical operands in Spark
+    and DuckDB, hence a bit-identical BIGINT estimate.
+
+    Returns (group, n_regs, sum_scaled, est_distinct). The raw
+    estimator is emitted WITHOUT the small-range linear-counting
+    correction (it needs ln(), which is not correctly-rounded-portable
+    across engines); n_regs makes the "correction would apply" zone
+    (p < m with est ≤ 2.5m) visible to callers. Standard error is
+    ~1.04/√m ≈ 6.5 % at b=8.
+    """
+    m = 1 << b
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    c = alpha * m * m * (2.0 ** 53)
+    term = F.expr("CAST(power(2, 53 - maxrank) AS BIGINT)")
+    agg = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("int").alias("n_regs"),
+        F.sum(term).alias("present_sum"),
+    )
+    sum_scaled = (
+        F.col("present_sum")
+        + (F.lit(m) - F.col("n_regs")).cast("long") * F.lit(1 << 53).cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        "n_regs",
+        sum_scaled.alias("sum_scaled"),
+        F.floor(F.lit(c) / sum_scaled).cast("long").alias("est_distinct"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """registers → estimate in one call (the non-incremental path)."""
+    return hll_estimate(hll_registers(df, group_cols, value_col, b), group_cols, b)
+
+
 def priority_sample(
     df: DataFrame,
     weight_col: str,

@@ -235,3 +235,145 @@ class TestCountMinMerge:
             for r in countmin_topk(toks, "tok", k=37).collect()
         }
         assert est == want
+
+
+class TestHllDistinct:
+    def test_merge_of_shards_equals_whole(self, spark):
+        # register-wise max is the merge: sketch(A ∪ B) must be
+        # bit-identical to merge(sketch(A), sketch(B))
+        from rdf_diff_store_spark.operators.sketch import (
+            hll_estimate,
+            hll_merge,
+            hll_registers,
+        )
+
+        a = spark.range(0, 3000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        b = spark.range(2000, 6000).select(
+            F.lit("g").alias("g"), F.col("id").alias("v")
+        )
+        whole = hll_registers(a.unionByName(b), ["g"], "v", b=8)
+        merged = hll_merge(
+            hll_registers(a, ["g"], "v", b=8), hll_registers(b, ["g"], "v", b=8)
+        )
+        ew = hll_estimate(whole, ["g"], b=8).collect()[0]
+        em = hll_estimate(merged, ["g"], b=8).collect()[0]
+        assert (ew.n_regs, ew.sum_scaled, ew.est_distinct) == (
+            em.n_regs,
+            em.sum_scaled,
+            em.est_distinct,
+        )
+
+    def test_replayed_shard_merges_to_noop(self, spark):
+        # max is idempotent: merging the SAME shard twice must leave
+        # the sketch unchanged (the crash-replay safety property that
+        # additive sketches like count-min do NOT have)
+        from rdf_diff_store_spark.operators.sketch import hll_merge, hll_registers
+
+        a = spark.range(1000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        ra = hll_registers(a, ["g"], "v", b=8)
+        once = {(r.reg): r.maxrank for r in ra.collect()}
+        twice = {(r.reg): r.maxrank for r in hll_merge(ra, ra).collect()}
+        assert once == twice
+
+    def test_estimate_within_hll_error(self, spark):
+        # m=256 -> sigma ~ 1.04/16 = 6.5%; allow 4 sigma, deterministic
+        from rdf_diff_store_spark.operators.sketch import hll_distinct
+
+        df = spark.range(20000).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        row = hll_distinct(df, ["g"], "v", b=8).collect()[0]
+        assert abs(row.est_distinct - 20000) / 20000 < 0.26
+
+    def test_duplicates_do_not_move_registers(self, spark):
+        from rdf_diff_store_spark.operators.sketch import hll_distinct
+
+        base = spark.range(500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        dup = spark.range(4000).select(
+            F.lit("g").alias("g"), (F.col("id") % 500).alias("v")
+        )
+        a = hll_distinct(base, ["g"], "v", b=8).collect()[0]
+        b = hll_distinct(dup, ["g"], "v", b=8).collect()[0]
+        assert (a.n_regs, a.sum_scaled, a.est_distinct) == (
+            b.n_regs,
+            b.sum_scaled,
+            b.est_distinct,
+        )
+
+
+class TestBloomDecontaminate:
+    def _frames(self, spark):
+        rows = [
+            (1, ["alpha beta gamma", "delta epsilon zeta"]),   # eval
+            (10, ["alpha beta gamma", "eta theta iota"]),      # overlap
+            (11, ["kappa lambda mu", "nu xi omicron"]),        # clean
+            (12, ["delta epsilon zeta", "kappa lambda mu"]),   # overlap
+        ]
+        return spark.createDataFrame(rows, "doc_id long, grams array<string>")
+
+    def test_no_false_negatives(self, spark):
+        # every doc sharing a gram with the eval set MUST be flagged
+        from rdf_diff_store_spark.operators.dedup import (
+            bloom_bits,
+            bloom_decontaminate,
+        )
+
+        df = self._frames(spark)
+        bits = bloom_bits(
+            df.filter(F.col("doc_id") < 10).select(F.explode("grams").alias("g")),
+            "g",
+            k=3,
+            m_bits=4096,
+        )
+        out = {
+            r.doc_id: r
+            for r in bloom_decontaminate(
+                df.filter(F.col("doc_id") >= 10), "grams", bits, k=3, m_bits=4096
+            ).collect()
+        }
+        assert out[10].flagged and out[10].n_hits >= 1
+        assert out[12].flagged and out[12].n_hits >= 1
+        assert out[10].n_grams == 2 and out[12].n_grams == 2
+
+    def test_tiny_filter_forces_false_positives_never_negatives(self, spark):
+        # m=8 bits saturates -> everything collides to flagged; the
+        # one-sided-error contract is exactly this
+        from rdf_diff_store_spark.operators.dedup import (
+            bloom_bits,
+            bloom_decontaminate,
+        )
+
+        df = self._frames(spark)
+        bits = bloom_bits(
+            df.filter(F.col("doc_id") < 10).select(F.explode("grams").alias("g")),
+            "g",
+            k=3,
+            m_bits=8,
+        )
+        out = bloom_decontaminate(
+            df.filter(F.col("doc_id") >= 10), "grams", bits, k=3, m_bits=8
+        ).collect()
+        assert all(r.flagged for r in out if r.doc_id in (10, 12))
+
+
+class TestBpePairCounts:
+    def test_hand_counted_example(self, spark):
+        from rdf_diff_store_spark.functions.text import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(1, "aa ab! AAB"), (2, "x")], "doc_id long, text string"
+        )
+        # words >=2 chars after lower/[^a-z0-9]+ split: aa, ab, aab
+        # pairs: aa->aa ; ab->ab ; aab->aa,ab  => aa:2 ab:2
+        out = {r.pair: r.n for r in bpe_pair_counts(docs, "text", k=10).collect()}
+        assert out == {"aa": 2, "ab": 2}
+
+    def test_topk_order_deterministic(self, spark):
+        from rdf_diff_store_spark.functions.text import bpe_pair_counts
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox " * 3) for i in range(5)],
+            "doc_id long, text string",
+        )
+        a = [tuple(r) for r in bpe_pair_counts(docs, "text", k=5).collect()]
+        b = [tuple(r) for r in bpe_pair_counts(docs, "text", k=5).collect()]
+        assert a == b and len(a) == 5
+        assert a == sorted(a, key=lambda t: (-t[1], t[0]))
