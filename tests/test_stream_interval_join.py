@@ -168,3 +168,49 @@ class TestStreamingHeavyHitters:
         }
         assert set(est) == set(exact)
         assert all(est[t] >= exact[t] for t in exact)
+
+
+class TestStreamingDistinct:
+    def _vals(self, spark, lo, hi):
+        return spark.range(lo, hi).select(
+            F.when(F.col("id") % 2 == 0, "even").otherwise("odd").alias("g"),
+            F.col("id").cast("string").alias("v"),
+        )
+
+    def test_incremental_equals_one_shot(self, spark, tmp_path):
+        from rdf_diff_store_spark.operators.sketch import hll_registers
+        from rdf_diff_store_spark.streaming.sketch_stream import StreamingDistinct
+
+        sd = StreamingDistinct(spark, str(tmp_path / "sd"), group_cols=["g"])
+        sd.process_batch(self._vals(spark, 0, 3000), 0)
+        sd.process_batch(self._vals(spark, 3000, 5000), 1)
+        got = sorted(map(tuple, sd.registers().collect()))
+        want = sorted(
+            map(tuple, hll_registers(self._vals(spark, 0, 5000), ["g"], "v").collect())
+        )
+        assert got == want
+
+    def test_replay_is_noop_without_any_mark(self, spark, tmp_path):
+        # max-merge is idempotent: replaying the SAME batch twice
+        # leaves state bit-identical with NO high-water-mark machinery
+        from rdf_diff_store_spark.streaming.sketch_stream import StreamingDistinct
+
+        sd = StreamingDistinct(spark, str(tmp_path / "sd2"), group_cols=["g"])
+        sd.process_batch(self._vals(spark, 0, 1000), 0)
+        before = sorted(map(tuple, sd.registers().collect()))
+        sd.process_batch(self._vals(spark, 0, 1000), 0)  # crash replay
+        assert sorted(map(tuple, sd.registers().collect())) == before
+
+    def test_estimate_tracks_growth(self, spark, tmp_path):
+        from rdf_diff_store_spark.streaming.sketch_stream import StreamingDistinct
+
+        sd = StreamingDistinct(spark, str(tmp_path / "sd3"), group_cols=["g"])
+        sd.process_batch(self._vals(spark, 0, 2000), 0)
+        first = {r.g: r.est_distinct for r in sd.estimate().collect()}
+        sd.process_batch(self._vals(spark, 2000, 8000), 1)
+        second = {r.g: r.est_distinct for r in sd.estimate().collect()}
+        # 1000 -> 4000 true distinct per group; 6.5% sigma sketch
+        for g in ("even", "odd"):
+            assert abs(first[g] - 1000) / 1000 < 0.26
+            assert abs(second[g] - 4000) / 4000 < 0.26
+            assert second[g] > first[g]
