@@ -5271,6 +5271,56 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 30
 """
 
 
+def q_doc_len_quantiles(spark, sf_dir):
+    """Corpus length-distribution quantiles from a mergeable
+    fixed-grid histogram (operators/sketch.py::grid_histogram/
+    histogram_quantiles) — the pass that picks length-filter cutoffs
+    for a training mix. Per lang: token-count histogram on a 64-bin
+    [0,2048) grid (exact integer DIV bucketing), then q25/q50/q75/q90
+    as bucket lower bounds selected by the all-integer rule
+    cum·den ≥ N·num (⌈qN⌉ without floats). Histogram state is ≤64
+    longs per lang, mergeable by addition across shards/batches; the
+    only data-sized step is the map-side-combined bucket count.
+    Bit-identical in DuckDB — no float division anywhere."""
+    from rdf_diff_store_spark.operators.sketch import (
+        grid_histogram,
+        histogram_quantiles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok"),
+    )
+    hist = grid_histogram(d, ["lang"], "ntok", lo=0, hi=2048, n_bins=64)
+    return histogram_quantiles(hist, ["lang"], lo=0, hi=2048, n_bins=64)
+
+
+_ORACLE_R4["doc_len_quantiles"] = r"""
+WITH d AS (
+  SELECT lang,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS v
+  FROM documents),
+h AS (
+  SELECT lang,
+         CAST(least(greatest((v - 0) * 64 // (2048 - 0), 0), 63) AS INT) AS bucket,
+         count(*) AS n
+  FROM d GROUP BY 1, 2),
+c AS (
+  SELECT lang, bucket, n,
+         sum(n) OVER (PARTITION BY lang ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(n) OVER (PARTITION BY lang) AS total
+  FROM h)
+SELECT lang, CAST(max(total) AS BIGINT) AS n_rows,
+       CAST(0 + min(CASE WHEN cum * 4  >= total * 1 THEN bucket END) * 2048 // 64 AS BIGINT) AS q25,
+       CAST(0 + min(CASE WHEN cum * 2  >= total * 1 THEN bucket END) * 2048 // 64 AS BIGINT) AS q50,
+       CAST(0 + min(CASE WHEN cum * 4  >= total * 3 THEN bucket END) * 2048 // 64 AS BIGINT) AS q75,
+       CAST(0 + min(CASE WHEN cum * 10 >= total * 9 THEN bucket END) * 2048 // 64 AS BIGINT) AS q90
+FROM c GROUP BY lang
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5362,6 +5412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_hll_distinct": q_corpus_hll_distinct,
         "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
         "corpus_bpe_pairs": q_corpus_bpe_pairs,
+        "doc_len_quantiles": q_doc_len_quantiles,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

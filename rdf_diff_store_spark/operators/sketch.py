@@ -396,3 +396,79 @@ def priority_sample(
             ).alias("est_weight"),
         )
     )
+
+
+def grid_histogram(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+) -> DataFrame:
+    """Fixed-grid histogram of an integer-valued column — the
+    mergeable distribution sketch behind corpus-statistics dashboards
+    and cutoff selection (length filters, quality thresholds).
+
+    Bucketing is EXACT integer arithmetic — ``(v - lo) * n_bins DIV
+    (hi - lo)`` clamped to [0, n_bins-1] — so Spark and DuckDB agree
+    bit-for-bit (no float division, no rounding mode). State is ≤
+    n_bins longs per group, mergeable by ADDITION (shard/stream like
+    count-min). Plan: one groupBy with map-side partial agg; the
+    shuffle carries ≤ n_bins rows per partition per group.
+    """
+    v = F.col(value_col).cast("long")
+    raw = F.expr(
+        f"(CAST({value_col} AS BIGINT) - {lo}) * {n_bins} DIV ({hi} - {lo})"
+    )
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.select(*group_cols, v.alias(value_col))
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def histogram_quantiles(
+    hist: DataFrame,
+    group_cols: list[str],
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+    quantiles: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4), (9, 10)),
+) -> DataFrame:
+    """Grid-resolution quantiles from a `grid_histogram` table.
+
+    Quantiles are RATIONAL (num, den) pairs and the selection rule is
+    pure integers — bucket b is the q-quantile iff it is the first
+    with cum·den ≥ N·num (cum ≥ ⌈qN⌉ without ever computing a float
+    ceil) — so results are bit-identical across engines. The reported
+    value is the bucket's LOWER BOUND (lo + b·(hi-lo) DIV n_bins):
+    grid resolution is the sketch's honest precision, interpolation
+    would manufacture digits. Window + final agg run over ≤ n_bins
+    rows per group — negligible at any corpus size; resolution is
+    chosen up front by n_bins, the 100-TB knob.
+    """
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = Window.partitionBy(*group_cols)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(w_full)
+    )
+    aggs = [F.max("total").cast("long").alias("n_rows")]
+    for num, den in quantiles:
+        b = F.min(
+            F.when(
+                F.col("cum") * den >= F.col("total") * num, F.col("bucket")
+            )
+        ).cast("long")
+        # exact integer floor-division for ANY n_bins: subtract the
+        # pmod remainder so the final divide is an exact integer in
+        # double (< 2^53), never a rounding-sensitive float quotient
+        num_ = b * F.lit(hi - lo)
+        lower = F.lit(lo) + (num_ - F.pmod(num_, F.lit(n_bins))) / F.lit(n_bins)
+        aggs.append(lower.cast("long").alias(f"q{100 * num // den}"))
+    return cum.groupBy(*group_cols).agg(*aggs)

@@ -377,3 +377,45 @@ class TestBpePairCounts:
         b = [tuple(r) for r in bpe_pair_counts(docs, "text", k=5).collect()]
         assert a == b and len(a) == 5
         assert a == sorted(a, key=lambda t: (-t[1], t[0]))
+
+
+class TestGridHistogramQuantiles:
+    def test_hand_computed_quantiles(self, spark):
+        from rdf_diff_store_spark.operators.sketch import (
+            grid_histogram,
+            histogram_quantiles,
+        )
+
+        # 100 values 0..99 on a [0,100) 10-bin grid: bucket = v DIV 10;
+        # q25 rank 25 -> cum hits 25 at bucket 2 (cum 30) -> lower 20
+        df = spark.range(100).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        hist = grid_histogram(df, ["g"], "v", lo=0, hi=100, n_bins=10)
+        row = histogram_quantiles(hist, ["g"], lo=0, hi=100, n_bins=10).collect()[0]
+        assert row.n_rows == 100
+        assert (row.q25, row.q50, row.q75, row.q90) == (20, 40, 70, 80)
+
+    def test_merge_by_addition_equals_whole(self, spark):
+        from rdf_diff_store_spark.operators.sketch import grid_histogram
+
+        a = spark.range(0, 500).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        b = spark.range(500, 800).select(F.lit("g").alias("g"), F.col("id").alias("v"))
+        ha = grid_histogram(a, ["g"], "v", 0, 1000, 16)
+        hb = grid_histogram(b, ["g"], "v", 0, 1000, 16)
+        merged = (
+            ha.unionByName(hb)
+            .groupBy("g", "bucket")
+            .agg(F.sum("n").alias("n"))
+        )
+        whole = grid_histogram(a.unionByName(b), ["g"], "v", 0, 1000, 16)
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, whole.collect())
+        )
+
+    def test_out_of_range_clamps_to_edge_bins(self, spark):
+        from rdf_diff_store_spark.operators.sketch import grid_histogram
+
+        df = spark.createDataFrame(
+            [("g", -50), ("g", 5), ("g", 99999)], "g string, v long"
+        )
+        rows = {r.bucket: r.n for r in grid_histogram(df, ["g"], "v", 0, 100, 10).collect()}
+        assert rows == {0: 2, 9: 1}  # -50 clamps low, 99999 clamps high
