@@ -409,3 +409,95 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), "pair")
         .limit(k)
     )
+
+
+def bpe_train(
+    docs: "DataFrame",
+    text_col: str = "text",
+    n_merges: int = 10,
+) -> tuple:
+    """Train n_merges rounds of byte-pair encoding (Sennrich et al.
+    2016) — the full iterative loop whose inner counting pass is
+    `bpe_pair_counts`.
+
+    Returns (ordered merge rules, final segmented word-frequency
+    table ``(w, n, seg array<string>)``).
+
+    Spark-first iterative shape (same discipline as
+    operators/graph.py::pagerank):
+    * The corpus is folded ONCE into a word-frequency table — BPE
+      statistics depend only on (word, count), so every round runs
+      over |vocab| rows, never re-reading the corpus. At 10^12 docs
+      the vocab table is millions of rows, not trillions.
+    * Per round: weighted pair counts (map-side-combinable groupBy
+      over a symbol-pair key space), a 1-row TakeOrdered argmax (the
+      only driver transfer — two strings per round), and a map-only
+      re-segmentation via F.aggregate (greedy left-to-right merge,
+      the reference BPE semantics). localCheckpoint truncates the
+      per-round lineage so round k doesn't recompile k stacked
+      transforms (the Janino-compile hazard documented in CLAUDE.md).
+    * Ties break (count DESC, pair string ASC) — deterministic
+      across partitionings and engines.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias("w")
+        )
+        .filter(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count("*").alias("n"))
+        .withColumn("seg", F.split("w", ""))
+        .localCheckpoint()
+    )
+
+    merges = []
+    sep = " "  # cannot occur inside [a-z0-9]+ symbols
+    for _ in range(n_merges):
+        pairs = words.filter(F.size("seg") >= 2).select(
+            "n",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seg") - 1),
+                    lambda i: F.concat(
+                        F.element_at("seg", i),
+                        F.lit(sep),
+                        F.element_at("seg", i + 1),
+                    ),
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b = top[0].pair.split(sep)
+        merges.append((a, b))
+        merged = a + b
+        # greedy left-to-right merge: append x unless the running
+        # tail is `a` and x is `b` (then replace the tail with ab);
+        # aggregate() folds once per word, so "aaa" under (a,a)
+        # becomes [aa, a] — the reference BPE behavior
+        words = words.withColumn(
+            "seg",
+            F.aggregate(
+                "seg",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == a)
+                    & (x == b),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.lit(merged)),
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        ).localCheckpoint()
+    return merges, words
