@@ -103,6 +103,11 @@ class StreamingDistinct:
 
     Wire into Structured Streaming with
     ``stream.writeStream.foreachBatch(sd.process_batch)``.
+
+    Group columns are STRING-typed (the empty-state frame is built
+    from a DDL schema before any batch arrives); cast numeric keys
+    to string upstream, as every registry query already does for
+    md5-keyed operators.
     """
 
     def __init__(
