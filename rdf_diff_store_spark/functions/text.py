@@ -501,3 +501,40 @@ def bpe_train(
             ),
         ).localCheckpoint()
     return merges, words
+
+
+def bpe_encode(text: "Column", merges: list) -> "Column":
+    """Tokenize with a TRAINED byte-pair-encoding merge table — the
+    apply side of `bpe_train` (Sennrich et al. 2016 §2: "we apply the
+    learned operations"). Returns array<string> tokens.
+
+    Production shape: the merge table is a static artifact of a
+    one-time training run (a broadcast list, never data), so apply is
+    a MAP-ONLY expression — zero shuffles over a 10^12-doc corpus.
+
+    Encoding trick that keeps the whole thing inside whole-stage
+    codegen AND oracle-portable: each symbol is wrapped in angle
+    brackets (characters that cannot occur inside [a-z0-9]+ words),
+    so a word becomes "<c><h><a><r><s>" and merge rank r, (a, b)→ab,
+    is one literal `replace("<a><b>", "<ab>")`. Left-to-right
+    non-overlapping replace-all per merge, merges in rank order, is
+    EXACTLY the segmentation `bpe_train`'s greedy re-segmentation
+    fold produces for the same merge sequence (pytest-pinned:
+    test_training_pipeline_ops), and DuckDB's `replace` has identical
+    semantics, so the oracle replays the same chain bit-identically.
+
+    Reference context: rdf-diff-store outsources tokenization
+    entirely (no tokenizer in src/); this is a north_star
+    training-data-pipeline operator.
+    """
+    words = F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: F.length(w) >= 1
+    )
+
+    def encode_word(w):
+        s = F.regexp_replace(w, "(.)", "<$1>")
+        for a, b in merges:
+            s = F.replace(s, F.lit(f"<{a}><{b}>"), F.lit(f"<{a}{b}>"))
+        return F.split(F.substring(s, 2, F.length(s) - 2), "><")
+
+    return F.flatten(F.transform(words, encode_word))

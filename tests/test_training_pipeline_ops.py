@@ -259,3 +259,42 @@ class TestBpeTrain:
         m1, _ = bpe_train(spark.createDataFrame(base, "doc_id long, text string"), n_merges=3)
         m2, _ = bpe_train(spark.createDataFrame(dup, "doc_id long, text string"), n_merges=3)
         assert m1 == m2
+
+
+class TestBpeEncode:
+    def test_encode_matches_train_segmentation(self, spark):
+        """bpe_encode with the merges bpe_train learned reproduces the
+        trainer's own final word segmentation exactly — apply really
+        is the inverse-direction of train (Sennrich et al. 2016 §2)."""
+        from rdf_diff_store_spark.functions.text import bpe_encode, bpe_train
+
+        text = " ".join(["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        merges, words = bpe_train(docs, "text", n_merges=6)
+        trained = {r.w: r.seg for r in words.collect()}
+        enc = spark.createDataFrame(
+            [(w,) for w in trained], "w string"
+        ).select("w", bpe_encode(F.col("w"), merges).alias("toks"))
+        for r in enc.collect():
+            assert r.toks == trained[r.w], r.w
+
+    def test_run_semantics_and_chained_merges(self, spark):
+        from rdf_diff_store_spark.functions.text import bpe_encode
+
+        df = spark.createDataFrame(
+            [("aaa aa a",), ("window win dow",)], "t string"
+        )
+        runs = df.select(bpe_encode(F.col("t"), [("a", "a")]).alias("x")).collect()
+        # greedy left-to-right: "aaa" -> [aa, a]
+        assert runs[0].x == ["aa", "a", "aa", "a"]
+        chain = [("w", "i"), ("wi", "n"), ("win", "d"), ("wind", "o"), ("windo", "w")]
+        got = df.select(bpe_encode(F.col("t"), chain)).collect()[1][0]
+        # deepest chain composes; "dow" only reaches [d, o, w] (no d-merges)
+        assert got == ["window", "win", "d", "o", "w"]
+
+    def test_null_and_empty_text(self, spark):
+        from rdf_diff_store_spark.functions.text import bpe_encode
+
+        df = spark.createDataFrame([("",), (" .. ",)], "t string")
+        rows = df.select(bpe_encode(F.col("t"), [("a", "b")]).alias("x")).collect()
+        assert rows[0].x == [] and rows[1].x == []
