@@ -5404,6 +5404,78 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container roundtrip (sources/warc.py) — the Common-Crawl
+    storage format upstream of the input_hint pages table. Documents
+    are rendered as pages (deterministic url/warc_ts/html), encoded
+    into WARC/1.0 response records by the map-only JVM expression
+    `warc_record_str`, concatenated into multi-record buffers (one per
+    hash bucket, the file-assembly shape), then parsed BACK through
+    the same Arrow-batched record scanner `read_warc` uses on real
+    .warc.gz files. Output values (url, WARC-Date roundtrip, parsed
+    body length, Content-Length frame from the actual record header)
+    are all recomputed independently by the oracle from `documents` —
+    any drift in either the encoder or the parser breaks the match.
+    Scale shape: encode is whole-stage codegen; parse parallelism is
+    the buffer/file count exactly as on a 10^12-page crawl."""
+    from rdf_diff_store_spark.sources.warc import (
+        parse_warc_column,
+        warc_record_str,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pages = docs.select(
+        F.concat(
+            F.lit("https://docs.example.org/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.timestamp_add(
+            "HOUR",
+            F.col("doc_id").cast("int"),
+            F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"),
+        ).alias("warc_ts"),
+        F.concat(F.lit("<p>"), F.col("text"), F.lit("</p>")).cast("binary").alias(
+            "html"
+        ),
+    )
+    blobs = (
+        pages.select(
+            F.pmod(F.xxhash64("url"), F.lit(16)).alias("g"),
+            warc_record_str(
+                F.col("url"), F.col("warc_ts"), F.col("html")
+            ).alias("rec"),
+        )
+        .groupBy("g")
+        .agg(F.concat_ws("", F.collect_list("rec")).alias("buf"))
+    )
+    parsed = parse_warc_column(
+        blobs.select(F.col("buf").cast("binary").alias("content")), "content"
+    )
+    return parsed.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"),
+        F.octet_length("html").cast("long").alias("html_len"),
+        F.col("content_length").cast("long").alias("content_length"),
+    )
+
+
+# http envelope constant: "HTTP/1.1 200 OK\r\n" (17) +
+# "Content-Type: text/html\r\n" (25) + "Content-Length: " (16) +
+# digits + "\r\n\r\n" (4) => 62 + len(digits) + body
+_ORACLE_R4["warc_roundtrip"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + doc_id * INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso,
+         CAST(length(text) + 7 AS BIGINT) AS html_len
+  FROM documents)
+SELECT url, ts_iso, html_len,
+       CAST(62 + length(CAST(html_len AS VARCHAR)) + html_len AS BIGINT)
+         AS content_length
+FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5498,6 +5570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_len_quantiles": q_doc_len_quantiles,
         # -- session-9 additions (tokenizer apply, …) ------------------
         "doc_bpe_encode": q_doc_bpe_encode,
+        "warc_roundtrip": q_warc_roundtrip,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
