@@ -5476,6 +5476,65 @@ FROM p
 """
 
 
+
+def q_doc_quality_classifier(spark, sf_dir):
+    """Hashed-n-gram linear classifier apply (functions/text.py::
+    linear_text_classifier) — the fastText-architecture quality
+    filter (Joulin et al. 2017; the CCNet/DCLM corpus-filter shape)
+    run over every document. The weight table is the trained
+    artifact; here its 4096 bucket weights are derived from md5 bits
+    (micro-units in [-1000, 1000]) so the oracle can rebuild the
+    identical table — the APPLY machinery (unigram+bigram feature
+    expansion, bucket hashing, broadcast weight join, exact-BIGINT
+    logit, integer cross-multiplied keep rule) is what is being
+    value-checked. One corpus-sized shuffle total (the per-doc sum)."""
+    from rdf_diff_store_spark.functions.text import linear_text_classifier
+    from rdf_diff_store_spark.operators.sketch import hash52
+
+    n_buckets = 4096
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (hash52(F.concat(F.lit("w"), F.col("id").cast("string"))) % 2001 - 1000)
+        .cast("long")
+        .alias("w_micro"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_text_classifier(
+        docs, weights, n_buckets=n_buckets, threshold_micro=10
+    )
+
+
+_ORACLE_R4["doc_quality_classifier"] = r"""
+WITH wt AS (
+  SELECT range AS bucket,
+         CAST(('0x' || substr(md5('w' || CAST(range AS VARCHAR)), 1, 13))::BIGINT
+              % 2001 - 1000 AS BIGINT) AS w_micro
+  FROM range(4096)),
+w AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS ws
+  FROM documents),
+feats AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           ws,
+           list_transform(range(1, len(ws)),
+                          i -> list_extract(ws, CAST(i AS INT)) || ' ' ||
+                               list_extract(ws, CAST(i AS INT) + 1)))) AS feat
+  FROM w),
+b AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(feat), 1, 13))::BIGINT % 4096 AS bucket
+  FROM feats)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_features,
+       CAST(sum(w_micro) AS BIGINT) AS logit_micro,
+       sum(w_micro) >= 10 * count(*) AS keep
+FROM b JOIN wt USING (bucket)
+GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5571,6 +5630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-9 additions (tokenizer apply, …) ------------------
         "doc_bpe_encode": q_doc_bpe_encode,
         "warc_roundtrip": q_warc_roundtrip,
+        "doc_quality_classifier": q_doc_quality_classifier,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

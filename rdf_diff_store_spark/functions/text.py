@@ -538,3 +538,82 @@ def bpe_encode(text: "Column", merges: list) -> "Column":
         return F.split(F.substring(s, 2, F.length(s) - 2), "><")
 
     return F.flatten(F.transform(words, encode_word))
+
+
+def linear_text_classifier(
+    docs: "DataFrame",
+    weights: "DataFrame",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    threshold_micro: int = 0,
+) -> "DataFrame":
+    """Apply a trained hashed-n-gram linear classifier — the fastText
+    architecture (Joulin et al. 2017, "Bag of Tricks for Efficient
+    Text Classification") that production corpus-quality filters
+    (CCNet, DCLM-style fastText quality models) run over every
+    document of a crawl. Training happens once, offline; APPLY is the
+    10^12-doc pass, and that is what this operator optimizes.
+
+    ``weights`` is the trained artifact: ``(bucket long, w_micro
+    long)`` — one weight per hashed feature bucket in INTEGER
+    micro-units, so every document logit is an exact BIGINT
+    Σ count(f)·w[h(f)] with no float-summation-order sensitivity
+    (same discipline as `dsir_weights`). Features are unigrams plus
+    (optionally) adjacent word bigrams, fastText's wordNgrams=2;
+    buckets are portable md5-52bit hashes mod ``n_buckets``.
+
+    keep = logit ≥ threshold·n_features — the length-normalized
+    decision without any division (integer cross-multiply).
+
+    Plan shape at corpus scale: feature expansion is a nested JVM
+    array expression (no UDF), the weight table (|buckets| rows) is
+    BROADCAST onto the exploded features (map-only), and the ONLY
+    corpus-sized shuffle is the final per-doc sum with map-side
+    partial aggregation.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from rdf_diff_store_spark.operators.sketch import hash52  # noqa: PLC0415
+
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def feats(w):
+        uni = w
+        if not bigrams:
+            return uni
+        bi = F.when(
+            F.size(w) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(w) - 1),
+                lambda i: F.concat(
+                    F.element_at(w, i), F.lit(" "), F.element_at(w, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(uni, bi)
+
+    from rdf_diff_store_spark.operators.dedup import bind_once  # noqa: PLC0415
+
+    exploded = docs.select(
+        F.col(id_col), F.explode(bind_once(words, feats)).alias("feat")
+    ).select(id_col, (hash52(F.col("feat")) % n_buckets).alias("bucket"))
+
+    return (
+        exploded.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("bigint").alias("n_features"),
+            F.sum("w_micro").cast("bigint").alias("logit_micro"),
+        )
+        .select(
+            id_col,
+            "n_features",
+            "logit_micro",
+            (
+                F.col("logit_micro")
+                >= F.lit(int(threshold_micro)) * F.col("n_features")
+            ).alias("keep"),
+        )
+    )

@@ -298,3 +298,64 @@ class TestBpeEncode:
         df = spark.createDataFrame([("",), (" .. ",)], "t string")
         rows = df.select(bpe_encode(F.col("t"), [("a", "b")]).alias("x")).collect()
         assert rows[0].x == [] and rows[1].x == []
+
+
+class TestLinearTextClassifier:
+    def _weights(self, spark, pairs, n_buckets=64):
+        """Dense bucket weights: 0 everywhere except the given
+        feature->weight pairs (hashed with the operator's own hash)."""
+        from rdf_diff_store_spark.operators.sketch import hash52
+
+        feats = spark.createDataFrame(pairs, "feat string, w_micro long").select(
+            (hash52(F.col("feat")) % n_buckets).alias("bucket"), "w_micro"
+        )
+        base = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+        return (
+            base.join(feats, "bucket", "left")
+            .groupBy("bucket")
+            .agg(F.coalesce(F.sum("w_micro"), F.lit(0)).alias("w_micro"))
+        )
+
+    def test_known_features_drive_keep(self, spark):
+        from rdf_diff_store_spark.functions.text import linear_text_classifier
+
+        docs = spark.createDataFrame(
+            [(1, "good good good junk"), (2, "junk junk junk good")],
+            "doc_id long, text string",
+        )
+        w = self._weights(spark, [("good", 500), ("junk", -500)])
+        out = {
+            r.doc_id: r
+            for r in linear_text_classifier(
+                docs, w, n_buckets=64, bigrams=False, threshold_micro=0
+            ).collect()
+        }
+        assert out[1].logit_micro == 1000 and out[1].keep
+        assert out[2].logit_micro == -1000 and not out[2].keep
+        assert out[1].n_features == 4
+
+    def test_bigram_features_contribute(self, spark):
+        from rdf_diff_store_spark.functions.text import linear_text_classifier
+
+        docs = spark.createDataFrame([(1, "new york")], "doc_id long, text string")
+        w = self._weights(spark, [("new york", 700)])
+        row = linear_text_classifier(docs, w, n_buckets=64).first()
+        # 2 unigrams (weight 0) + 1 bigram (700)
+        assert row.n_features == 3 and row.logit_micro == 700
+
+    def test_threshold_is_length_normalized(self, spark):
+        from rdf_diff_store_spark.functions.text import linear_text_classifier
+
+        # same positive evidence diluted by padding: long doc drops
+        docs = spark.createDataFrame(
+            [(1, "good"), (2, "good " + "pad " * 20)], "doc_id long, text string"
+        )
+        w = self._weights(spark, [("good", 100)])
+        out = {
+            r.doc_id: r.keep
+            for r in linear_text_classifier(
+                docs, w, n_buckets=64, bigrams=False, threshold_micro=10
+            ).collect()
+        }
+        # doc1: 100 >= 10*1; doc2: 100 < 10*21 — same evidence, diluted
+        assert out[1] and not out[2]
