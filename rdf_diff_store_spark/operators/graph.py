@@ -302,3 +302,68 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection over the entity graph, the clustering complement of
+    `connected_components` (which finds *reachability* classes; LPA
+    finds *densely linked* ones, e.g. topic clusters among the entities
+    a crawl links most).
+
+    Semantics, fixed and engine-portable: every node starts labeled
+    with its own id; each of the ``iterations`` synchronous rounds
+    relabels every node with its neighbors' most frequent label, ties
+    broken toward the SMALLEST label (count DESC, label ASC —
+    deterministic across partitionings and engines; no random visit
+    order, which is the nondeterministic part of classic LPA).
+    Isolated nodes keep their label. Fixed iteration count, not a
+    convergence poll — same discipline as `pagerank`, and what makes
+    an unrolled-CTE oracle possible.
+
+    Node ids must be NUMERIC and < 2^40 — at 10^10 nodes that is the
+    right call anyway (8-byte ids ride every shuffle; map strings to
+    ids once, upstream). Numeric labels let the argmax lower to ONE
+    plain max() per round via integer encoding
+    ``m = n·2^40 − (label+1)`` (decode: n = m div 2^40 + 1,
+    label = n·2^40 − m − 1) instead of a sorted window — so a round is
+    exactly: one shuffle-hash join (labels ⋈ edges), one map-side-
+    combinable (node, label) count, one map-side-combinable max.
+    Hot hub nodes are absorbed by the partial aggregations; AQE skew
+    handling splits the join side. localCheckpoint truncates lineage
+    per round.
+    """
+    K = 1 << 40
+    e = edges.select("src", "dst").distinct()
+    sym = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = sym.select(F.col("src").alias("id")).distinct().localCheckpoint()
+    labels = nodes.select("id", F.col("id").cast("bigint").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count("*").alias("n"))
+        )
+        enc = votes.groupBy("id").agg(
+            F.max(F.col("n") * K - (F.col("label") + 1)).alias("m")
+        )
+        new = enc.select(
+            "id",
+            F.expr(f"(((m div {K}) + 1) * {K}) - m - 1").cast("bigint").alias("label"),
+        )
+        labels = (
+            nodes.join(new, "id", "left")
+            .select(
+                "id",
+                F.coalesce(F.col("label"), F.col("id").cast("bigint")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return labels

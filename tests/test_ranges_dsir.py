@@ -397,3 +397,50 @@ class TestTemporalJoinProperties:
                             best = (qts, val)
             want[i] = best[1] if best else None
         assert got == want
+
+
+class TestLabelPropagation:
+    def test_two_triangles_with_bridge_hand_computed(self, spark):
+        """Every round below is hand-computed (count DESC, label ASC):
+        the bridge node pair flips allegiance until the triangles'
+        interior majority wins — final communities {0,1,2} and
+        {3,4,5}."""
+        from rdf_diff_store_spark.operators.graph import label_propagation
+
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+            "src long, dst long",
+        )
+        got = {
+            r.id: r.label for r in label_propagation(edges, iterations=3).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+
+    def test_partitioning_invariance(self, spark):
+        """Ties break by label, never by partition order: 64-way
+        repartition gives bit-identical labels."""
+        from rdf_diff_store_spark.operators.graph import label_propagation
+
+        rows = [(i, (i * 7 + 1) % 40) for i in range(40)]
+        e1 = spark.createDataFrame(rows, "src long, dst long")
+        a = {r.id: r.label for r in label_propagation(e1, 3).collect()}
+        b = {
+            r.id: r.label
+            for r in label_propagation(e1.repartition(64), 3).collect()
+        }
+        assert a == b
+
+    def test_majority_beats_small_label(self, spark):
+        """Count outranks the tie-break: a node whose neighbors are
+        mostly high-labeled adopts the majority, not the minimum."""
+        from rdf_diff_store_spark.operators.graph import label_propagation
+
+        # node 9's neighbors after round 1: labels favor 10-cluster
+        edges = spark.createDataFrame(
+            [(9, 10), (9, 11), (9, 12), (9, 0)], "src long, dst long"
+        )
+        # round 1: 9's nbr labels {10,11,12,0} -> min 0 (all count 1)
+        # 10,11,12 -> 9; 0 -> 9
+        # round 2: 9's nbr labels {9,9,9,9} -> 9 ... leaf sees {0}
+        got = {r.id: r.label for r in label_propagation(edges, 2).collect()}
+        assert got[9] == 9 and got[10] == 0 and got[0] == 0
