@@ -393,6 +393,44 @@ def main() -> None:
         )
     )
 
+    # 18. classifier apply: weight table broadcast, ONE corpus-sized
+    # shuffle (the per-doc sum), scan pruned to (doc_id, text)
+    p_clf = plan_of(qs["doc_quality_classifier"](spark, sf_dir))
+    n_ex_c = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_clf))
+    checks.append(
+        (
+            "classifier = broadcast weights + one shuffle",
+            "BroadcastHashJoin" in p_clf
+            and n_ex_c == 1
+            and "struct<doc_id:bigint,text:string>" in p_clf,
+            f"{n_ex_c} shuffle Exchange, broadcast join, pruned scan",
+        )
+    )
+
+    # 19. BPE encode is map-only: zero shuffles over the corpus, the
+    # whole replace chain inside one projection (no Python)
+    p_bpe = plan_of(qs["doc_bpe_encode"](spark, sf_dir))
+    n_ex_b = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_bpe))
+    checks.append(
+        (
+            "bpe_encode is map-only JVM (0 shuffles, no Arrow)",
+            n_ex_b == 0 and "ArrowEvalPython" not in p_bpe and "MapInPandas" not in p_bpe,
+            f"{n_ex_b} Exchange",
+        )
+    )
+
+    # 20. WARC roundtrip: exactly ONE Arrow hop (the record parser);
+    # the encode side stays JVM
+    p_wr = plan_of(qs["warc_roundtrip"](spark, sf_dir))
+    n_mip = len(_re.findall(r"\(\d+\) MapInPandas", p_wr))
+    checks.append(
+        (
+            "warc parse is one Arrow hop (encode JVM-side)",
+            n_mip == 1 and "ArrowEvalPython" not in p_wr,
+            f"{n_mip} MapInPandas",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
