@@ -50,6 +50,7 @@ PAGE_SCHEMA = T.StructType(
         T.StructField("url", T.StringType()),
         T.StructField("warc_ts", T.TimestampNTZType()),
         T.StructField("html", T.BinaryType()),
+        T.StructField("lang", T.StringType()),
         T.StructField("rec_type", T.StringType()),
         T.StructField("content_length", T.LongType()),
     ]
@@ -59,7 +60,9 @@ PAGE_SCHEMA = T.StructType(
 # --- encode (JVM-side, map-only) ----------------------------------------
 
 
-def warc_record_str(url: Column, warc_ts: Column, html: Column) -> Column:
+def warc_record_str(
+    url: Column, warc_ts: Column, html: Column, lang: Column | None = None
+) -> Column:
     """One WARC/1.0 response record as a string column.
 
     Layout (ISO 28500 §4): version line, named header fields, blank
@@ -86,6 +89,18 @@ def warc_record_str(url: Column, warc_ts: Column, html: Column) -> Column:
         F.lit(CRLF + CRLF),
         body,
     )
+    # Common Crawl stamps its CLD2 result as a WARC named field; the
+    # crawl's language call is container metadata, not page content
+    lang_hdr = (
+        F.lit("")
+        if lang is None
+        else F.coalesce(
+            F.concat(
+                F.lit("WARC-Identified-Content-Language: "), lang, F.lit(CRLF)
+            ),
+            F.lit(""),
+        )
+    )
     return F.concat(
         F.lit("WARC/1.0" + CRLF),
         F.lit("WARC-Type: response" + CRLF),
@@ -95,6 +110,7 @@ def warc_record_str(url: Column, warc_ts: Column, html: Column) -> Column:
         F.lit("WARC-Date: "),
         F.date_format(warc_ts, _WARC_DATE_FMT),
         F.lit(CRLF),
+        lang_hdr,
         F.lit("Content-Type: application/http; msgtype=response" + CRLF),
         F.lit("Content-Length: "),
         F.octet_length(http).cast("string"),
@@ -131,7 +147,7 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
 
     Content-Length framing only — payload bytes are never searched
     for delimiters, so binary payloads (images, pdfs) are safe. Yields
-    ``{url, warc_ts, html, rec_type, content_length}``; the html field
+    ``{url, warc_ts, html, lang, rec_type, content_length}``; the html
     is the HTTP response body (headers stripped) for response records,
     the raw block otherwise.
     """
@@ -171,6 +187,7 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
             "url": fields.get("warc-target-uri"),
             "warc_ts": ts,
             "html": body,
+            "lang": fields.get("warc-identified-content-language"),
             "rec_type": rec_type,
             "content_length": clen,
         }
@@ -184,7 +201,8 @@ def _parse_batches(it: Iterable[pd.DataFrame], col: str) -> Iterator[pd.DataFram
                 continue
             rows.extend(parse_warc_bytes(bytes(buf)))
         yield pd.DataFrame(
-            rows, columns=["url", "warc_ts", "html", "rec_type", "content_length"]
+            rows,
+            columns=["url", "warc_ts", "html", "lang", "rec_type", "content_length"],
         )
 
 

@@ -135,3 +135,34 @@ class TestDistributedRead:
         assert sorted(r.url for r in out.collect()) == sorted(
             f"https://d/{i}" for i in range(7)
         )
+
+
+class TestWarcToKg:
+    def test_kg_pipeline_from_warc_equals_direct(self, spark, tmp_path):
+        """North-star end-to-end: the crawl's WARC files → read_warc →
+        build_kg emits the IDENTICAL changelog as feeding the pages
+        frame directly — the container layer is lossless for the
+        pipeline (text is re-extracted from html either way, so only
+        (url, warc_ts, html) must survive)."""
+        from rdf_diff_store_spark.pipeline.kg import build_kg
+        from rdf_diff_store_spark.sources.pages import generate_pages
+
+        pages = generate_pages(spark, n_urls=30, n_crawls=2)
+        recs = pages.select(
+            warc_record_str(
+                F.col("url"),
+                F.col("warc_ts").cast("timestamp_ntz"),
+                F.col("html"),
+                F.col("lang"),  # WARC-Identified-Content-Language
+            ).alias("rec")
+        ).collect()
+        write_warc_file([r.rec for r in recs], str(tmp_path / "crawl.warc.gz"))
+        from_warc = read_warc(spark, str(tmp_path)).select(
+            "url", F.col("warc_ts").cast("timestamp").alias("warc_ts"), "html", "lang"
+        )
+        direct, _ = build_kg(spark, pages.select("url", "warc_ts", "html", "lang"))
+        via_warc, _ = build_kg(spark, from_warc)
+        cols = [c for c in direct.columns]
+        a = {tuple(r) for r in direct.select(cols).collect()}
+        b = {tuple(r) for r in via_warc.select(cols).collect()}
+        assert a == b and len(a) > 0
