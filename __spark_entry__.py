@@ -5600,6 +5600,45 @@ FROM l3 GROUP BY label
 """
 
 
+
+def q_doc_source_cap(spark, sf_dir):
+    """Domain frequency capping + blocklist (operators/skew.py::
+    capped_topk_per_group) — the corpus-selection pass that drops
+    blocklisted hosts and keeps at most k pages per host so no single
+    domain dominates the training mix (the CC-pipeline "URL/domain
+    filtering" stage). Selection order is the deterministic md5 of
+    doc_id (tie-broken by doc_id — a TOTAL order, portable to the
+    oracle). The operator itself is the skew story: two-level salted
+    capping so a 10^8-page hub domain never lands in one window task;
+    its result is provably identical to the naive single window the
+    oracle runs."""
+    from rdf_diff_store_spark.operators.skew import capped_topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        ~F.col("source").isin("src3", "src7")
+    )
+    keyed = docs.select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("_ord")
+    )
+    capped = capped_topk_per_group(
+        keyed, "source", [F.col("_ord"), F.col("doc_id")], k=8
+    )
+    return capped.select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+
+
+_ORACLE_R4["doc_source_cap"] = """
+WITH ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents
+  WHERE source NOT IN ('src3', 'src7'))
+SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 8
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5697,6 +5736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip": q_warc_roundtrip,
         "doc_quality_classifier": q_doc_quality_classifier,
         "kg_communities": q_kg_communities,
+        "doc_source_cap": q_doc_source_cap,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

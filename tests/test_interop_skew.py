@@ -282,3 +282,43 @@ def test_turtle_fixpoint_with_lang_and_datatypes(triples):
     assert canonicalize(c1) == c1
     reparsed = parse_turtle(c1)
     assert sorted(serialize_triple(*t) for t in reparsed) == c1.rstrip("\n").split("\n")
+
+
+class TestCappedTopkPerGroup:
+    def test_equals_naive_single_window(self, spark):
+        """Two-level salted capping ≡ one global window per group —
+        on a skewed frame (one group holds half the rows)."""
+        from pyspark.sql import Window
+
+        from rdf_diff_store_spark.operators.skew import capped_topk_per_group
+
+        df = spark.range(2000).select(
+            F.when(F.col("id") < 1000, F.lit("hub"))
+            .otherwise(F.concat(F.lit("g"), (F.col("id") % 37).cast("string")))
+            .alias("g"),
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("o"),
+        )
+        got = capped_topk_per_group(df, "g", [F.col("o"), F.col("id")], k=5)
+        w = Window.partitionBy("g").orderBy("o", "id")
+        want = (
+            df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 5)
+        )
+        a = {(r.g, r.id, r.rk) for r in got.collect()}
+        b = {(r.g, r.id, r.rk) for r in want.collect()}
+        assert a == b and len(a) > 0
+
+    def test_cap_enforced_and_deterministic(self, spark):
+        from rdf_diff_store_spark.operators.skew import capped_topk_per_group
+
+        df = spark.range(500).select(
+            (F.col("id") % 3).cast("string").alias("g"),
+            F.col("id"),
+            F.md5(F.col("id").cast("string")).alias("o"),
+        )
+        r1 = capped_topk_per_group(df, "g", [F.col("o"), F.col("id")], k=4)
+        r2 = capped_topk_per_group(
+            df.repartition(64), "g", [F.col("o"), F.col("id")], k=4
+        )
+        assert r1.groupBy("g").count().agg(F.max("count")).first()[0] == 4
+        assert {tuple(r) for r in r1.collect()} == {tuple(r) for r in r2.collect()}
