@@ -5639,6 +5639,66 @@ FROM ranked WHERE rk <= 8
 """
 
 
+
+def q_web_link_graph(spark, sf_dir):
+    """Web link-graph construction (functions/text.py::extract_links +
+    url_host) — the edge-extraction pass that turns crawl html into
+    the host-level graph PageRank/communities consume. Documents are
+    rendered as pages whose html carries two absolute links (double-
+    and single-quoted hrefs, targets closed-form in doc_id) plus a
+    relative href that must NOT become an edge; extraction and host
+    parsing run as pure JVM regexps, then one map-side-combinable
+    (src_host, dst_host) count. The oracle never runs the extractor:
+    it recomputes the edge multiset directly from the doc_id formulas,
+    so any regex/host-parsing drift breaks the match."""
+    from rdf_diff_store_spark.functions.text import extract_links, url_host
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def site_url(site_expr, page_expr):
+        return F.concat(
+            F.lit("https://site"),
+            site_expr.cast("string"),
+            F.lit(".example.org/d/"),
+            page_expr.cast("string"),
+        )
+
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<html><body><a href="'),
+        site_url((d * 7 + 1) % 20, d + 1),
+        F.lit('">x</a> <nav><a href=\''),
+        site_url((d * 13 + 5) % 20, d + 2),
+        F.lit("\'>y</a> <a href=\"/rel\">r</a></nav><p>"),
+        F.col("text"),
+        F.lit("</p></body></html>"),
+    )
+    pages = docs.select(site_url(d % 20, d).alias("url"), html.alias("html"))
+    edges = pages.select(
+        url_host(F.col("url")).alias("src_host"),
+        F.explode(extract_links(F.col("html"))).alias("link"),
+    ).select("src_host", url_host(F.col("link")).alias("dst_host"))
+    return (
+        edges.filter(F.col("dst_host") != "")
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+_ORACLE_R4["web_link_graph"] = """
+WITH e AS (
+  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src_host,
+         'site' || CAST((doc_id * 7 + 1) % 20 AS VARCHAR) || '.example.org' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org',
+         'site' || CAST((doc_id * 13 + 5) % 20 AS VARCHAR) || '.example.org'
+  FROM documents)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY src_host, dst_host
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -5737,6 +5797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_classifier": q_doc_quality_classifier,
         "kg_communities": q_kg_communities,
         "doc_source_cap": q_doc_source_cap,
+        "web_link_graph": q_web_link_graph,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

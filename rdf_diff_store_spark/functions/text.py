@@ -617,3 +617,36 @@ def linear_text_classifier(
             ).alias("keep"),
         )
     )
+
+
+def extract_links(html: "Column") -> "Column":
+    """All hyperlink targets in an html document as array<string> —
+    the edge-extraction pass that turns a crawl into the web link
+    graph (the input to host-level PageRank / community detection and
+    the KG's page→page evidence edges).
+
+    Pure JVM ``regexp_extract_all`` over the href attribute — the
+    pattern (``href="…"`` / ``href='…'``) is in the Java∩RE2 subset
+    so the DuckDB oracle extracts identically; no Python, no shuffle,
+    composes with `normalize_url`/`url_host` map-side. Deliberately
+    attribute-level (not a DOM parse): at 10^12 pages link extraction
+    must stay inside whole-stage codegen; the extractor UDF
+    (`extract_text_py`) owns the content path, this owns the edges.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    s = html.cast("string")
+    dq = F.regexp_extract_all(s, F.lit('href="([^"]*)"'), F.lit(1))
+    sq = F.regexp_extract_all(s, F.lit("href='([^']*)'"), F.lit(1))
+    return F.concat(dq, sq)
+
+
+def url_host(url: "Column") -> "Column":
+    """Lowercased authority (host[:port]) of an absolute URL, '' for
+    relative references — the grouping key for host-level graph
+    aggregation and per-domain capping. JVM regexp, RFC 3986 §3.2."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    return F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
+    )

@@ -166,3 +166,39 @@ class TestWarcToKg:
         a = {tuple(r) for r in direct.select(cols).collect()}
         b = {tuple(r) for r in via_warc.select(cols).collect()}
         assert a == b and len(a) > 0
+
+
+class TestLinkExtraction:
+    def test_extract_links_quoting_and_url_host(self, spark):
+        from rdf_diff_store_spark.functions.text import extract_links, url_host
+
+        html = (
+            '<a href="https://A.example/x">1</a>'
+            "<a class='z' href='http://b.example:8080/y?q=1#f'>2</a>"
+            '<img src="https://c.example/i.png"/>'
+            '<a href="/relative">3</a>'
+        )
+        df = spark.createDataFrame([(html.encode(),)], "html binary")
+        row = df.select(
+            extract_links(F.col("html")).alias("links")
+        ).first()
+        assert sorted(row.links) == [
+            "/relative",
+            "http://b.example:8080/y?q=1#f",
+            "https://A.example/x",
+        ]
+        hosts = df.select(
+            F.transform(
+                extract_links(F.col("html")), lambda u: url_host(u)
+            ).alias("h")
+        ).first().h
+        assert sorted(hosts) == ["", "a.example", "b.example:8080"]
+
+    def test_img_src_not_extracted_and_empty(self, spark):
+        from rdf_diff_store_spark.functions.text import extract_links
+
+        df = spark.createDataFrame(
+            [(b"<p>no links</p>",), (b"",)], "html binary"
+        )
+        rows = df.select(extract_links(F.col("html")).alias("l")).collect()
+        assert rows[0].l == [] and rows[1].l == []
