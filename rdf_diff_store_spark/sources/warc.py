@@ -182,7 +182,11 @@ def parse_warc_bytes(buf: bytes) -> Iterator[dict]:
                 body = block[http_end + 4 :]
         ts = None
         if "warc-date" in fields:
-            ts = datetime.strptime(fields["warc-date"], "%Y-%m-%dT%H:%M:%SZ")
+            # WARC 1.0 emits whole seconds; WARC 1.1 (and some real
+            # crawls) allows fractional seconds — accept both
+            raw_ts = fields["warc-date"]
+            fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in raw_ts else "%Y-%m-%dT%H:%M:%SZ"
+            ts = datetime.strptime(raw_ts, fmt)
         yield {
             "url": fields.get("warc-target-uri"),
             "warc_ts": ts,

@@ -202,3 +202,15 @@ class TestLinkExtraction:
         )
         rows = df.select(extract_links(F.col("html")).alias("l")).collect()
         assert rows[0].l == [] and rows[1].l == []
+
+
+def test_fractional_warc_date_parses():
+    """WARC 1.1 fractional-second dates (real crawls emit them)."""
+    http = b"HTTP/1.1 200 OK\r\n\r\nx"
+    rec = (
+        b"WARC/1.1\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+        b"WARC-Date: 2024-01-01T00:00:01.250000Z\r\nContent-Length: "
+        + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    got = list(parse_warc_bytes(rec))
+    assert got[0]["warc_ts"].microsecond == 250000
