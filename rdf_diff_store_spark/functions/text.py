@@ -650,3 +650,30 @@ def url_host(url: "Column") -> "Column":
     return F.lower(
         F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", 1)
     )
+
+
+def extract_anchors(html: "Column") -> "Column":
+    """(href, anchor text) pairs from an html document as
+    array<struct<href:string, anchor:string>> — the anchor-text signal
+    that names link targets (the strongest free entity-label evidence
+    a crawl carries; aggregated per target it seeds the KG's surface-
+    form dictionary that `pipeline/linking.py` scores against).
+
+    Same design rule as `extract_links`: a pure JVM
+    ``regexp_extract_all`` pass (attribute-level, not a DOM parse) so
+    extraction stays inside whole-stage codegen at 10^12 pages. The
+    pattern takes double-quoted hrefs whose element body is plain text
+    (``<a ... href="…" ...>text</a>``); two extractions with different
+    group indexes over the SAME pattern zip positionally — Spark
+    guarantees both scans see identical matches, so the zip can never
+    misalign.
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    s = html.cast("string")
+    pat = F.lit('<a\\s[^>]*href="([^"]*)"[^>]*>([^<]*)</a>')
+    hrefs = F.regexp_extract_all(s, pat, 1)
+    texts = F.regexp_extract_all(s, pat, 2)
+    return F.zip_with(
+        hrefs, texts, lambda h, t: F.struct(h.alias("href"), F.trim(t).alias("anchor"))
+    )

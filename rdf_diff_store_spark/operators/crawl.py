@@ -1,0 +1,185 @@
+"""Crawl-batch analytics: snapshot deltas between crawls, per-URL
+change-rate estimation (recrawl scheduling), and redirect-chain
+resolution — the web-corpus incarnation of the reference's versioned
+diff contract.
+
+The reference diffs *RDF graph* versions (added/removed triples
+between two timestamps, /root/reference/src/git.rs:131-179 checkout
+walk + git diff); a Common-Crawl-style pipeline needs the SAME
+semantics one level up, on the page table itself: which URLs appeared,
+vanished, or changed content between two crawl batches, how often each
+URL's content churns (the input to recrawl prioritization), and where
+each URL actually lands once its redirect chain is followed (the
+canonical node id for the link graph and the KG's page→entity
+evidence).
+
+Scale design, per operator:
+
+* ``crawl_delta`` — ONE aggregation shuffle on url with map-side
+  partial agg (the same single-scan dual-state shape as
+  ``operators/versioned.py::diff``): both crawl states are folded in
+  one groupBy, never a self-join of two snapshot scans. At 10^12 pages
+  the scan is the cost; the shuffle carries one row per touched url.
+* ``change_rate`` — one shuffle on url; the lag-window and the
+  per-url aggregation share the same hash partitioning, so Catalyst
+  plans a single Exchange (asserted by scripts/explain_audit.py).
+* ``resolve_redirects`` — pointer-doubling over the redirect MAPPING
+  (src→dst), not the page table: k composes of the mapping give
+  2^k-hop resolution, then ONE join applies the folded mapping to the
+  url universe. The mapping is ~1-5% of a crawl's urls, so every
+  compose (and usually the final apply) broadcasts; cycles are safe
+  because composition is total (f(u)=u off-domain) and the hop budget
+  is a fixed constant — no driver-side convergence poll, bit-exact in
+  any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def crawl_snapshot(pages: DataFrame, crawl_ts: str | Column) -> DataFrame:
+    """The state of one crawl batch: (url, content_hash) for every
+    page fetched at exactly ``crawl_ts``. Latest-wins within the batch
+    (a url can be re-fetched within one crawl; max_by on fetch order
+    is deterministic because warc_ts ties carry identical content)."""
+    c = F.lit(crawl_ts).cast("timestamp") if isinstance(crawl_ts, str) else crawl_ts
+    return (
+        pages.filter(F.col("warc_ts") == c)
+        .groupBy("url")
+        .agg(F.max("content_hash").alias("content_hash"))
+    )
+
+
+def crawl_delta(
+    pages: DataFrame, crawl1: str | Column, crawl2: str | Column
+) -> DataFrame:
+    """Added / removed / changed urls between two crawl batches.
+
+    ``pages`` needs (url, warc_ts, content_hash). A url is
+    * ``added``    — fetched in crawl2, absent from crawl1,
+    * ``removed``  — fetched in crawl1, absent from crawl2,
+    * ``changed``  — in both with different content hashes;
+    unchanged urls are dropped (at web scale they are ~90% of the
+    table and downstream wants the delta, exactly like the
+    reference's diff endpoint returns only added/removed triples).
+
+    Single-scan dual-state: one filter to the two batches, one
+    groupBy(url) folding both states with conditional max — no join,
+    no second scan. Output: (url, change, hash1, hash2).
+    """
+    c1 = F.lit(crawl1).cast("timestamp") if isinstance(crawl1, str) else crawl1
+    c2 = F.lit(crawl2).cast("timestamp") if isinstance(crawl2, str) else crawl2
+    dual = (
+        pages.filter(F.col("warc_ts").isin(c1, c2))
+        .groupBy("url")
+        .agg(
+            F.max(F.when(F.col("warc_ts") == c1, F.col("content_hash"))).alias("hash1"),
+            F.max(F.when(F.col("warc_ts") == c2, F.col("content_hash"))).alias("hash2"),
+        )
+    )
+    h1, h2 = F.col("hash1"), F.col("hash2")
+    return dual.withColumn(
+        "change",
+        F.when(h1.isNull() & h2.isNotNull(), "added")
+        .when(h1.isNotNull() & h2.isNull(), "removed")
+        .when(h1 != h2, "changed"),
+    ).filter(F.col("change").isNotNull())
+
+
+def change_rate(pages: DataFrame, bucket_thresholds: tuple[int, int] = (50, 20)) -> DataFrame:
+    """Per-url content churn across all crawls → recrawl priority.
+
+    For each url: ``n_crawls``, ``n_changes`` (fetches whose content
+    hash differs from the previous fetch of the same url),
+    ``change_pct`` = 100·n_changes div (n_crawls−1) (integer percent —
+    engine-portable, no float division), and a ``priority`` bucket:
+    'hot' (≥ ``bucket_thresholds[0]``), 'warm' (≥ ``[1]``), else
+    'cold'; single-fetch urls are 'new'. This is the classic
+    change-frequency estimator behind crawl scheduling (Cho &
+    Garcia-Molina 2003): revisit hot urls every cycle, cold ones
+    rarely.
+
+    Plan: lag() over (url ORDER BY warc_ts) then groupBy(url) — the
+    window and the aggregation hash-partition on the same key, so the
+    whole operator is ONE Exchange; the per-url sort is bounded by
+    crawl count (dozens), never corpus size.
+    """
+    from pyspark.sql import Window
+
+    hot, warm = bucket_thresholds
+    w = Window.partitionBy("url").orderBy("warc_ts")
+    flagged = pages.select(
+        "url",
+        "warc_ts",
+        (
+            F.lag("content_hash").over(w).isNotNull()
+            & (F.col("content_hash") != F.lag("content_hash").over(w))
+        )
+        .cast("int")
+        .alias("is_change"),
+    )
+    per_url = flagged.groupBy("url").agg(
+        F.count("*").alias("n_crawls"),
+        F.sum("is_change").cast("bigint").alias("n_changes"),
+    )
+    return per_url.select(
+        "url",
+        "n_crawls",
+        "n_changes",
+        F.expr("CAST(CASE WHEN n_crawls > 1 THEN (100 * n_changes) div (n_crawls - 1) ELSE 0 END AS BIGINT)").alias(
+            "change_pct"
+        ),
+        F.when(F.col("n_crawls") <= 1, "new")
+        .when(F.expr(f"(100 * n_changes) div (n_crawls - 1) >= {hot}"), "hot")
+        .when(F.expr(f"(100 * n_changes) div (n_crawls - 1) >= {warm}"), "warm")
+        .otherwise("cold")
+        .alias("priority"),
+    )
+
+
+def resolve_redirects(
+    urls: DataFrame,
+    redirects: DataFrame,
+    max_hops_log2: int = 3,
+    broadcast_mapping: bool = True,
+) -> DataFrame:
+    """Final landing url for every row of ``urls`` after following up
+    to ``2**max_hops_log2`` redirect hops.
+
+    ``urls`` has a single column ``url``; ``redirects`` has
+    (src, dst) — one outgoing redirect per src (HTTP gives at most
+    one Location per url; callers should dedup upstream, last-fetch
+    wins). Set ``broadcast_mapping=False`` when the redirect table
+    outgrows the broadcast threshold (the joins fall back to Spark's
+    planner choice — shuffled hash with AQE). Chains longer than the
+    hop budget — including cycles —
+    deterministically return the 2^k-th hop, so the operator never
+    loops on cyclic redirect graphs (a real crawl artifact) and an
+    unrolled fixed-hop oracle reproduces it bit-exactly.
+
+    Pointer doubling: compose the mapping with itself k times
+    (m₂(u)=m(m(u)), m₄=m₂∘m₂, …) — each compose is one left join of
+    the MAPPING with itself (redirect table ≈ small % of the crawl →
+    broadcast), then ONE join applies m_{2^k} to the url universe.
+    O(k) joins total instead of O(chain length), and the big table is
+    touched once. Output: (url, final_url, redirected).
+    """
+    bcast = F.broadcast if broadcast_mapping else (lambda df: df)
+    m = redirects.select(F.col("src"), F.col("dst")).localCheckpoint()
+    for _ in range(max_hops_log2):
+        nxt = m.select(F.col("src").alias("_s2"), F.col("dst").alias("_d2"))
+        m = (
+            m.join(bcast(nxt), m["dst"] == nxt["_s2"], "left")
+            .select(F.col("src"), F.coalesce(F.col("_d2"), F.col("dst")).alias("dst"))
+            .localCheckpoint()
+        )
+    folded = m.select(F.col("src").alias("_src"), F.col("dst").alias("_final"))
+    return urls.join(
+        bcast(folded), urls["url"] == folded["_src"], "left"
+    ).select(
+        "url",
+        F.coalesce(F.col("_final"), F.col("url")).alias("final_url"),
+        F.col("_final").isNotNull().alias("redirected"),
+    )

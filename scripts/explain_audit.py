@@ -431,6 +431,66 @@ def main() -> None:
         )
     )
 
+    # 21. crawl delta: single-scan dual state — ONE aggregation
+    # shuffle folding both batch states, no join anywhere
+    p_cd = plan_of(qs["crawl_batch_delta"](spark, sf_dir))
+    n_ex_cd = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_cd))
+    checks.append(
+        (
+            "crawl delta = single-scan dual state (1 shuffle, no join)",
+            n_ex_cd == 1 and "Join" not in p_cd,
+            f"{n_ex_cd} Exchange, join-free",
+        )
+    )
+
+    # 22. change rate: the lag window and the per-url aggregation
+    # share one hash partitioning — ONE Exchange total
+    p_cr = plan_of(qs["crawl_change_rate"](spark, sf_dir))
+    n_ex_cr = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_cr))
+    checks.append(
+        (
+            "change rate: window + agg share one Exchange",
+            n_ex_cr == 1,
+            f"{n_ex_cr} Exchange",
+        )
+    )
+
+    # 23. redirect resolution: every mapping compose AND the final
+    # apply are broadcast joins — the url universe is never shuffled
+    p_rr = plan_of(qs["redirect_resolve"](spark, sf_dir))
+    n_ex_rr = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_rr))
+    checks.append(
+        (
+            "redirect resolve applies by broadcast (0 shuffles)",
+            n_ex_rr == 0 and "BroadcastHashJoin" in p_rr,
+            f"{n_ex_rr} Exchange, broadcast apply",
+        )
+    )
+
+    # 24. inverted index: the two-stage build is exactly two shuffles
+    # (term,doc) then (term), both with map-side partial agg
+    p_ii = plan_of(qs["inverted_postings"](spark, sf_dir))
+    n_ex_ii = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_ii))
+    n_agg_ii = len(_re.findall(r"\(\d+\) (?:Hash|ObjectHash|Sort)Aggregate", p_ii))
+    checks.append(
+        (
+            "inverted index = two-stage build (2 shuffles, partial aggs)",
+            n_ex_ii == 2 and n_agg_ii == 4,
+            f"{n_ex_ii} Exchange, {n_agg_ii} aggregate nodes",
+        )
+    )
+
+    # 25. anchor extraction stays JVM: no Arrow/Python in the plan
+    p_at = plan_of(qs["anchor_text_top"](spark, sf_dir))
+    checks.append(
+        (
+            "anchor extraction is pure JVM (no Arrow hop)",
+            "ArrowEvalPython" not in p_at and "MapInPandas" not in p_at
+            and "BatchEvalPython" not in p_at,
+            "regexp zip in codegen",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")

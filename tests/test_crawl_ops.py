@@ -1,0 +1,236 @@
+"""Crawl-analytics operators (operators/crawl.py, operators/index.py,
+graph.py::hits, text.py::extract_anchors): semantics pinned on
+hand-built frames, cycle/chain edge cases, and model checks against
+naive Python implementations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pages(spark, rows):
+    df = spark.createDataFrame(rows, "url string, warc_ts string, content_hash string")
+    return df.withColumn("warc_ts", F.col("warc_ts").cast("timestamp_ntz"))
+
+
+C1, C2 = "2024-01-01 00:00:00", "2024-01-08 00:00:00"
+
+
+class TestCrawlDelta:
+    def test_classification(self, spark):
+        from rdf_diff_store_spark.operators.crawl import crawl_delta
+
+        pages = _pages(
+            spark,
+            [
+                ("u/keep", C1, "h1"), ("u/keep", C2, "h1"),        # unchanged → dropped
+                ("u/edit", C1, "h1"), ("u/edit", C2, "h2"),        # changed
+                ("u/old", C1, "h1"),                                # removed
+                ("u/new", C2, "h9"),                                # added
+            ],
+        )
+        got = {
+            r["url"]: (r["change"], r["hash1"], r["hash2"])
+            for r in crawl_delta(
+                pages,
+                F.lit(C1).cast("timestamp_ntz"),
+                F.lit(C2).cast("timestamp_ntz"),
+            ).collect()
+        }
+        assert got == {
+            "u/edit": ("changed", "h1", "h2"),
+            "u/old": ("removed", "h1", None),
+            "u/new": ("added", None, "h9"),
+        }
+
+    def test_other_crawls_ignored(self, spark):
+        from rdf_diff_store_spark.operators.crawl import crawl_delta
+
+        pages = _pages(
+            spark,
+            [
+                ("u/a", C1, "h1"),
+                ("u/a", "2024-01-04 00:00:00", "mid-crawl-noise"),
+                ("u/a", C2, "h1"),
+            ],
+        )
+        assert (
+            crawl_delta(
+                pages,
+                F.lit(C1).cast("timestamp_ntz"),
+                F.lit(C2).cast("timestamp_ntz"),
+            ).count()
+            == 0
+        )
+
+
+class TestChangeRate:
+    def test_buckets(self, spark):
+        from rdf_diff_store_spark.operators.crawl import change_rate
+
+        ts = [f"2024-01-0{k} 00:00:00" for k in (1, 2, 3, 4)]
+        pages = _pages(
+            spark,
+            # hot: changes every crawl (3/3)
+            [("u/hot", ts[k], f"h{k}") for k in range(4)]
+            # warm: one change (1/3 = 33%)
+            + [("u/warm", ts[0], "a"), ("u/warm", ts[1], "a"),
+               ("u/warm", ts[2], "b"), ("u/warm", ts[3], "b")]
+            # cold: never changes
+            + [("u/cold", t, "same") for t in ts]
+            # new: single fetch
+            + [("u/new", ts[0], "x")],
+        )
+        got = {
+            r["url"]: (r["n_crawls"], r["n_changes"], r["change_pct"], r["priority"])
+            for r in change_rate(pages).collect()
+        }
+        assert got == {
+            "u/hot": (4, 3, 100, "hot"),
+            "u/warm": (4, 1, 33, "warm"),
+            "u/cold": (4, 0, 0, "cold"),
+            "u/new": (1, 0, 0, "new"),
+        }
+
+
+class TestResolveRedirects:
+    def _run(self, spark, urls, edges, log2=3):
+        from rdf_diff_store_spark.operators.crawl import resolve_redirects
+
+        u = spark.createDataFrame([(x,) for x in urls], "url string")
+        m = spark.createDataFrame(edges, "src string, dst string")
+        return {
+            r["url"]: (r["final_url"], r["redirected"])
+            for r in resolve_redirects(u, m, max_hops_log2=log2).collect()
+        }
+
+    def test_chain_and_untouched(self, spark):
+        got = self._run(
+            spark, ["a", "b", "c", "d", "z"], [("a", "b"), ("b", "c"), ("c", "d")]
+        )
+        assert got["a"] == ("d", True)
+        assert got["b"] == ("d", True)
+        assert got["c"] == ("d", True)
+        assert got["d"] == ("d", False)  # chain end: no outgoing redirect
+        assert got["z"] == ("z", False)
+
+    def test_cycle_terminates_deterministically(self, spark):
+        # 2-cycle: 8 hops (even) from either member lands back on itself
+        got = self._run(spark, ["p", "q", "in"], [("p", "q"), ("q", "p"), ("in", "p")])
+        assert got["p"] == ("p", True)
+        assert got["q"] == ("q", True)
+        # entering the cycle: 8 hops from 'in' = in→p then 7 toggles → q
+        assert got["in"] == ("q", True)
+
+    def test_matches_naive_follow(self, spark):
+        # model check: doubling == naive 8-step follow on a pseudo-random
+        # functional graph (every node has at most one outgoing edge)
+        nodes = [f"n{i}" for i in range(60)]
+        edges = [
+            (f"n{i}", f"n{(i * 13 + 7) % 60}") for i in range(60) if i % 3 != 0
+        ]
+        m = dict(edges)
+
+        def follow(u, hops=8):
+            for _ in range(hops):
+                u = m.get(u, u)
+            return u
+
+        got = self._run(spark, nodes, edges)
+        for n in nodes:
+            assert got[n] == (follow(n), n in m), n
+
+
+class TestInvertedIndex:
+    def test_small_corpus(self, spark):
+        from rdf_diff_store_spark.operators.index import inverted_index
+
+        docs = spark.createDataFrame(
+            [
+                (3, "the cat sat"),
+                (1, "the the dog"),
+                (2, "cat cat the"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["term"]: (r["df"], r["cf"], r["postings"])
+            for r in inverted_index(docs, postings_cap=2).collect()
+        }
+        assert got["the"] == (3, 4, "1,2")  # cap=2 keeps the two smallest ids
+        assert got["cat"] == (2, 3, "2,3")
+        assert got["sat"] == (1, 1, "3")
+        assert got["dog"] == (1, 1, "1")
+
+    def test_min_df_prunes(self, spark):
+        from rdf_diff_store_spark.operators.index import inverted_index
+
+        docs = spark.createDataFrame(
+            [(1, "a b"), (2, "a c")], "doc_id long, text string"
+        )
+        terms = {r["term"] for r in inverted_index(docs, min_df=2).collect()}
+        assert terms == {"a"}
+
+
+class TestAnchors:
+    def test_extract_pairs_and_relative(self, spark):
+        from rdf_diff_store_spark.functions.text import extract_anchors
+
+        html = (
+            '<a class="x" href="https://h1.org/p">  One  </a>'
+            '<a href="/rel">Rel</a><a href="https://h2.org">Two<b>!</b></a>'
+        )
+        df = spark.createDataFrame([(html,)], "html string")
+        rows = df.select(F.explode(extract_anchors(F.col("html"))).alias("a")).collect()
+        pairs = [(r["a"]["href"], r["a"]["anchor"]) for r in rows]
+        # the <b>-nested body does NOT match ([^<]* body only) — the
+        # extractor is attribute-level by design, plain-text bodies only
+        assert pairs == [("https://h1.org/p", "One"), ("/rel", "Rel")]
+
+
+class TestHits:
+    def test_matches_python_model(self, spark):
+        from rdf_diff_store_spark.operators.graph import hits
+
+        edges = [(f"n{i}", f"n{(i * 7 + 3) % 15}") for i in range(15)] + [
+            ("n0", "n5"),
+            ("n1", "n5"),
+            ("n2", "n5"),
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: (r["hub_micro"], r["auth_micro"])
+            for r in hits(df, iterations=3).collect()
+        }
+
+        # integer model with identical div-by-max rescale
+        e = sorted(set(edges))
+        nodes = sorted({x for p in e for x in p})
+        hub = {n: 1_000_000 for n in nodes}
+        auth = {}
+        for _ in range(3):
+            raw = {n: 0 for n in nodes}
+            for s, d in e:
+                raw[d] += hub[s]
+            sc = max(1, max(raw.values()) // 1_000_000)
+            auth = {n: v // sc for n, v in raw.items()}
+            raw = {n: 0 for n in nodes}
+            for s, d in e:
+                raw[s] += auth[d]
+            sc = max(1, max(raw.values()) // 1_000_000)
+            hub = {n: v // sc for n, v in raw.items()}
+        assert got == {n: (hub[n], auth[n]) for n in nodes}
+
+    def test_sink_and_source_scores(self, spark):
+        from rdf_diff_store_spark.operators.graph import hits
+
+        # star: s1,s2,s3 → t ; t has no out-edges → pure authority
+        df = spark.createDataFrame(
+            [("s1", "t"), ("s2", "t"), ("s3", "t")], "src string, dst string"
+        )
+        got = {r["node"]: r for r in hits(df, iterations=2).collect()}
+        assert got["t"]["hub_micro"] == 0
+        assert got["t"]["auth_micro"] > 0
+        assert got["s1"]["auth_micro"] == 0
+        assert got["s1"]["hub_micro"] == got["s2"]["hub_micro"] > 0
