@@ -6049,6 +6049,108 @@ FROM h{iterations} h JOIN a{iterations} a USING (node)"""
 _ORACLE_R4["web_hits"] = _hits_oracle()
 
 
+def q_robots_url_filter(spark, sf_dir):
+    """robots.txt policy filtering (operators/crawl.py::
+    robots_disallow_prefixes + robots_filter) — the fetch-gate every
+    crawler applies before a url enters the frontier. Each of the 20
+    closed-form hosts carries a robots.txt exercising the RFC 9309
+    group machine: a 'megabot' group whose 'Disallow: /' must NOT
+    apply, a '*' group with a real prefix, an empty Disallow (no
+    rule), and an extra '/x/' prefix on every third host. The policy
+    parse is ONE JVM aggregate fold (no Python); the url table joins
+    the tiny policy frame by broadcast and the prefix test runs
+    map-side — the oracle derives allowed/denied arithmetically from
+    the doc_id formulas, never parsing anything."""
+    from rdf_diff_store_spark.operators.crawl import robots_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".example.org"))
+    path = (
+        F.when(d % 3 == 0, F.concat(F.lit("/d/"), d.cast("string")))
+        .when(d % 3 == 1, F.concat(F.lit("/x/"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/p/"), d.cast("string")))
+    )
+    urls = docs.select(F.concat(F.lit("https://"), host, path).alias("url"))
+    robots = (
+        docs.select((d % 20).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("site"), F.col("h").cast("string"), F.lit(".example.org")).alias("host"),
+            F.concat(
+                F.lit(
+                    "# crawl policy\n"
+                    "User-agent: megabot\n"
+                    "Disallow: /\n"
+                    "\n"
+                    "User-agent: *\n"
+                    "Disallow: /d/  # keep drafts out\n"
+                    "Disallow:\n"
+                ),
+                F.when(F.col("h") % 3 == 0, F.lit("Disallow: /x/\n")).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+    )
+    return robots_filter(urls, robots)
+
+
+_ORACLE_R4["robots_url_filter"] = """
+WITH u AS (
+  SELECT doc_id, doc_id % 20 AS h,
+         CASE doc_id % 3
+           WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/x/' || CAST(doc_id AS VARCHAR)
+           ELSE '/p/' || CAST(doc_id AS VARCHAR) END AS path
+  FROM documents)
+SELECT 'https://site' || CAST(h AS VARCHAR) || '.example.org' || path AS url,
+       'site' || CAST(h AS VARCHAR) || '.example.org' AS host,
+       path,
+       CASE doc_id % 3
+         WHEN 0 THEN false
+         WHEN 1 THEN h % 3 <> 0
+         ELSE true END AS allowed
+FROM u
+"""
+
+
+def q_crawl_frontier_schedule(spark, sf_dir):
+    """Politeness-aware frontier scheduling (operators/crawl.py::
+    frontier_schedule): urls rank within their host by (priority
+    DESC, url), hosts hash into 64 md5-derived politeness lanes, and
+    fetch_slot = rank·64 + lane guarantees same-host fetches are ≥ 64
+    slots apart — the fetcher-queue sharding real crawlers use,
+    with NO global host ordinal (that would need a 10^8-host global
+    sort). ONE shuffle (the per-host window); the lane is map-side.
+    The oracle reproduces rank and lane with the same md5 bits."""
+    from rdf_diff_store_spark.operators.crawl import frontier_schedule
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    frontier = docs.select(
+        _crawl_url(d).alias("url"),
+        F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".example.org")).alias("host"),
+        ((d * 37) % 100).cast("bigint").alias("priority"),
+    )
+    return frontier_schedule(frontier, n_lanes=64)
+
+
+_ORACLE_R4["crawl_frontier_schedule"] = f"""
+WITH f AS (
+  SELECT {_CRAWL_URL} AS url,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+         CAST((doc_id * 37) % 100 AS BIGINT) AS priority
+  FROM documents),
+l AS (
+  SELECT *,
+         ('0x' || substr(md5(host), 1, 13))::BIGINT % 64 AS lane,
+         row_number() OVER (PARTITION BY host ORDER BY priority DESC, url) AS rk
+  FROM f)
+SELECT url, host, priority, lane,
+       CAST((rk - 1) * 64 + lane AS BIGINT) AS fetch_slot
+FROM l
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6157,6 +6259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_postings": q_inverted_postings,
         "anchor_text_top": q_anchor_text_top,
         "web_hits": q_web_hits,
+        "robots_url_filter": q_robots_url_filter,
+        "crawl_frontier_schedule": q_crawl_frontier_schedule,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -183,3 +183,127 @@ def resolve_redirects(
         F.coalesce(F.col("_final"), F.col("url")).alias("final_url"),
         F.col("_final").isNotNull().alias("redirected"),
     )
+
+
+def robots_disallow_prefixes(robots_txt: Column) -> Column:
+    """Disallow path prefixes that apply to a generic crawler ('*'
+    user-agent groups) from a robots.txt document, as array<string> —
+    RFC 9309 subset, parsed entirely JVM-side.
+
+    One ``F.aggregate`` fold over the line array keeps the group
+    state machine (consecutive ``User-agent:`` lines form ONE group,
+    RFC 9309 §2.2.1; rules bind to the current group) inside
+    whole-stage codegen — at 10^8 hosts the policy parse is a
+    map-only pass, no Python, no shuffle. Scope, documented and
+    loud: ``Disallow`` prefixes only (empty Disallow = no rule;
+    ``Allow`` precedence and ``$``/``*`` wildcards are NOT
+    implemented — a match here means "some * group disallows this
+    prefix"), comments stripped at ``#``.
+    """
+    lines = F.split(robots_txt, r"\r?\n")
+    # keyword matching is case-insensitive; the path VALUE is not
+    ua_re = r"(?i)^\s*user-agent\s*:\s*(\S+)\s*$"
+    dis_val_re = r"(?i)^\s*disallow\s*:\s*(\S*)\s*$"
+    dis_key_re = r"(?i)^\s*disallow\s*:"
+    init = F.struct(
+        F.lit(False).alias("in_star"),
+        F.lit(False).alias("prev_ua"),
+        F.array().cast("array<string>").alias("prefixes"),
+    )
+
+    def merge(acc, raw):
+        line = F.substring_index(raw, "#", 1)
+        ua = F.regexp_extract(line, ua_re, 1)
+        is_ua = ua != ""
+        is_dis = line.rlike(dis_key_re)
+        dis = F.regexp_extract(line, dis_val_re, 1)
+        star = ua == "*"
+        return F.struct(
+            F.when(is_ua, F.when(acc.prev_ua, acc.in_star | star).otherwise(star))
+            .otherwise(acc.in_star)
+            .alias("in_star"),
+            is_ua.alias("prev_ua"),
+            F.when(
+                ~is_ua & acc.in_star & is_dis & (dis != ""),
+                F.array_append(acc.prefixes, dis),
+            )
+            .otherwise(acc.prefixes)
+            .alias("prefixes"),
+        )
+
+    return F.aggregate(lines, init, merge, lambda acc: acc.prefixes)
+
+
+def robots_filter(urls: DataFrame, robots: DataFrame, url_col: str = "url") -> DataFrame:
+    """Tag every url allowed/denied under its host's robots policy.
+
+    ``robots`` carries (host, robots_txt); the policy table is tiny
+    relative to the crawl (one row per host), so the join broadcasts
+    and the prefix test (``F.exists`` over the parsed array) runs
+    map-side — the 10^12-row url table is never shuffled. Hosts with
+    no robots row are allowed (the crawl default). Output adds
+    (host, path, allowed)."""
+    from rdf_diff_store_spark.functions.text import url_host
+
+    rules = robots.select(
+        F.col("host").alias("_host"),
+        robots_disallow_prefixes(F.col("robots_txt")).alias("_prefixes"),
+    )
+    u = urls.withColumn("host", url_host(F.col(url_col))).withColumn(
+        "path",
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract(F.col(url_col), r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", 1),
+                F.lit(""),
+            ),
+            F.lit("/"),
+        ),
+    )
+    path = F.col("path")
+    return u.join(F.broadcast(rules), u["host"] == rules["_host"], "left").select(
+        *[c for c in u.columns],
+        F.when(
+            F.col("_prefixes").isNull(), F.lit(True)
+        ).otherwise(~F.exists("_prefixes", lambda p: path.startswith(p))).alias("allowed"),
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    n_lanes: int = 64,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    url_col: str = "url",
+) -> DataFrame:
+    """Politeness-aware fetch ordering for a crawl frontier.
+
+    Every host hashes to one of ``n_lanes`` politeness lanes (the
+    fetcher-queue sharding real crawlers use: lane = worker); within
+    its host, urls rank by (priority DESC, url ASC); the fetch slot is
+
+        slot = rank_within_host · n_lanes + lane(host)
+
+    so two fetches of the SAME host are always ≥ n_lanes slots apart
+    (politeness by construction), while different hosts fill the
+    lanes in parallel. The lane hash is md5-derived (engine-portable,
+    seedless) rather than a global host ordinal: a dense host index
+    would need a global sort over 10^8 hosts, and collisions between
+    hosts in one lane are exactly what a shared fetcher queue means.
+    Plan: ONE shuffle (the per-host window); the lane is a map-side
+    expression. Output adds (lane, fetch_slot)."""
+    from pyspark.sql import Window
+
+    lane = F.conv(F.substring(F.md5(F.col(host_col)), 1, 13), 16, 10).cast(
+        "long"
+    ) % n_lanes
+    w = Window.partitionBy(host_col).orderBy(
+        F.col(priority_col).desc(), F.col(url_col)
+    )
+    return frontier.select(
+        "*",
+        lane.alias("lane"),
+        (
+            (F.row_number().over(w) - F.lit(1)).cast("bigint") * n_lanes
+            + lane
+        ).alias("fetch_slot"),
+    )

@@ -491,6 +491,32 @@ def main() -> None:
         )
     )
 
+    # 26. robots filter: policy broadcast, prefix test map-side — the
+    # url table is never shuffled, and the parse fold is pure JVM
+    p_rb = plan_of(qs["robots_url_filter"](spark, sf_dir))
+    n_ex_rb = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_rb))
+    checks.append(
+        (
+            "robots filter: broadcast policy, url side unshuffled",
+            "BroadcastHashJoin" in p_rb
+            and "ArrowEvalPython" not in p_rb
+            and "MapInPandas" not in p_rb,
+            f"{n_ex_rb} shuffle Exchange (policy-side dedup only), JVM parse",
+        )
+    )
+
+    # 27. frontier schedule: exactly ONE shuffle (the per-host window);
+    # the lane hash is a map-side expression
+    p_fs = plan_of(qs["crawl_frontier_schedule"](spark, sf_dir))
+    n_ex_fs = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_fs))
+    checks.append(
+        (
+            "frontier schedule = one per-host window shuffle",
+            n_ex_fs == 1,
+            f"{n_ex_fs} Exchange",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")

@@ -234,3 +234,88 @@ class TestHits:
         assert got["t"]["auth_micro"] > 0
         assert got["s1"]["auth_micro"] == 0
         assert got["s1"]["hub_micro"] == got["s2"]["hub_micro"] > 0
+
+
+class TestRobots:
+    def _prefixes(self, spark, txt):
+        from rdf_diff_store_spark.operators.crawl import robots_disallow_prefixes
+
+        df = spark.createDataFrame([(txt,)], "robots_txt string")
+        return df.select(robots_disallow_prefixes(F.col("robots_txt")).alias("p")).first()["p"]
+
+    def test_star_group_only(self, spark):
+        txt = (
+            "User-agent: megabot\nDisallow: /\n\n"
+            "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n\n"
+            "User-agent: other\nDisallow: /other/\n"
+        )
+        assert self._prefixes(spark, txt) == ["/private/", "/tmp/"]
+
+    def test_stacked_user_agents_share_group(self, spark):
+        # RFC 9309 §2.2.1: consecutive UA lines form ONE group
+        txt = "User-agent: a\nUser-agent: *\nDisallow: /s/\n"
+        assert self._prefixes(spark, txt) == ["/s/"]
+        # a rule line ENDS the group: the next UA starts a fresh one
+        txt2 = "User-agent: *\nDisallow: /s/\nUser-agent: b\nDisallow: /t/\n"
+        assert self._prefixes(spark, txt2) == ["/s/"]
+
+    def test_empty_disallow_comments_case(self, spark):
+        txt = "USER-AGENT: *\nDisallow:   # no rule\nDISALLOW: /X/  # comment\n"
+        assert self._prefixes(spark, txt) == ["/X/"]
+
+    def test_filter_allows_hosts_without_policy(self, spark):
+        from rdf_diff_store_spark.operators.crawl import robots_filter
+
+        urls = spark.createDataFrame(
+            [
+                ("https://a.org/d/1",),
+                ("https://a.org/p/1",),
+                ("https://b.org/d/1",),   # no robots row → allowed
+                ("https://a.org/",),      # empty path → '/'
+            ],
+            "url string",
+        )
+        robots = spark.createDataFrame(
+            [("a.org", "User-agent: *\nDisallow: /d/")], "host string, robots_txt string"
+        )
+        got = {r["url"]: (r["allowed"], r["path"]) for r in robots_filter(urls, robots).collect()}
+        assert got == {
+            "https://a.org/d/1": (False, "/d/1"),
+            "https://a.org/p/1": (True, "/p/1"),
+            "https://b.org/d/1": (True, "/d/1"),
+            "https://a.org/": (True, "/"),
+        }
+
+
+class TestFrontierSchedule:
+    def test_politeness_spacing_and_order(self, spark):
+        from rdf_diff_store_spark.operators.crawl import frontier_schedule
+
+        rows = [(f"u{i}", f"h{i % 3}", (i * 7) % 10) for i in range(30)]
+        df = spark.createDataFrame(rows, "url string, host string, priority long")
+        out = frontier_schedule(df, n_lanes=8).collect()
+        by_host: dict[str, list] = {}
+        for r in out:
+            by_host.setdefault(r["host"], []).append(r)
+        for host, rs in by_host.items():
+            rs.sort(key=lambda r: r["fetch_slot"])
+            # same-host fetches are exactly n_lanes apart
+            slots = [r["fetch_slot"] for r in rs]
+            assert all(b - a == 8 for a, b in zip(slots, slots[1:])), host
+            # all in one lane, slot ≡ lane (mod n_lanes)
+            assert {r["lane"] for r in rs} == {slots[0] % 8}
+            # ordered by priority desc then url
+            keys = [(-r["priority"], r["url"]) for r in rs]
+            assert keys == sorted(keys), host
+
+    def test_deterministic_under_repartition(self, spark):
+        from rdf_diff_store_spark.operators.crawl import frontier_schedule
+
+        rows = [(f"u{i}", f"h{i % 5}", 1) for i in range(40)]
+        df = spark.createDataFrame(rows, "url string, host string, priority long")
+        a = {(r["url"], r["fetch_slot"]) for r in frontier_schedule(df).collect()}
+        b = {
+            (r["url"], r["fetch_slot"])
+            for r in frontier_schedule(df.repartition(16)).collect()
+        }
+        assert a == b
