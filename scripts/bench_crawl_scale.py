@@ -1,0 +1,165 @@
+"""Crawl-analytics operators at 100×-the-test-scale: synthesize a
+multi-ten-million-row page table IN Spark (no driver data), then time
+crawl_delta / change_rate / resolve_redirects / frontier_schedule /
+robots_filter over it — evidence that the single-scan dual-state,
+one-window, and broadcast-apply plan shapes hold far beyond the
+sf0.01 driver tables.
+
+Usage: python scripts/bench_crawl_scale.py [n_urls] [n_crawls]
+Defaults: 8,000,000 urls × 4 crawls = 32,000,000 page rows over
+200,000 hosts, redirect mapping ≈ 2% of urls, local[$SPARK_GRAFT_CPUS].
+Prints one JSON line for BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    n_urls = int(sys.argv[1]) if len(sys.argv) > 1 else 8_000_000
+    n_crawls = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    n_hosts = max(n_urls // 40, 1)
+
+    from rdf_diff_store_spark.operators.crawl import (
+        change_rate,
+        crawl_delta,
+        frontier_schedule,
+        resolve_redirects,
+        robots_filter,
+    )
+    from rdf_diff_store_spark.session import get_spark
+
+    spark = get_spark("bench-crawl-scale")
+    cpus = spark.sparkContext.defaultParallelism
+
+    # deterministic synthetic crawl: url u fetched in crawl k at
+    # ts = 2024-01-01 + k days; content version bumps when
+    # (u + k) % 4 == 0; every 9th url is skipped in odd crawls
+    # (membership churn feeds added/removed)
+    base = F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    rows = spark.range(n_urls * n_crawls).select(
+        (F.col("id") % n_urls).alias("u"),
+        (F.col("id") / n_urls).cast("int").alias("k"),
+    )
+    pages = (
+        rows.filter(~((F.col("u") % 9 == 0) & (F.col("k") % 2 == 1)))
+        .select(
+            F.concat(
+                F.lit("https://host"),
+                (F.col("u") % n_hosts).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("u").cast("string"),
+            ).alias("url"),
+            F.timestamp_add("DAY", F.col("k"), base).alias("warc_ts"),
+            F.md5(
+                F.concat(
+                    F.col("u").cast("string"),
+                    F.lit("#"),
+                    # cumulative version counter ≈ changes up to k
+                    F.floor((F.col("u") + F.col("k")) / 4).cast("string"),
+                )
+            ).alias("content_hash"),
+            F.col("u"),
+        )
+    )
+
+    t0 = time.perf_counter()
+    pages = pages.localCheckpoint()
+    n = pages.count()
+    gen_sec = round(time.perf_counter() - t0, 2)
+
+    timings: dict[str, float] = {}
+
+    def timed(name, fn):
+        best = None
+        for _ in range(3):  # min of 3: first rep pays JIT/codegen
+            t = time.perf_counter()
+            fn()
+            r = time.perf_counter() - t
+            best = r if best is None else min(best, r)
+        timings[name] = round(best, 2)
+
+    c1, c2 = "2024-01-01 00:00:00", f"2024-01-0{n_crawls} 00:00:00"
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    timed(
+        "crawl_delta",
+        lambda: noop(
+            crawl_delta(
+                pages,
+                F.lit(c1).cast("timestamp_ntz"),
+                F.lit(c2).cast("timestamp_ntz"),
+            )
+        ),
+    )
+    timed("change_rate", lambda: noop(change_rate(pages)))
+
+    urls = pages.select("url", "u").filter(
+        F.col("warc_ts") == F.lit(c1).cast("timestamp_ntz")
+    )
+    redirects = urls.filter(F.col("u") % 50 == 0).select(
+        F.col("url").alias("src"),
+        F.concat(
+            F.lit("https://host"),
+            ((F.col("u") + 1) % n_hosts).cast("string"),
+            F.lit(".example.org/p/"),
+            (F.col("u") + 1).cast("string"),
+        ).alias("dst"),
+    )
+    url_only = urls.select("url").localCheckpoint()
+    timed(
+        "resolve_redirects",
+        lambda: noop(resolve_redirects(url_only, redirects, broadcast_mapping=False)),
+    )
+
+    frontier = urls.select(
+        "url",
+        F.concat(
+            F.lit("host"), (F.col("u") % n_hosts).cast("string"), F.lit(".example.org")
+        ).alias("host"),
+        ((F.col("u") * 37) % 100).cast("bigint").alias("priority"),
+    ).localCheckpoint()
+    timed("frontier_schedule", lambda: noop(frontier_schedule(frontier)))
+
+    robots = (
+        spark.range(n_hosts)
+        .select(
+            F.concat(F.lit("host"), F.col("id").cast("string"), F.lit(".example.org")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\nDisallow: /d/\n"),
+                F.when(F.col("id") % 3 == 0, F.lit("Disallow: /p/1")).otherwise(F.lit("")),
+            ).alias("robots_txt"),
+        )
+        .localCheckpoint()
+    )
+    timed("robots_filter", lambda: noop(robots_filter(url_only, robots)))
+
+    print(
+        json.dumps(
+            {
+                "metric": "crawl_scale",
+                "page_rows": n,
+                "urls": n_urls,
+                "crawls": n_crawls,
+                "hosts": n_hosts,
+                "cpus": cpus,
+                "generate_sec": gen_sec,
+                "timings_sec": timings,
+                "delta_rows_per_sec": round(n / timings["crawl_delta"], 0),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
