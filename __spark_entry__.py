@@ -6151,6 +6151,113 @@ FROM l
 """
 
 
+def q_canonical_resolve(spark, sf_dir):
+    """rel=canonical chain resolution (functions/text.py::
+    extract_canonical + operators/crawl.py::resolve_redirects): pages
+    declare their canonical url in <link rel=canonical>; the
+    (url → canonical) mapping composes through the SAME pointer-
+    doubling operator as redirects, collapsing canonical CHAINS
+    (mirror → edition → master) to the final master url. Closed-form
+    pages: doc_id%4==1 canonicalizes to doc_id-1 (chain tail) and
+    %4==2 to doc_id-1 (so 2→1→0 chains exercise multi-hop); both
+    attribute orders of the link element appear. The oracle never
+    runs the extractor — it rebuilds the mapping from the doc_id
+    rules and composes it in SQL."""
+    from rdf_diff_store_spark.functions.text import extract_canonical
+    from rdf_diff_store_spark.operators.crawl import resolve_redirects
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    link = (
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('<link rel="canonical" href="'),
+                _crawl_url(d - 1),
+                F.lit('">'),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit('<link href="'), _crawl_url(d - 1), F.lit('" rel="canonical">')
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), link, F.lit("</head><body>"), F.col("text"), F.lit("</body></html>")
+    )
+    pages = docs.select(_crawl_url(d).alias("url"), html.alias("html"))
+    mapping = pages.select(
+        F.col("url").alias("src"), extract_canonical(F.col("html")).alias("dst")
+    ).filter(F.col("dst").isNotNull())
+    return resolve_redirects(pages.select("url"), mapping, max_hops_log2=3).select(
+        "url",
+        F.col("final_url").alias("canonical_url"),
+        F.col("redirected").alias("canonicalized"),
+    )
+
+
+_ORACLE_R4["canonical_resolve"] = f"""
+WITH u AS (SELECT {_CRAWL_URL} AS url FROM documents),
+m0 AS (
+  SELECT {_CRAWL_URL} AS src,
+         'https://crawl.example.org/p/' || CAST(doc_id - 1 AS VARCHAR) AS dst
+  FROM documents WHERE doc_id % 4 IN (1, 2)),
+m1 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst FROM m0 a LEFT JOIN m0 b ON a.dst = b.src),
+m2 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst FROM m1 a LEFT JOIN m1 b ON a.dst = b.src),
+m3 AS (SELECT a.src, COALESCE(b.dst, a.dst) AS dst FROM m2 a LEFT JOIN m2 b ON a.dst = b.src)
+SELECT u.url, COALESCE(m3.dst, u.url) AS canonical_url,
+       m3.src IS NOT NULL AS canonicalized
+FROM u LEFT JOIN m3 ON u.url = m3.src
+"""
+
+
+def q_sitemap_discovery(spark, sf_dir):
+    """Sitemap ingestion (functions/text.py::extract_sitemap_urls) —
+    the discovery feed that seeds the frontier alongside extracted
+    links. Each of the 20 closed-form hosts publishes a sitemap.xml
+    listing its documents' urls (with spec-legal whitespace padding);
+    extraction is one JVM regexp + trim, then explode and ONE
+    map-side-combinable count per host. The oracle rebuilds the url
+    multiset from the doc_id formulas."""
+    from rdf_diff_store_spark.functions.text import extract_sitemap_urls
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    entry = F.concat(
+        F.lit("<url><loc> https://site"),
+        (d % 20).cast("string"),
+        F.lit(".example.org/p/"),
+        d.cast("string"),
+        F.lit(" </loc></url>"),
+    )
+    sitemaps = (
+        docs.select((d % 20).alias("h"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit('<?xml version="1.0"?><urlset>'),
+                F.concat_ws("", F.sort_array(F.collect_list("e"))),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+    )
+    urls = sitemaps.select(
+        F.col("h"), F.explode(extract_sitemap_urls(F.col("xml"))).alias("url")
+    )
+    return urls.groupBy(F.col("url")).agg(F.count("*").cast("bigint").alias("n_listed"))
+
+
+_ORACLE_R4["sitemap_discovery"] = """
+SELECT 'https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(1 AS BIGINT) AS n_listed
+FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6261,6 +6368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_hits": q_web_hits,
         "robots_url_filter": q_robots_url_filter,
         "crawl_frontier_schedule": q_crawl_frontier_schedule,
+        "canonical_resolve": q_canonical_resolve,
+        "sitemap_discovery": q_sitemap_discovery,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

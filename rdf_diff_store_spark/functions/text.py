@@ -677,3 +677,36 @@ def extract_anchors(html: "Column") -> "Column":
     return F.zip_with(
         hrefs, texts, lambda h, t: F.struct(h.alias("href"), F.trim(t).alias("anchor"))
     )
+
+
+def extract_canonical(html: "Column") -> "Column":
+    """The rel=canonical link target of an html document (NULL when
+    absent) — the page's OWN statement of its canonical url, the
+    third deduplication signal a crawl carries besides content hashes
+    and redirects. Feeding the (url → canonical) mapping through
+    `operators/crawl.py::resolve_redirects` collapses canonical
+    CHAINS (a → b, b → c) exactly like redirect chains.
+
+    Attribute order is free in html, so two JVM regexps cover
+    rel-then-href and href-then-rel; first match wins (documents are
+    expected to carry at most one). Pure whole-stage codegen, same
+    design rule as `extract_links`."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    s = html.cast("string")
+    a = F.regexp_extract(s, '<link[^>]*rel="canonical"[^>]*href="([^"]*)"', 1)
+    b = F.regexp_extract(s, '<link[^>]*href="([^"]*)"[^>]*rel="canonical"', 1)
+    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
+
+
+def extract_sitemap_urls(xml: "Column") -> "Column":
+    """All <loc> entries of a sitemap.xml document as array<string> —
+    the crawl-discovery feed that seeds the frontier alongside
+    extracted links. Whitespace around the url is trimmed (the spec
+    allows it); JVM regexp, map-only."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    locs = F.regexp_extract_all(xml.cast("string"), F.lit("<loc>([^<]*)</loc>"), 1)
+    # NOT F.transform(locs, F.trim): trim's optional second parameter
+    # (the trim-character set) would receive transform's index argument.
+    return F.transform(locs, lambda c: F.trim(c))

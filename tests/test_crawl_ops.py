@@ -319,3 +319,47 @@ class TestFrontierSchedule:
             for r in frontier_schedule(df.repartition(16)).collect()
         }
         assert a == b
+
+
+class TestCanonicalSitemap:
+    def test_extract_canonical_both_orders(self, spark):
+        from rdf_diff_store_spark.functions.text import extract_canonical
+
+        df = spark.createDataFrame(
+            [
+                ('<head><link rel="canonical" href="https://m.org/1"></head>',),
+                ('<head><link href="https://m.org/2" rel="canonical"></head>',),
+                ("<head><link rel=\"stylesheet\" href=\"/css\"></head>",),
+                ("<head></head>",),
+            ],
+            "html string",
+        )
+        got = [r[0] for r in df.select(extract_canonical(F.col("html"))).collect()]
+        assert got == ["https://m.org/1", "https://m.org/2", None, None]
+
+    def test_sitemap_locs_trimmed(self, spark):
+        from rdf_diff_store_spark.functions.text import extract_sitemap_urls
+
+        xml = (
+            '<?xml version="1.0"?><urlset><url><loc> https://a.org/1 </loc></url>'
+            "<url><loc>https://a.org/2</loc></url></urlset>"
+        )
+        df = spark.createDataFrame([(xml,)], "xml string")
+        got = df.select(extract_sitemap_urls(F.col("xml")).alias("u")).first()["u"]
+        assert got == ["https://a.org/1", "https://a.org/2"]
+
+    def test_canonical_chain_composes_with_resolver(self, spark):
+        from rdf_diff_store_spark.operators.crawl import resolve_redirects
+
+        # mirror → edition → master collapses to master
+        urls = spark.createDataFrame(
+            [("mirror",), ("edition",), ("master",)], "url string"
+        )
+        mapping = spark.createDataFrame(
+            [("mirror", "edition"), ("edition", "master")], "src string, dst string"
+        )
+        got = {
+            r["url"]: r["final_url"]
+            for r in resolve_redirects(urls, mapping).collect()
+        }
+        assert got == {"mirror": "master", "edition": "master", "master": "master"}
