@@ -6258,6 +6258,70 @@ FROM documents
 """
 
 
+def q_doc_boilerplate_strip(spark, sf_dir):
+    """Statistical boilerplate removal (operators/boilerplate.py::
+    strip_boilerplate) — CCNet/RefinedWeb-style: a line appearing in
+    >= 50% (and >= 2) of a host's pages is template and is stripped
+    before the text reaches dedup/quality/KG stages. Pages carry a
+    per-host NAV header and FOOTER (template by construction, 100%
+    share) plus their unique body; the oracle recomputes the whole
+    statistic in SQL — including any body lines that happen to repeat
+    across a host's documents — so both engines must agree on the
+    *derived* template set, not just the injected one. Output hashes
+    the cleaned text (md5, portable) to keep compared values small."""
+    from rdf_diff_store_spark.operators.boilerplate import strip_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 20).cast("string")
+    page_text = F.concat(
+        F.lit("NAV site "), host, F.lit("\n"),
+        F.col("text"),
+        F.lit("\nFOOTER site "), host,
+    )
+    pages = docs.select("doc_id", host.alias("host"), page_text.alias("text"))
+    out = strip_boilerplate(pages)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_removed",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+    )
+
+
+_ORACLE_R4["doc_boilerplate_strip"] = """
+WITH p AS (
+  SELECT doc_id, CAST(doc_id % 20 AS VARCHAR) AS host,
+         'NAV site ' || CAST(doc_id % 20 AS VARCHAR) || chr(10) || text
+           || chr(10) || 'FOOTER site ' || CAST(doc_id % 20 AS VARCHAR) AS text
+  FROM documents),
+l AS (
+  SELECT doc_id, host,
+         generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+         unnest(string_split(text, chr(10))) AS line
+  FROM p),
+lh AS (
+  SELECT *, CASE WHEN length(trim(line)) > 0 THEN md5(trim(line)) END AS h
+  FROM l),
+stats AS (
+  SELECT host, h, count(DISTINCT doc_id) AS n_docs
+  FROM lh WHERE h IS NOT NULL GROUP BY host, h),
+hp AS (SELECT host, count(*) AS np FROM p GROUP BY host),
+tpl AS (
+  SELECT host, h FROM stats JOIN hp USING (host)
+  WHERE n_docs * 100 >= 50 * np AND n_docs >= 2),
+k AS (
+  SELECT lh.doc_id, lh.pos, lh.line, (tpl.h IS NOT NULL) AS is_t
+  FROM lh LEFT JOIN tpl ON lh.host = tpl.host AND lh.h = tpl.h)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       md5(COALESCE(
+         string_agg(CASE WHEN NOT is_t THEN line END, chr(10) ORDER BY pos),
+         '')) AS clean_md5
+FROM k GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6370,6 +6434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_schedule": q_crawl_frontier_schedule,
         "canonical_resolve": q_canonical_resolve,
         "sitemap_discovery": q_sitemap_discovery,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -517,6 +517,27 @@ def main() -> None:
         )
     )
 
+    # 28. boilerplate strip: every per-row step is codegen (no Python,
+    # no global Sort — reassembly sorts inside the array), the
+    # template set and host counts apply by broadcast, and the big
+    # exploded frame crosses exactly 4 Exchanges (distinct, stats,
+    # host counts, reassemble)
+    p_bp = plan_of(qs["doc_boilerplate_strip"](spark, sf_dir))
+    n_ex_bp = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_bp))
+    n_bc_bp = len(_re.findall(r"\(\d+\) BroadcastHashJoin", p_bp))
+    checks.append(
+        (
+            "boilerplate strip: broadcast template apply, no sort, JVM-only",
+            n_ex_bp <= 4
+            and n_bc_bp == 2
+            and "SortMergeJoin" not in p_bp
+            and _re.search(r"\(\d+\) Sort[ \n]", p_bp) is None
+            and "ArrowEvalPython" not in p_bp
+            and "MapInPandas" not in p_bp,
+            f"{n_ex_bp} Exchange, {n_bc_bp} broadcast joins, sort-free",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
