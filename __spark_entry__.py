@@ -6322,6 +6322,58 @@ FROM k GROUP BY doc_id
 """
 
 
+def q_doc_phrase_search(spark, sf_dir):
+    """Positional phrase search (operators/index.py::phrase_search) —
+    the postings-intersection query of the index family (IIR §2.4):
+    tokenize-with-position, filter to the phrase's words BEFORE the
+    one shuffle, per-doc sorted position array per phrase slot, then
+    a pure array-expression intersection (start p where slot i holds
+    p+i). Two phrases in one result: a distinct-words 3-gram and a
+    repeated-word 3-gram (overlapping occurrences count — a run of
+    four 'batch' holds two starts). The oracle mirrors the position
+    algebra with per-slot CTEs and +1/+2 equi-joins."""
+    from rdf_diff_store_spark.operators.index import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = phrase_search(docs, "merge line table").withColumn(
+        "phrase", F.lit("merge line table")
+    )
+    b = phrase_search(docs, "batch batch batch").withColumn(
+        "phrase", F.lit("batch batch batch")
+    )
+    return a.unionByName(b).select("phrase", "doc_id", "n_matches", "first_pos")
+
+
+_ORACLE_R4["doc_phrase_search"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) - 1 AS pos,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+m0 AS (SELECT doc_id, pos FROM t WHERE term = 'merge'),
+m1 AS (SELECT doc_id, pos FROM t WHERE term = 'line'),
+m2 AS (SELECT doc_id, pos FROM t WHERE term = 'table'),
+sm AS (
+  SELECT m0.doc_id, m0.pos FROM m0
+  JOIN m1 ON m1.doc_id = m0.doc_id AND m1.pos = m0.pos + 1
+  JOIN m2 ON m2.doc_id = m0.doc_id AND m2.pos = m0.pos + 2),
+bb AS (SELECT doc_id, pos FROM t WHERE term = 'batch'),
+sb AS (
+  SELECT b0.doc_id, b0.pos FROM bb b0
+  JOIN bb b1 ON b1.doc_id = b0.doc_id AND b1.pos = b0.pos + 1
+  JOIN bb b2 ON b2.doc_id = b0.doc_id AND b2.pos = b0.pos + 2)
+SELECT 'merge line table' AS phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM sm GROUP BY doc_id
+UNION ALL
+SELECT 'batch batch batch' AS phrase, doc_id,
+       CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM sb GROUP BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6435,6 +6487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_resolve": q_canonical_resolve,
         "sitemap_discovery": q_sitemap_discovery,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
+        "doc_phrase_search": q_doc_phrase_search,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -63,3 +63,70 @@ def inverted_index(
     if min_df > 1:
         out = out.filter(F.col("df") >= min_df)
     return out
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional phrase search: documents containing the exact token
+    sequence ``phrase``, with overlapping-occurrence counts.
+
+    This is the postings-INTERSECTION side of the index family: the
+    classic positional-index phrase query (Manning et al., IIR §2.4)
+    evaluated corpus-parallel. The plan is the 100 TB shape:
+
+    * tokenize + posexplode, then FILTER to the phrase's words before
+      anything wide — only postings of queried terms ever shuffle
+      (the per-term selectivity a real index gets from seeking its
+      postings lists, recovered here by predicate pushdown);
+    * ONE shuffle: groupBy(doc) collecting one sorted position array
+      per phrase slot (collect_list partial-aggregates map-side;
+      per-group state is bounded by the doc's occurrences of the
+      queried words, never doc length);
+    * the intersection (start p where slot i contains p+i for all i)
+      is a per-row array expression — whole-stage codegen, no UDF,
+      no join. Overlapping matches count: a run of four "batch"
+      tokens holds two starts of "batch batch batch".
+
+    Token positions are indices into the RAW whitespace split (the
+    corpus-standard tokenizer), so consecutive means adjacent words
+    in the original text. Returns (id_col, n_matches, first_pos)
+    for matching docs only.
+    """
+    words = [w for w in phrase.lower().split() if w]
+    if not words:
+        raise ValueError("phrase_search: empty phrase")
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.lower(F.trim(text_col)), r"\s+")).alias("pos", "term"),
+    ).filter(F.col("term").isin(words))
+    slots = toks.groupBy("_id").agg(
+        *[
+            F.array_sort(
+                F.collect_list(F.when(F.col("term") == w, F.col("pos")))
+            ).alias(f"_p{i}")
+            for i, w in enumerate(words)
+        ]
+    )
+    # single-parameter lambdas ONLY: a second (defaulted) parameter
+    # would make F.filter pass the element index into it (the same
+    # trap as F.transform(locs, F.trim) — higher-order functions
+    # dispatch on lambda arity)
+    def _step(arr, i: int):
+        return F.filter(arr, lambda p: F.array_contains(F.col(f"_p{i}"), p + i))
+
+    starts = F.col("_p0")
+    for i in range(1, len(words)):
+        starts = _step(starts, i)
+    return (
+        slots.withColumn("_starts", starts)
+        .filter(F.size("_starts") > 0)
+        .select(
+            F.col("_id").alias(id_col),
+            F.size("_starts").cast("bigint").alias("n_matches"),
+            F.element_at("_starts", 1).cast("bigint").alias("first_pos"),
+        )
+    )

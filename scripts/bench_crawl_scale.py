@@ -28,6 +28,7 @@ def main() -> None:
     n_crawls = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     n_hosts = max(n_urls // 40, 1)
 
+    from rdf_diff_store_spark.operators.boilerplate import strip_boilerplate
     from rdf_diff_store_spark.operators.crawl import (
         change_rate,
         crawl_delta,
@@ -144,6 +145,34 @@ def main() -> None:
     )
     timed("robots_filter", lambda: noop(robots_filter(url_only, robots)))
 
+    # boilerplate strip over half the urls: 6 lines/page (2 host
+    # templates + shared nav + 3 unique body lines) — the exploded
+    # line frame is ~3× the page count of the other legs
+    host = F.concat(F.lit("host"), (F.col("u") % n_hosts).cast("string"))
+    bp_pages = (
+        urls.filter(F.col("u") % 2 == 0)
+        .select(
+            F.col("url").alias("doc_id"),
+            host.alias("host"),
+            F.concat_ws(
+                "\n",
+                F.concat(F.lit("NAV "), host),
+                F.lit("HOME | ABOUT | CONTACT"),
+                F.concat(F.lit("body alpha "), F.col("u").cast("string")),
+                F.concat(F.lit("body beta "), (F.col("u") * 7).cast("string")),
+                F.concat(F.lit("body gamma "), (F.col("u") * 13).cast("string")),
+                F.concat(F.lit("FOOTER legal "), host),
+            ).alias("text"),
+        )
+        .repartition(cpus * 2)
+        .localCheckpoint()
+    )
+    n_bp = bp_pages.count()
+    timed(
+        "strip_boilerplate",
+        lambda: noop(strip_boilerplate(bp_pages, id_col="doc_id")),
+    )
+
     print(
         json.dumps(
             {
@@ -154,6 +183,7 @@ def main() -> None:
                 "hosts": n_hosts,
                 "cpus": cpus,
                 "generate_sec": gen_sec,
+                "boilerplate_pages": n_bp,
                 "timings_sec": timings,
                 "delta_rows_per_sec": round(n / timings["crawl_delta"], 0),
             }

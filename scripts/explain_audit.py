@@ -538,6 +538,22 @@ def main() -> None:
         )
     )
 
+    # 29. phrase search: the word filter sits UNDER the one shuffle
+    # (only queried terms' postings move), the intersection is array
+    # expressions (no join per phrase slot), JVM end to end
+    p_ps = plan_of(qs["doc_phrase_search"](spark, sf_dir))
+    n_join_ps = len(_re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p_ps))
+    checks.append(
+        (
+            "phrase search: filtered postings, join-free intersection",
+            n_join_ps == 0
+            and "ArrowEvalPython" not in p_ps
+            and "MapInPandas" not in p_ps
+            and _re.search(r"term#\d+ IN \(", p_ps) is not None,
+            f"{n_join_ps} joins, pushdown term filter present",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")

@@ -363,3 +363,77 @@ class TestCanonicalSitemap:
             for r in resolve_redirects(urls, mapping).collect()
         }
         assert got == {"mirror": "master", "edition": "master", "master": "master"}
+
+
+class TestPhraseSearch:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox"),
+                (2, "quick brown quick brown fox"),
+                (3, "batch batch batch batch"),
+                (4, "no match here"),
+                (5, "Quick  Brown fox"),
+                (6, "brown quick"),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_two_word_phrase(self, spark):
+        from rdf_diff_store_spark.operators.index import phrase_search
+
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(self._df(spark), "quick brown").collect()
+        }
+        # order matters: doc 6 has the words but reversed
+        assert got == {1: (1, 1), 2: (2, 0), 5: (1, 0)}
+
+    def test_overlapping_repeated_word_phrase(self, spark):
+        from rdf_diff_store_spark.operators.index import phrase_search
+
+        got = {
+            r["doc_id"]: r["n_matches"]
+            for r in phrase_search(self._df(spark), "batch batch batch").collect()
+        }
+        assert got == {3: 2}
+
+    def test_single_word_and_case_fold(self, spark):
+        from rdf_diff_store_spark.operators.index import phrase_search
+
+        got = {
+            r["doc_id"]: r["first_pos"]
+            for r in phrase_search(self._df(spark), "FOX").collect()
+        }
+        assert got == {1: 3, 2: 4, 5: 2}
+
+    def test_matches_python_model(self, spark):
+        from rdf_diff_store_spark.operators.index import phrase_search
+
+        rows = [(i, " ".join(
+            ["a", "b", "c", "a", "b"][(i + j) % 5] for j in range(12)
+        )) for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        phrase = "a b c"
+        want = {}
+        for doc, text in rows:
+            toks = text.lower().split()
+            starts = [
+                p for p in range(len(toks) - 2)
+                if toks[p : p + 3] == phrase.split()
+            ]
+            if starts:
+                want[doc] = (len(starts), starts[0])
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(df, phrase).collect()
+        }
+        assert got == want
+
+    def test_empty_phrase_raises(self, spark):
+        import pytest as _pytest
+
+        from rdf_diff_store_spark.operators.index import phrase_search
+
+        with _pytest.raises(ValueError):
+            phrase_search(self._df(spark), "   ")
