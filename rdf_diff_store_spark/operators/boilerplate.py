@@ -121,6 +121,7 @@ def strip_boilerplate(
     text_col: str = "text",
     share_pct: int = 50,
     min_docs: int = 2,
+    checkpoint_lines: bool = False,
 ) -> DataFrame:
     """Remove template lines from every page of their host.
 
@@ -133,19 +134,57 @@ def strip_boilerplate(
     Pages whose every line is template come back with clean_text = ''
     (they are pure navigation shells — downstream quality filters
     drop them on length).
+
+    ``checkpoint_lines=True`` materializes the exploded line frame
+    once (EAGER localCheckpoint — two branches of one job would
+    racily double-compute a lazy one) so the stats branch and the
+    apply branch share the split+md5 work instead of each re-running
+    it; costs local-disk space ≈ the text itself. Default off: the
+    declarative form lets Catalyst push page-level filters into both
+    scans, which the checkpoint barrier would block.
     """
-    templates = template_lines(pages, id_col, host_col, text_col, share_pct, min_docs)
-    lines = _lines(pages, id_col, host_col, text_col)
+    lines_src = _lines(pages, id_col, host_col, text_col)
+    if checkpoint_lines:
+        lines_src = lines_src.localCheckpoint(eager=True)
+        stats = (
+            lines_src.filter(F.col("h").isNotNull())
+            .groupBy("_host", "h")
+            .agg(F.count_distinct("_id").alias("n_docs"))
+        )
+        host_pages = (
+            lines_src.filter(F.col("pos") == 0)
+            .groupBy("_host")
+            .agg(F.count("*").alias("host_pages"))
+        )
+        templates = (
+            stats.join(F.broadcast(host_pages), "_host")
+            .filter(
+                (F.col("n_docs") * 100 >= F.lit(share_pct) * F.col("host_pages"))
+                & (F.col("n_docs") >= F.lit(min_docs))
+            )
+            .select(F.col("_host").alias("host"), "h")
+        )
+    else:
+        templates = template_lines(
+            pages, id_col, host_col, text_col, share_pct, min_docs
+        )
+    lines = lines_src
+    # rename the template keys before joining: under checkpoint_lines
+    # both sides share the checkpointed plan's lineage, and
+    # dataframe-qualified access would be ambiguous
+    tpl = templates.select(
+        F.col("host").alias("_t_host"), F.col("h").alias("_t_h")
+    )
     flagged = lines.join(
-        templates,
-        (lines["_host"] == templates["host"]) & (lines["h"] == templates["h"]),
+        tpl,
+        (F.col("_host") == F.col("_t_host")) & (F.col("h") == F.col("_t_h")),
         "left_outer",
     ).select(
         "_id",
         "_host",
         "pos",
         "line",
-        templates["h"].isNotNull().alias("is_template"),
+        F.col("_t_h").isNotNull().alias("is_template"),
     )
     kept = F.filter(
         F.array_sort(

@@ -29,6 +29,7 @@ def main() -> None:
     n_hosts = max(n_urls // 40, 1)
 
     from rdf_diff_store_spark.operators.boilerplate import strip_boilerplate
+    from rdf_diff_store_spark.operators.index import phrase_search
     from rdf_diff_store_spark.operators.crawl import (
         change_rate,
         crawl_delta,
@@ -168,9 +169,21 @@ def main() -> None:
         .localCheckpoint()
     )
     n_bp = bp_pages.count()
+    # default (declarative) mode: checkpoint_lines=True measured
+    # FASTER at 2M pages (8.0 vs 11.0 s) but SLOWER at 4M
+    # (45.9 vs 27.4 s) — the materialized line frame outgrows the
+    # recompute saving; see SCALE.md
     timed(
         "strip_boilerplate",
         lambda: noop(strip_boilerplate(bp_pages, id_col="doc_id")),
+    )
+
+    # phrase search over the same 4M docs: 'body' appears 3×/doc and
+    # 'alpha' 1×/doc, so ~16M postings rows survive the term filter —
+    # a worst-case-dense phrase, not a selective one
+    timed(
+        "phrase_search",
+        lambda: noop(phrase_search(bp_pages, "body alpha", id_col="doc_id")),
     )
 
     print(

@@ -119,3 +119,13 @@ class TestStripBoilerplate:
             for r in strip_boilerplate(pages.repartition(16)).collect()
         }
         assert a == b
+
+    def test_checkpoint_lines_mode_identical(self, spark, pages):
+        plain = {
+            tuple(r) for r in strip_boilerplate(pages).collect()
+        }
+        ckpt = {
+            tuple(r)
+            for r in strip_boilerplate(pages, checkpoint_lines=True).collect()
+        }
+        assert plain == ckpt
