@@ -52,10 +52,14 @@ def _lines(pages: DataFrame, id_col: str, host_col: str, text_col: str) -> DataF
     enter the statistics or match a template row.
     """
     line = F.col("line")
+    # NULL text must not drop the page from the output (posexplode
+    # emits no row for a NULL array): treat it as empty text
     return pages.select(
         F.col(id_col).alias("_id"),
         F.col(host_col).alias("_host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).withColumn(
         "h",
         F.when(F.length(F.trim(line)) > 0, F.md5(F.trim(line))),

@@ -129,3 +129,13 @@ class TestStripBoilerplate:
             for r in strip_boilerplate(pages, checkpoint_lines=True).collect()
         }
         assert plain == ckpt
+
+    def test_null_text_page_survives_as_empty(self, spark):
+        rows = [(1, "h", "NAV"), (2, "h", "NAV"), (3, "h", None)]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in strip_boilerplate(df).collect()
+        }
+        assert set(got) == {1, 2, 3}
+        assert got[3] == ("", 1, 0)
