@@ -6374,6 +6374,67 @@ FROM sb GROUP BY doc_id
 """
 
 
+def q_host_quality_rollup(spark, sf_dir):
+    """Host-level curation rollup (RefinedWeb/C4 practice: corpora are
+    admitted or blocked per SOURCE, not per page — a host whose pages
+    are junk on average is cut wholesale). One map-side-combinable
+    aggregation per host over pure-JVM per-doc signals; ratios are
+    single divisions of EXACT integer sums (never averages of
+    per-doc doubles — summation-order-proof across engines, the
+    integer-arithmetic rule every portable oracle here follows)."""
+    docs = load_table(spark, sf_dir, "documents")
+    host = (F.col("doc_id") % 20).cast("string")
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    chars = F.length(F.col("text"))
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per_doc = docs.select(
+        host.alias("host"),
+        alpha_chars.alias("ac"),
+        chars.alias("c"),
+        n_tok.alias("t"),
+        F.col("lang"),
+    )
+    agg = per_doc.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("t").cast("bigint").alias("sum_tokens"),
+        F.count_distinct("lang").cast("bigint").alias("n_langs"),
+        F.sum("ac").cast("bigint").alias("_sa"),
+        F.sum("c").cast("bigint").alias("_sc"),
+    )
+    alpha_pct = F.round(F.col("_sa") * 100.0 / F.col("_sc"), 4)
+    return agg.select(
+        "host",
+        "n_docs",
+        "sum_tokens",
+        "n_langs",
+        alpha_pct.alias("alpha_pct"),
+        (alpha_pct < F.lit(70.0)).alias("blocked"),
+    )
+
+
+_ORACLE_R4["host_quality_rollup"] = r"""
+WITH per_doc AS (
+  SELECT CAST(doc_id % 20 AS VARCHAR) AS host,
+         len(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS ac,
+         len(text) AS c,
+         len(string_split_regex(trim(text), '\s+')) AS t,
+         lang
+  FROM documents),
+agg AS (
+  SELECT host,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(t) AS BIGINT) AS sum_tokens,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(sum(ac) AS BIGINT) AS sa,
+         CAST(sum(c) AS BIGINT) AS sc
+  FROM per_doc GROUP BY host)
+SELECT host, n_docs, sum_tokens, n_langs,
+       round(sa * 100.0 / sc, 4) AS alpha_pct,
+       round(sa * 100.0 / sc, 4) < 70.0 AS blocked
+FROM agg
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6488,6 +6549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_discovery": q_sitemap_discovery,
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_phrase_search": q_doc_phrase_search,
+        "host_quality_rollup": q_host_quality_rollup,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
