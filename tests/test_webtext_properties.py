@@ -1,0 +1,89 @@
+"""Property tests (hypothesis) for the webtext operators added in
+round 4 session 11: phrase_search and strip_boilerplate against
+brute-force Python models on randomized small inputs.
+
+Few examples per property (each evaluates a Spark job); the
+deterministic model tests in test_crawl_ops.py / test_boilerplate.py
+cover the named edge cases — these sweep the input space.
+"""
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F  # noqa: F401  (parity with sibling files)
+
+from rdf_diff_store_spark.operators.boilerplate import strip_boilerplate
+from rdf_diff_store_spark.operators.index import phrase_search
+
+WORD = st.sampled_from(["a", "b", "c", "ab", "x"])
+TEXT = st.lists(WORD, min_size=0, max_size=12).map(" ".join)
+PHRASE = st.lists(WORD, min_size=1, max_size=3).map(" ".join)
+
+LINE = st.sampled_from(["nav", "footer", "body one", "body two", "", "  "])
+PAGE = st.lists(LINE, min_size=1, max_size=5).map("\n".join)
+HOST = st.sampled_from(["h1", "h2"])
+
+
+def _phrase_model(rows, phrase):
+    words = phrase.split()
+    out = {}
+    for doc, text in rows:
+        toks = [t for t in text.lower().split()]
+        starts = [
+            p
+            for p in range(len(toks) - len(words) + 1)
+            if toks[p : p + len(words)] == words
+        ]
+        if starts:
+            out[doc] = (len(starts), starts[0])
+    return out
+
+
+def _strip_model(rows, share_pct=50, min_docs=2):
+    from collections import defaultdict
+
+    host_pages = defaultdict(int)
+    seen = defaultdict(set)
+    for doc, host, text in rows:
+        host_pages[host] += 1
+        for line in text.split("\n"):
+            if line.strip():
+                seen[(host, line.strip())].add(doc)
+    tpl = {
+        (h, ln)
+        for (h, ln), docs in seen.items()
+        if len(docs) * 100 >= share_pct * host_pages[h] and len(docs) >= min_docs
+    }
+    out = {}
+    for doc, host, text in rows:
+        lines = text.split("\n")
+        kept = [l for l in lines if (host, l.strip()) not in tpl]
+        out[doc] = ("\n".join(kept), len(lines), len(lines) - len(kept))
+    return out
+
+
+class TestPhraseSearchProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(TEXT, min_size=1, max_size=12), PHRASE)
+    def test_matches_model(self, spark, texts, phrase):
+        rows = list(enumerate(texts))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_matches"], r["first_pos"])
+            for r in phrase_search(df, phrase).collect()
+        }
+        # model uses the whitespace-collapsed token list; Spark's
+        # posexplode positions index the \s+ split of the trimmed
+        # text, which is the same sequence for these inputs
+        assert got == _phrase_model(rows, phrase)
+
+
+class TestStripBoilerplateProperty:
+    @settings(max_examples=6, deadline=None)
+    @given(st.lists(st.tuples(HOST, PAGE), min_size=1, max_size=10))
+    def test_matches_model(self, spark, pages):
+        rows = [(i, h, t) for i, (h, t) in enumerate(pages)]
+        df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+        got = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+            for r in strip_boilerplate(df).collect()
+        }
+        assert got == _strip_model(rows)
