@@ -316,7 +316,7 @@ def bloom_bits(
     positions collapse map-side, the shuffle carries ≤ m_bits longs,
     and the result is a single ≤ m_bits-element array — broadcast
     state, like the reference's in-memory store index
-    (/root/reference/src/rdf/mod.rs:1-60) shrunk to bits. Sizing rule:
+    (/root/reference/src/rdf.rs:1-60) shrunk to bits. Sizing rule:
     false-positive rate ≈ (1 - e^(-k·n/m))^k; m = 10·n bits with k=3
     gives ~3 %. The array-of-longs representation is the ORACLE-
     portable form; a production deployment at 10^10 eval grams would
