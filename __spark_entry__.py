@@ -6435,6 +6435,114 @@ FROM agg
 """
 
 
+def q_kg_rdfs_entail(spark, sf_dir):
+    """RDFS entailment materialization (operators/entailment.py::
+    rdfs_entailment) — the ρdf rule set (rdfs2/3/5/7/9/11) forward-
+    chained over a triples frame so inherited types are visible to
+    snapshot queries without per-query reasoning (the reference
+    evaluates SPARQL over asserted triples only —
+    /root/reference/src/query.rs:102). Schema: a three-level class
+    hierarchy (nation-class ⊑ region-class ⊑ world) plus a
+    subPropertyOf chain (in_nation ⊑ located ⊑ related) with
+    domain/range on in_nation; instances: customers linked to nation
+    individuals, nations typed with their own class. The T-box closes
+    with the doubling transitive_closure and broadcasts into every
+    rule join; the instance side never shuffles until the final
+    distinct. The oracle derives the identical closure with recursive
+    CTEs — bit-exact, all-string triples."""
+    from rdf_diff_store_spark.operators.entailment import rdfs_entailment
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    sc = nation.select(
+        F.concat(F.lit("class:n"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("rdfs:subClassOf").alias("p"),
+        F.concat(F.lit("class:r"), F.col("n_regionkey").cast("string")).alias("o"),
+    ).unionByName(
+        region.select(
+            F.concat(F.lit("class:r"), F.col("r_regionkey").cast("string")).alias("s"),
+            F.lit("rdfs:subClassOf").alias("p"),
+            F.lit("class:world").alias("o"),
+        )
+    )
+    schema_rows = spark.createDataFrame(
+        [
+            ("p:in_nation", "rdfs:subPropertyOf", "p:located"),
+            ("p:located", "rdfs:subPropertyOf", "p:related"),
+            ("p:in_nation", "rdfs:domain", "class:Customer"),
+            ("p:in_nation", "rdfs:range", "class:Place"),
+        ],
+        ["s", "p", "o"],
+    )
+    abox = cust.select(
+        F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")).alias("s"),
+        F.lit("p:in_nation").alias("p"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")).alias("o"),
+    ).unionByName(
+        nation.select(
+            F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string")).alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.concat(F.lit("class:n"), F.col("n_nationkey").cast("string")).alias("o"),
+        )
+    )
+    triples = sc.unionByName(schema_rows).unionByName(abox)
+    return rdfs_entailment(triples)
+
+
+_ORACLE_R4["kg_rdfs_entail"] = """
+WITH RECURSIVE
+sp_edges(src, dst) AS (
+  VALUES ('p:in_nation', 'p:located'), ('p:located', 'p:related')),
+sp_c(src, dst) AS (
+  SELECT src, dst FROM sp_edges
+  UNION
+  SELECT s.src, e.dst FROM sp_c s JOIN sp_edges e ON s.dst = e.src),
+sc_edges(src, dst) AS (
+  SELECT 'class:n' || CAST(n_nationkey AS VARCHAR),
+         'class:r' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION ALL
+  SELECT 'class:r' || CAST(r_regionkey AS VARCHAR), 'class:world' FROM region),
+sc_c(src, dst) AS (
+  SELECT src, dst FROM sc_edges
+  UNION
+  SELECT s.src, e.dst FROM sc_c s JOIN sc_edges e ON s.dst = e.src),
+doms(prop, cls) AS (VALUES ('p:in_nation', 'class:Customer')),
+rngs(prop, cls) AS (VALUES ('p:in_nation', 'class:Place')),
+asserted(s, p, o) AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'p:in_nation',
+         'nat:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'rdf:type',
+         'class:n' || CAST(n_nationkey AS VARCHAR) FROM nation
+  UNION ALL SELECT src, 'rdfs:subClassOf', dst FROM sc_edges
+  UNION ALL SELECT src, 'rdfs:subPropertyOf', dst FROM sp_edges
+  UNION ALL SELECT prop, 'rdfs:domain', cls FROM doms
+  UNION ALL SELECT prop, 'rdfs:range', cls FROM rngs),
+widened(s, p, o) AS (
+  SELECT s, p, o FROM asserted
+  UNION ALL
+  SELECT a.s, c.dst, a.o FROM asserted a JOIN sp_c c ON a.p = c.src),
+dom_types(s, p, o) AS (
+  SELECT w.s, 'rdf:type', d.cls FROM widened w JOIN doms d ON w.p = d.prop),
+rng_types(s, p, o) AS (
+  SELECT w.o, 'rdf:type', r.cls FROM widened w JOIN rngs r ON w.p = r.prop),
+all_types(s, p, o) AS (
+  SELECT s, p, o FROM widened WHERE p = 'rdf:type'
+  UNION ALL SELECT s, p, o FROM dom_types
+  UNION ALL SELECT s, p, o FROM rng_types),
+inh_types(s, p, o) AS (
+  SELECT t.s, t.p, c.dst FROM all_types t JOIN sc_c c ON t.o = c.src)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM widened
+  UNION ALL SELECT src, 'rdfs:subPropertyOf', dst FROM sp_c
+  UNION ALL SELECT s, p, o FROM dom_types
+  UNION ALL SELECT s, p, o FROM rng_types
+  UNION ALL SELECT src, 'rdfs:subClassOf', dst FROM sc_c
+  UNION ALL SELECT s, p, o FROM inh_types)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6550,6 +6658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_boilerplate_strip": q_doc_boilerplate_strip,
         "doc_phrase_search": q_doc_phrase_search,
         "host_quality_rollup": q_host_quality_rollup,
+        "kg_rdfs_entail": q_kg_rdfs_entail,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

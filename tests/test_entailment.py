@@ -1,0 +1,95 @@
+"""RDFS entailment materialization: each ρdf rule pinned on a
+hand-built graph (operators/entailment.py::rdfs_entailment).
+
+The reference evaluates SPARQL over asserted triples only
+(/root/reference/src/query.rs:102); this operator is the load-time
+closure that makes inherited types visible without per-query
+reasoning.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from rdf_diff_store_spark.operators.entailment import rdfs_entailment
+
+
+def _entail(spark, rows):
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    return {tuple(r) for r in rdfs_entailment(df).collect()}
+
+
+@pytest.fixture(scope="module")
+def closed(spark):
+    rows = [
+        # T-box: class chain A ⊑ B ⊑ C, property chain p ⊑ q ⊑ r
+        ("A", "rdfs:subClassOf", "B"),
+        ("B", "rdfs:subClassOf", "C"),
+        ("p", "rdfs:subPropertyOf", "q"),
+        ("q", "rdfs:subPropertyOf", "r"),
+        ("p", "rdfs:domain", "D"),
+        ("q", "rdfs:range", "R"),
+        ("D", "rdfs:subClassOf", "E"),
+        # A-box
+        ("x", "p", "y"),
+        ("z", "rdf:type", "A"),
+    ]
+    return _entail(spark, rows)
+
+
+class TestRdfsRules:
+    def test_rdfs11_subclass_transitive(self, closed):
+        assert ("A", "rdfs:subClassOf", "C") in closed
+
+    def test_rdfs5_subproperty_transitive(self, closed):
+        assert ("p", "rdfs:subPropertyOf", "r") in closed
+
+    def test_rdfs7_property_inheritance(self, closed):
+        assert ("x", "q", "y") in closed
+        assert ("x", "r", "y") in closed
+
+    def test_rdfs2_domain_types_subject(self, closed):
+        assert ("x", "rdf:type", "D") in closed
+
+    def test_rdfs3_range_fires_on_inherited_predicate(self, closed):
+        # x q y exists only via rdfs7; range(q)=R must still type y —
+        # pins the stratification (rdfs7 widens BEFORE domain/range)
+        assert ("y", "rdf:type", "R") in closed
+
+    def test_rdfs9_type_inheritance(self, closed):
+        assert ("z", "rdf:type", "B") in closed
+        assert ("z", "rdf:type", "C") in closed
+
+    def test_rdfs9_fires_on_domain_minted_type(self, closed):
+        # x:D came from rdfs2; D ⊑ E must lift it — pins that rdfs9
+        # runs AFTER domain/range minting
+        assert ("x", "rdf:type", "E") in closed
+
+    def test_asserted_triples_survive(self, closed):
+        assert ("x", "p", "y") in closed
+        assert ("z", "rdf:type", "A") in closed
+
+    def test_output_is_distinct(self, spark):
+        rows = [
+            ("A", "rdfs:subClassOf", "B"),
+            ("x", "rdf:type", "A"),
+            ("x", "rdf:type", "B"),  # asserted AND derivable
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        out = rdfs_entailment(df)
+        assert out.count() == out.distinct().count()
+
+    def test_cycle_terminates(self, spark):
+        # subClassOf cycle: closure must converge, not loop forever
+        rows = [
+            ("A", "rdfs:subClassOf", "B"),
+            ("B", "rdfs:subClassOf", "A"),
+            ("x", "rdf:type", "A"),
+        ]
+        got = _entail(spark, rows)
+        assert ("x", "rdf:type", "B") in got
+        assert ("A", "rdfs:subClassOf", "A") in got  # cycle closes on itself
+
+    def test_no_schema_is_identity(self, spark):
+        rows = [("x", "likes", "y"), ("y", "likes", "z")]
+        assert _entail(spark, rows) == set(map(tuple, rows))
