@@ -6543,6 +6543,112 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def q_kg_sameas_canonical(spark, sf_dir):
+    """owl:sameAs entity canonicalization (operators/entailment.py::
+    sameas_canonicalize) — the explicit-identity flavor of the KG
+    pipeline's canonicalization stage (the reference stores alias
+    entities verbatim and leaves identity to the query layer —
+    /root/reference/src/query.rs:102). Deterministic alias topology
+    from the customer table: every third customer has a surface-form
+    alias (alias:aK sameAs cust:K) carrying its own p:email fact, every
+    ninth adds a second-hop alias (alias:bK sameAs alias:aK) with a
+    p:phone fact, every sixth also asserts the REVERSE edge
+    (cust:K sameAs alias:aK — symmetry must not double-count), and
+    friend:K → alias:aK facts force OBJECT-side rewriting. After
+    smushing, each component's facts converge on the min-id
+    representative (alias:aK) and no sameAs edge survives. The oracle
+    recomputes the equivalence classes with a recursive min-label
+    reachability CTE and the same coalesce-rewrite."""
+    from rdf_diff_store_spark.operators.entailment import sameas_canonicalize
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cust_iri = F.concat(F.lit("cust:"), k.cast("string"))
+    alias_a = F.concat(F.lit("alias:a"), k.cast("string"))
+    alias_b = F.concat(F.lit("alias:b"), k.cast("string"))
+    base = cust.select(
+        cust_iri.alias("s"),
+        F.lit("p:in_nation").alias("p"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")).alias("o"),
+    )
+    a_same = cust.filter(k % 3 == 0).select(
+        alias_a.alias("s"), F.lit("owl:sameAs").alias("p"), cust_iri.alias("o")
+    )
+    a_fact = cust.filter(k % 3 == 0).select(
+        alias_a.alias("s"),
+        F.lit("p:email").alias("p"),
+        F.concat(F.lit("mail:"), k.cast("string")).alias("o"),
+    )
+    b_same = cust.filter(k % 9 == 0).select(
+        alias_b.alias("s"), F.lit("owl:sameAs").alias("p"), alias_a.alias("o")
+    )
+    b_fact = cust.filter(k % 9 == 0).select(
+        alias_b.alias("s"),
+        F.lit("p:phone").alias("p"),
+        F.concat(F.lit("tel:"), k.cast("string")).alias("o"),
+    )
+    rev_same = cust.filter(k % 6 == 0).select(
+        cust_iri.alias("s"), F.lit("owl:sameAs").alias("p"), alias_a.alias("o")
+    )
+    knows = cust.filter(k % 3 == 0).select(
+        F.concat(F.lit("friend:"), k.cast("string")).alias("s"),
+        F.lit("p:knows").alias("p"),
+        alias_a.alias("o"),
+    )
+    triples = (
+        base.unionByName(a_same).unionByName(a_fact).unionByName(b_same)
+        .unionByName(b_fact).unionByName(rev_same).unionByName(knows)
+    )
+    return sameas_canonicalize(triples)
+
+
+_ORACLE_R4["kg_sameas_canonical"] = """
+WITH RECURSIVE
+raw_edges(src, dst) AS (
+  SELECT 'alias:a' || CAST(c_custkey AS VARCHAR),
+         'cust:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 'alias:b' || CAST(c_custkey AS VARCHAR),
+         'alias:a' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 9 = 0
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+         'alias:a' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 6 = 0),
+und(src, dst) AS (
+  SELECT src, dst FROM raw_edges UNION SELECT dst, src FROM raw_edges),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.r FROM und u JOIN reach r ON u.dst = r.id),
+canon(id, rep) AS (
+  SELECT id, MIN(r) FROM reach GROUP BY id),
+base(s, p, o) AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'p:in_nation',
+         'nat:' || CAST(c_nationkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'alias:a' || CAST(c_custkey AS VARCHAR), 'p:email',
+         'mail:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 'alias:b' || CAST(c_custkey AS VARCHAR), 'p:phone',
+         'tel:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 9 = 0
+  UNION ALL
+  SELECT 'friend:' || CAST(c_custkey AS VARCHAR), 'p:knows',
+         'alias:a' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 3 = 0)
+SELECT DISTINCT
+  COALESCE(cs.rep, t.s) AS s,
+  t.p AS p,
+  COALESCE(co.rep, t.o) AS o
+FROM base t
+LEFT JOIN canon cs ON t.s = cs.id
+LEFT JOIN canon co ON t.o = co.id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6659,6 +6765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phrase_search": q_doc_phrase_search,
         "host_quality_rollup": q_host_quality_rollup,
         "kg_rdfs_entail": q_kg_rdfs_entail,
+        "kg_sameas_canonical": q_kg_sameas_canonical,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -43,7 +43,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from rdf_diff_store_spark.operators.graph import transitive_closure
+from rdf_diff_store_spark.operators.graph import connected_components, transitive_closure
 
 RDF_TYPE = "rdf:type"
 RDFS_SUBCLASS = "rdfs:subClassOf"
@@ -134,5 +134,70 @@ def rdfs_entailment(
         .unionByName(rng_types)
         .unionByName(sc_triples)
         .unionByName(inherited_types)
+        .distinct()
+    )
+
+
+def sameas_mapping(triples: DataFrame, sameas_pred: str = "owl:sameAs") -> DataFrame:
+    """The (id → rep) canonicalization table implied by a frame's
+    owl:sameAs assertions: sameAs is symmetric + transitive, so its
+    equivalence classes are the connected components of the (undirected)
+    sameAs edge graph, and the deterministic representative is the
+    component's minimum id (`connected_components`' contract). Returns
+    (id, rep) for PROPERLY aliased ids only (id != rep) — identity rows
+    are dropped so the rewrite join stays as small as the alias set.
+
+    Scale shape: the mapping is alias-population-sized — orders of
+    magnitude below the triple count — and components converge in
+    O(log diameter) pointer-jumping rounds (driver union-find below the
+    byte gate, distributed above it)."""
+    edges = (
+        triples.filter(F.col("p") == sameas_pred)
+        .filter(F.col("s") != F.col("o"))
+        .select(F.col("s").alias("src"), F.col("o").alias("dst"))
+    )
+    comps = connected_components(edges)
+    return (
+        comps.filter(F.col("id") != F.col("component"))
+        .select("id", F.col("component").alias("rep"))
+    )
+
+
+def sameas_canonicalize(
+    triples: DataFrame, sameas_pred: str = "owl:sameAs"
+) -> DataFrame:
+    """owl:sameAs smushing — the entity-canonicalization materializer of
+    the KG pipeline's "graph materialize" stage (north_star: MinHash-LSH
+    + connected-components canonicalization; this is the same contract
+    applied to EXPLICIT identity links instead of learned ones).
+    Reference context: the reference stores graphs verbatim and leaves
+    identity reasoning to the SPARQL layer (`/root/reference/src/
+    query.rs:102` evaluates over asserted triples), so duplicate
+    entities stay split at query time; a web-scale KG collapses them
+    once at load.
+
+    Every subject/object is rewritten to its sameAs-component
+    representative (min id), the sameAs assertions themselves are
+    consumed (a canonical graph carries no alias edges), and the result
+    is deduplicated — facts asserted about an alias and its canonical
+    entity converge to one row.
+
+    Scale shape: two left joins of the triple stream against the
+    alias-sized mapping (AQE turns both into broadcast hash joins
+    whenever the mapping fits, which is the common case — hub-entity
+    alias sets are bounded by the entity population, not the triple
+    count), then ONE distinct exchange."""
+    mapping = sameas_mapping(triples, sameas_pred)
+    s_map = mapping.select(F.col("id").alias("_s_id"), F.col("rep").alias("_s_rep"))
+    o_map = mapping.select(F.col("id").alias("_o_id"), F.col("rep").alias("_o_rep"))
+    return (
+        triples.filter(F.col("p") != sameas_pred)
+        .join(s_map, F.col("s") == F.col("_s_id"), "left")
+        .join(o_map, F.col("o") == F.col("_o_id"), "left")
+        .select(
+            F.coalesce(F.col("_s_rep"), F.col("s")).alias("s"),
+            F.col("p"),
+            F.coalesce(F.col("_o_rep"), F.col("o")).alias("o"),
+        )
         .distinct()
     )

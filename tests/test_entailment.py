@@ -11,7 +11,11 @@ from __future__ import annotations
 
 import pytest
 
-from rdf_diff_store_spark.operators.entailment import rdfs_entailment
+from rdf_diff_store_spark.operators.entailment import (
+    rdfs_entailment,
+    sameas_canonicalize,
+    sameas_mapping,
+)
 
 
 def _entail(spark, rows):
@@ -93,3 +97,76 @@ class TestRdfsRules:
     def test_no_schema_is_identity(self, spark):
         rows = [("x", "likes", "y"), ("y", "likes", "z")]
         assert _entail(spark, rows) == set(map(tuple, rows))
+
+
+def _smush(spark, rows):
+    df = spark.createDataFrame(rows, ["s", "p", "o"])
+    return {tuple(r) for r in sameas_canonicalize(df).collect()}
+
+
+class TestSameasCanonicalize:
+    def test_chain_converges_on_min_id(self, spark):
+        # c sameAs b sameAs a: all facts land on 'a' (the min id)
+        rows = [
+            ("c", "owl:sameAs", "b"),
+            ("b", "owl:sameAs", "a"),
+            ("a", "name", "n1"),
+            ("b", "email", "e1"),
+            ("c", "phone", "t1"),
+        ]
+        assert _smush(spark, rows) == {
+            ("a", "name", "n1"),
+            ("a", "email", "e1"),
+            ("a", "phone", "t1"),
+        }
+
+    def test_object_side_rewritten(self, spark):
+        rows = [
+            ("b", "owl:sameAs", "a"),
+            ("x", "knows", "b"),
+        ]
+        assert _smush(spark, rows) == {("x", "knows", "a")}
+
+    def test_symmetric_assertions_not_doubled(self, spark):
+        # both directions asserted — one class, one representative
+        rows = [
+            ("a", "owl:sameAs", "b"),
+            ("b", "owl:sameAs", "a"),
+            ("b", "fact", "v"),
+        ]
+        assert _smush(spark, rows) == {("a", "fact", "v")}
+
+    def test_sameas_edges_consumed(self, spark):
+        rows = [("b", "owl:sameAs", "a"), ("b", "fact", "v")]
+        got = _smush(spark, rows)
+        assert not any(p == "owl:sameAs" for _, p, _ in got)
+
+    def test_reflexive_sameas_ignored(self, spark):
+        rows = [("a", "owl:sameAs", "a"), ("a", "fact", "v")]
+        assert _smush(spark, rows) == {("a", "fact", "v")}
+
+    def test_duplicate_facts_collapse(self, spark):
+        # same fact asserted about alias AND canonical → one row
+        rows = [
+            ("b", "owl:sameAs", "a"),
+            ("a", "fact", "v"),
+            ("b", "fact", "v"),
+        ]
+        assert _smush(spark, rows) == {("a", "fact", "v")}
+
+    def test_untouched_entities_pass_through(self, spark):
+        rows = [
+            ("b", "owl:sameAs", "a"),
+            ("b", "fact", "v"),
+            ("x", "likes", "y"),
+        ]
+        assert _smush(spark, rows) == {("a", "fact", "v"), ("x", "likes", "y")}
+
+    def test_mapping_excludes_identity_rows(self, spark):
+        rows = [
+            ("c", "owl:sameAs", "b"),
+            ("b", "owl:sameAs", "a"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        got = {tuple(r) for r in sameas_mapping(df).collect()}
+        assert got == {("b", "a"), ("c", "a")}  # no ('a','a') row
