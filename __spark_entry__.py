@@ -6649,6 +6649,97 @@ LEFT JOIN canon co ON t.o = co.id
 """
 
 
+def q_kg_shacl_validate(spark, sf_dir):
+    """SHACL-lite shape validation (operators/shacl.py::shacl_validate)
+    — the load-time quality gate the reference lacks (its only ingest
+    check is the Turtle parser; the store round-trips content verbatim,
+    /root/reference/src/rdf.rs:87-92). Deterministic entity graph from
+    the customer table: every customer is a Person; emails exist only
+    for custkey % 3 != 0 (the % 3 == 0 third violates minCount 1) and
+    are upper-cased for % 7 == 0 (violating the '^mail:[0-9]+$'
+    pattern); % 10 == 0 customers carry a second phone (violating
+    maxCount 1); nations are rdf:type-d Nation only below key 20, so
+    customers in nations 20-24 violate the class constraint. The
+    shapes frame broadcasts into every check; the oracle derives the
+    same violations straight from the generation rule."""
+    from rdf_diff_store_spark.operators.shacl import shacl_validate
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    cust_iri = F.concat(F.lit("cust:"), k.cast("string"))
+    typed = cust.select(
+        cust_iri.alias("s"), F.lit("rdf:type").alias("p"), F.lit("Person").alias("o")
+    )
+    email = cust.filter(k % 3 != 0).select(
+        cust_iri.alias("s"),
+        F.lit("p:email").alias("p"),
+        F.concat(
+            F.when(k % 7 == 0, F.lit("MAIL:")).otherwise(F.lit("mail:")),
+            k.cast("string"),
+        ).alias("o"),
+    )
+    phone1 = cust.filter(k % 2 == 0).select(
+        cust_iri.alias("s"),
+        F.lit("p:phone").alias("p"),
+        F.concat(F.lit("tel:"), k.cast("string")).alias("o"),
+    )
+    phone2 = cust.filter(k % 10 == 0).select(
+        cust_iri.alias("s"),
+        F.lit("p:phone").alias("p"),
+        F.concat(F.lit("tel2:"), k.cast("string")).alias("o"),
+    )
+    nation_fact = cust.select(
+        cust_iri.alias("s"),
+        F.lit("p:in_nation").alias("p"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")).alias("o"),
+    )
+    nation_typed = (
+        cust.select(F.col("c_nationkey").alias("n")).distinct()
+        .filter(F.col("n") < 20)
+        .select(
+            F.concat(F.lit("nat:"), F.col("n").cast("string")).alias("s"),
+            F.lit("rdf:type").alias("p"),
+            F.lit("Nation").alias("o"),
+        )
+    )
+    triples = (
+        typed.unionByName(email).unionByName(phone1).unionByName(phone2)
+        .unionByName(nation_fact).unionByName(nation_typed)
+    )
+    shapes = spark.createDataFrame(
+        [
+            ("sh1", "Person", "p:email", "minCount", "1"),
+            ("sh1", "Person", "p:phone", "maxCount", "1"),
+            ("sh1", "Person", "p:in_nation", "class", "Nation"),
+            ("sh1", "Person", "p:email", "pattern", "^mail:[0-9]+$"),
+        ],
+        ["shape_id", "target_class", "path", "constraint", "value"],
+    )
+    return shacl_validate(triples, shapes)
+
+
+_ORACLE_R4["kg_shacl_validate"] = """
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS focus,
+       'sh1' AS shape_id, 'p:email' AS path,
+       'minCount' AS constraint, '1' AS expected, '0' AS actual
+FROM customer WHERE c_custkey % 3 = 0
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'sh1', 'p:phone', 'maxCount', '1', '2'
+FROM customer WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'sh1', 'p:in_nation', 'class', 'Nation',
+       'nat:' || CAST(c_nationkey AS VARCHAR)
+FROM customer WHERE c_nationkey >= 20
+UNION ALL
+SELECT 'cust:' || CAST(c_custkey AS VARCHAR),
+       'sh1', 'p:email', 'pattern', '^mail:[0-9]+$',
+       'MAIL:' || CAST(c_custkey AS VARCHAR)
+FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6766,6 +6857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_quality_rollup": q_host_quality_rollup,
         "kg_rdfs_entail": q_kg_rdfs_entail,
         "kg_sameas_canonical": q_kg_sameas_canonical,
+        "kg_shacl_validate": q_kg_shacl_validate,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
