@@ -6649,6 +6649,119 @@ LEFT JOIN canon co ON t.o = co.id
 """
 
 
+def q_kg_ifp_resolution(spark, sf_dir):
+    """Schema-driven entity resolution via inverse-functional
+    properties (operators/entailment.py::ifp_resolve): accounts
+    sharing an email or phone value are the same individual (OWL 2
+    §9.2.8), the deterministic sibling of the KG pipeline's learned
+    MinHash canonicalization. Deterministic account topology from the
+    customer table: acct:aK always exists (email + owner facts);
+    acct:bK (custkey % 4 == 0) shares aK's email and carries a label;
+    at % 8 == 0, bK and a third account cK share a phone, so the
+    identity chain a—b (email) — c (phone) must collapse all three
+    onto the min id acct:aK across DIFFERENT properties. The oracle
+    recomputes the star edges from the same grouping rule and closes
+    them with a recursive min-label CTE."""
+    from rdf_diff_store_spark.operators.entailment import ifp_resolve
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    a, b, c = (F.concat(F.lit(f"acct:{x}"), ks) for x in "abc")
+    mail = F.concat(F.lit("mail:"), ks)
+    tel = F.concat(F.lit("tel:"), ks)
+    triples = (
+        cust.select(a.alias("s"), F.lit("p:email").alias("p"), mail.alias("o"))
+        .unionByName(
+            cust.select(
+                a.alias("s"),
+                F.lit("p:owner").alias("p"),
+                F.concat(F.lit("cust:"), ks).alias("o"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 4 == 0).select(
+                b.alias("s"), F.lit("p:email").alias("p"), mail.alias("o")
+            )
+        )
+        .unionByName(
+            cust.filter(k % 4 == 0).select(
+                b.alias("s"),
+                F.lit("p:label").alias("p"),
+                F.concat(F.lit("lbl:b"), ks).alias("o"),
+            )
+        )
+        .unionByName(
+            cust.filter(k % 8 == 0).select(
+                b.alias("s"), F.lit("p:phone").alias("p"), tel.alias("o")
+            )
+        )
+        .unionByName(
+            cust.filter(k % 8 == 0).select(
+                c.alias("s"), F.lit("p:phone").alias("p"), tel.alias("o")
+            )
+        )
+        .unionByName(
+            cust.filter(k % 8 == 0).select(
+                c.alias("s"),
+                F.lit("p:label").alias("p"),
+                F.concat(F.lit("lbl:c"), ks).alias("o"),
+            )
+        )
+    )
+    return ifp_resolve(triples, ["p:email", "p:phone"])
+
+
+_ORACLE_R4["kg_ifp_resolution"] = """
+WITH RECURSIVE
+facts(s, p, o) AS (
+  SELECT 'acct:a' || CAST(c_custkey AS VARCHAR), 'p:email',
+         'mail:' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'acct:a' || CAST(c_custkey AS VARCHAR), 'p:owner',
+         'cust:' || CAST(c_custkey AS VARCHAR) FROM customer
+  UNION ALL
+  SELECT 'acct:b' || CAST(c_custkey AS VARCHAR), 'p:email',
+         'mail:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'acct:b' || CAST(c_custkey AS VARCHAR), 'p:label',
+         'lbl:b' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 4 = 0
+  UNION ALL
+  SELECT 'acct:b' || CAST(c_custkey AS VARCHAR), 'p:phone',
+         'tel:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 8 = 0
+  UNION ALL
+  SELECT 'acct:c' || CAST(c_custkey AS VARCHAR), 'p:phone',
+         'tel:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 8 = 0
+  UNION ALL
+  SELECT 'acct:c' || CAST(c_custkey AS VARCHAR), 'p:label',
+         'lbl:c' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 8 = 0),
+ifp(s, p, o) AS (SELECT s, p, o FROM facts WHERE p IN ('p:email', 'p:phone')),
+grp(p, o, rep) AS (SELECT p, o, MIN(s) FROM ifp GROUP BY p, o),
+star(src, dst) AS (
+  SELECT DISTINCT f.s, g.rep FROM ifp f
+  JOIN grp g ON f.p = g.p AND f.o = g.o WHERE f.s <> g.rep),
+und(src, dst) AS (
+  SELECT src, dst FROM star UNION SELECT dst, src FROM star),
+reach(id, r) AS (
+  SELECT src, src FROM und
+  UNION
+  SELECT u.src, r.r FROM und u JOIN reach r ON u.dst = r.id),
+canon(id, rep) AS (SELECT id, MIN(r) FROM reach GROUP BY id)
+SELECT DISTINCT
+  COALESCE(cs.rep, t.s) AS s,
+  t.p AS p,
+  COALESCE(co.rep, t.o) AS o
+FROM facts t
+LEFT JOIN canon cs ON t.s = cs.id
+LEFT JOIN canon co ON t.o = co.id
+"""
+
+
 def q_kg_shacl_validate(spark, sf_dir):
     """SHACL-lite shape validation (operators/shacl.py::shacl_validate)
     — the load-time quality gate the reference lacks (its only ingest
@@ -6858,6 +6971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfs_entail": q_kg_rdfs_entail,
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_shacl_validate": q_kg_shacl_validate,
+        "kg_ifp_resolution": q_kg_ifp_resolution,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

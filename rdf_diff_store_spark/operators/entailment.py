@@ -163,6 +163,56 @@ def sameas_mapping(triples: DataFrame, sameas_pred: str = "owl:sameAs") -> DataF
     )
 
 
+def ifp_sameas(triples: DataFrame, ifp_preds: list[str]) -> DataFrame:
+    """owl:InverseFunctionalProperty-derived identity edges: two
+    entities asserting the SAME value for an inverse-functional
+    property (email, ISBN, account id — OWL 2 §9.2.8) denote the same
+    individual, so each (p, o) value group yields sameAs links. Emits
+    a STAR per group — every subject links to the group's min id, not
+    all pairs — so a hub value shared by m entities costs m-1 edges,
+    never m². Returns (src, dst) edges with src != dst.
+
+    The reference has no schema-driven identity reasoning (graphs are
+    stored verbatim, /root/reference/src/rdf.rs:87-92); this is the
+    deterministic sibling of the KG pipeline's learned MinHash-LSH
+    canonicalization.
+
+    Scale shape: ONE window-min shuffle on (p, o) over the IFP facts
+    only (the predicate filter prunes the corpus first); no join, no
+    pair explosion."""
+    from pyspark.sql import Window
+
+    facts = triples.filter(F.col("p").isin(list(ifp_preds))).select("s", "p", "o")
+    w = Window.partitionBy("p", "o")
+    return (
+        facts.withColumn("_rep", F.min("s").over(w))
+        .filter(F.col("s") != F.col("_rep"))
+        .select(F.col("s").alias("src"), F.col("_rep").alias("dst"))
+        .distinct()
+    )
+
+
+def ifp_resolve(
+    triples: DataFrame,
+    ifp_preds: list[str],
+    sameas_pred: str = "owl:sameAs",
+) -> DataFrame:
+    """Entity resolution by inverse-functional properties: derive
+    identity edges from shared IFP values (`ifp_sameas`), merge them
+    with any ASSERTED sameAs links already in the frame, and smush
+    (`sameas_canonicalize`). Chains compose transitively across
+    properties — A,B sharing an email and B,C sharing a phone collapse
+    into one entity — because the component step closes over the union
+    of all identity evidence."""
+    edges = ifp_sameas(triples, ifp_preds)
+    derived = edges.select(
+        F.col("src").alias("s"),
+        F.lit(sameas_pred).alias("p"),
+        F.col("dst").alias("o"),
+    )
+    return sameas_canonicalize(triples.unionByName(derived), sameas_pred)
+
+
 def sameas_canonicalize(
     triples: DataFrame, sameas_pred: str = "owl:sameAs"
 ) -> DataFrame:

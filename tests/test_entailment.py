@@ -12,6 +12,8 @@ from __future__ import annotations
 import pytest
 
 from rdf_diff_store_spark.operators.entailment import (
+    ifp_resolve,
+    ifp_sameas,
     rdfs_entailment,
     sameas_canonicalize,
     sameas_mapping,
@@ -161,6 +163,63 @@ class TestSameasCanonicalize:
             ("x", "likes", "y"),
         ]
         assert _smush(spark, rows) == {("a", "fact", "v"), ("x", "likes", "y")}
+
+    def test_ifp_shared_value_links_star(self, spark):
+        # three accounts share one email: star to the min id, 2 edges
+        rows = [
+            ("a", "p:email", "m1"),
+            ("b", "p:email", "m1"),
+            ("c", "p:email", "m1"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        got = {tuple(r) for r in ifp_sameas(df, ["p:email"]).collect()}
+        assert got == {("b", "a"), ("c", "a")}
+
+    def test_ifp_non_ifp_predicates_ignored(self, spark):
+        rows = [
+            ("a", "p:label", "x"),
+            ("b", "p:label", "x"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        assert ifp_sameas(df, ["p:email"]).isEmpty()
+
+    def test_ifp_same_value_different_property_no_link(self, spark):
+        # value grouping is PER-PROPERTY: email "x" and phone "x" differ
+        rows = [
+            ("a", "p:email", "x"),
+            ("b", "p:phone", "x"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        assert ifp_sameas(df, ["p:email", "p:phone"]).isEmpty()
+
+    def test_ifp_resolve_chains_across_properties(self, spark):
+        # a—b share email, b—c share phone → one entity (min id a)
+        rows = [
+            ("a", "p:email", "m1"),
+            ("b", "p:email", "m1"),
+            ("b", "p:phone", "t1"),
+            ("c", "p:phone", "t1"),
+            ("c", "p:label", "L"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        got = {tuple(r) for r in ifp_resolve(df, ["p:email", "p:phone"]).collect()}
+        assert got == {
+            ("a", "p:email", "m1"),
+            ("a", "p:phone", "t1"),
+            ("a", "p:label", "L"),
+        }
+
+    def test_ifp_resolve_composes_with_asserted_sameas(self, spark):
+        # identity via IFP (a—b) AND asserted sameAs (b—z) compose
+        rows = [
+            ("z", "owl:sameAs", "b"),
+            ("a", "p:email", "m1"),
+            ("b", "p:email", "m1"),
+            ("z", "p:fact", "v"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        got = {tuple(r) for r in ifp_resolve(df, ["p:email"]).collect()}
+        assert got == {("a", "p:email", "m1"), ("a", "p:fact", "v")}
 
     def test_mapping_excludes_identity_rows(self, spark):
         rows = [
