@@ -6853,6 +6853,71 @@ FROM customer WHERE c_custkey % 3 <> 0 AND c_custkey % 7 = 0
 """
 
 
+def q_doc_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization + control-char scrub
+    (functions/text.py::nfc_normalize_udf, clean_text) — the first
+    pass of every web-text pipeline: crawled pages mix composed and
+    decomposed forms, and exact-dedup hashes / dictionary joins
+    silently miss until the corpus is canonicalized (UAX #15). The
+    corpus is synthetic ASCII, so a deterministic "dirty" suffix per
+    doc exercises all four cases on both engines: combining acute
+    (e+U+0301 -> é), combining diaeresis + the ANGSTROM SIGN
+    singleton (U+212B -> U+00C5), stacked marks (A+ring+acute ->
+    U+01FA), and an already-NFC string (ﬁ U+FB01 is compatibility-
+    only, NFC keeps it). A BEL control and a tab ride along for the
+    JVM-side clean_text scrub. ONE Arrow hop, zero shuffles — a
+    map-only projection at any scale; DuckDB's nfc_normalize runs the
+    same UAX #15 algorithm, giving a full value oracle."""
+    from rdf_diff_store_spark.functions.text import clean_text, nfc_normalize_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    suffix = (
+        F.when(m == 0, F.lit("Café du monde"))
+        .when(m == 1, F.lit("naïve Ångström"))
+        .when(m == 2, F.lit("Ǻ ring-acute"))
+        .otherwise(F.lit("déjà ﬁxé clean"))
+    )
+    raw = F.concat(F.substring("text", 1, 48), F.lit(" \x07bel\t "), suffix)
+    cleaned = clean_text(raw)
+    norm = nfc_normalize_udf(cleaned)
+    return docs.select(
+        "doc_id",
+        F.length(raw).alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        (F.length(cleaned) > F.length(norm)).alias("composed"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+_ORACLE_R4["doc_nfc_normalize"] = """
+WITH raw AS (
+  SELECT doc_id,
+         substr(text, 1, 48) || ' ' || chr(7) || 'bel' || chr(9) || ' ' ||
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'Cafe' || chr(769) || ' du monde'
+           WHEN 1 THEN 'nai' || chr(776) || 've ' || chr(8491)
+                       || 'ngstro' || chr(776) || 'm'
+           WHEN 2 THEN 'A' || chr(778) || chr(769) || ' ring-acute'
+           ELSE 'd' || chr(233) || 'j' || chr(224) || ' ' || chr(64257)
+                || 'x' || chr(233) || ' clean'
+         END AS raw
+  FROM documents),
+cleaned AS (
+  SELECT doc_id, raw,
+         trim(regexp_replace(
+           regexp_replace(raw, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+           '\\s+', ' ', 'g')) AS c
+  FROM raw)
+SELECT doc_id,
+       CAST(length(raw) AS INT) AS raw_len,
+       CAST(length(nfc_normalize(c)) AS INT) AS norm_len,
+       length(c) > length(nfc_normalize(c)) AS composed,
+       md5(nfc_normalize(c)) AS norm_md5
+FROM cleaned
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -6972,6 +7037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_sameas_canonical": q_kg_sameas_canonical,
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_ifp_resolution": q_kg_ifp_resolution,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -699,6 +699,47 @@ def extract_canonical(html: "Column") -> "Column":
     return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
 
 
+# C0 controls except \t \n \r, plus DEL — the byte class every web-text
+# cleanup pass (C4 §2.2, CCNet) strips before anything else looks at the
+# text. Kept in the Java∩RE2∩DuckDB common regex subset.
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+
+
+@F.pandas_udf(T.StringType())
+def nfc_normalize_udf(text: pd.Series) -> pd.Series:
+    """Unicode NFC normalization (UAX #15 canonical composition) —
+    the first step of every web-text cleaning pipeline: crawled pages
+    mix composed and decomposed forms ("é" vs "e"+U+0301), and every
+    downstream exact/near-dup hash, token count, and dictionary join
+    silently misses unless the corpus is canonicalized first.
+
+    Spark has no built-in normalizer, so this is the one legitimate
+    Python hop: an Arrow-batched pandas UDF over the stdlib
+    `unicodedata.normalize` table (version-pinned by the Python
+    runtime, locale-free, byte-deterministic). Map-only — at 100 TB
+    it's an embarrassingly parallel projection with zero shuffle; the
+    cost is the per-codepoint table walk, amortized by Arrow batches.
+    DuckDB's `nfc_normalize` implements the same UAX #15 algorithm,
+    which is what makes a full value oracle possible."""
+    import unicodedata  # noqa: PLC0415
+
+    return text.map(
+        lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+    )
+
+
+def clean_text(text: "Column") -> "Column":
+    """The standard pre-NFC byte scrub: strip C0 control characters
+    (except tab/newline/CR) and DEL, then collapse whitespace runs and
+    trim. Pure JVM `regexp_replace` chain — whole-stage codegen,
+    map-only; compose as `nfc_normalize_udf(clean_text(col))` for the
+    full C4-style cleanup."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    out = F.regexp_replace(text, CONTROL_CHARS_RE, "")
+    return F.trim(F.regexp_replace(out, "\\s+", " "))
+
+
 def extract_sitemap_urls(xml: "Column") -> "Column":
     """All <loc> entries of a sitemap.xml document as array<string> —
     the crawl-discovery feed that seeds the frontier alongside

@@ -554,6 +554,19 @@ def main() -> None:
         )
     )
 
+    # 30. NFC normalization: exactly ONE Arrow hop (the unicodedata
+    # walk), zero shuffles — a pure map-only projection
+    p_nfc = plan_of(qs["doc_nfc_normalize"](spark, sf_dir))
+    n_arrow_nfc = len(_re.findall(r"\(\d+\) ArrowEvalPython", p_nfc))
+    n_ex_nfc = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_nfc))
+    checks.append(
+        (
+            "nfc normalize: one Arrow hop, zero shuffles",
+            n_arrow_nfc == 1 and n_ex_nfc == 0,
+            f"{n_arrow_nfc} ArrowEvalPython, {n_ex_nfc} Exchange",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
