@@ -6918,6 +6918,83 @@ FROM cleaned
 """
 
 
+def q_kg_owl_entail(spark, sf_dir):
+    """OWL 2 RL property-axiom materialization (operators/entailment.py
+    ::owl_property_entailment) — prp-inv1/2 (inverseOf), prp-symp
+    (SymmetricProperty), prp-trp (TransitiveProperty), the property-
+    semantics complement of kg_rdfs_entail (the reference evaluates
+    SPARQL over asserted triples only — /root/reference/src/
+    query.rs:102 — so OWL semantics must materialize at load).
+    Deterministic KG: a partOf binary-tree hierarchy over customers
+    (k partOf k div 2) split between DIRECT partOf assertions
+    (k%3<>0) and INVERSE hasPart assertions (k%3=0) — so the
+    transitive closure only spans full chains if the inverse rule
+    fired first (stratum order is part of what's checked) — plus a
+    symmetric adjacentTo path over nations. The oracle re-derives the
+    closure with a recursive CTE and mirrors it through the inverse
+    axiom; bit-exact, all-string triples."""
+    from rdf_diff_store_spark.operators.entailment import owl_property_entailment
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    axioms = spark.createDataFrame(
+        [
+            ("p:partOf", "rdf:type", "owl:TransitiveProperty"),
+            ("p:hasPart", "owl:inverseOf", "p:partOf"),
+            ("p:adjacentTo", "rdf:type", "owl:SymmetricProperty"),
+        ],
+        ["s", "p", "o"],
+    )
+    ek = F.concat(F.lit("e:"), F.col("c_custkey").cast("string"))
+    parent = F.concat(F.lit("e:"), F.expr("c_custkey div 2").cast("string"))
+    part = cust.filter(
+        (F.col("c_custkey") > 1) & (F.col("c_custkey") % 3 != 0)
+    ).select(ek.alias("s"), F.lit("p:partOf").alias("p"), parent.alias("o"))
+    haspart = cust.filter(
+        (F.col("c_custkey") > 1) & (F.col("c_custkey") % 3 == 0)
+    ).select(parent.alias("s"), F.lit("p:hasPart").alias("p"), ek.alias("o"))
+    adj = nation.filter(F.col("n_nationkey") < 24).select(
+        F.concat(F.lit("nat:"), F.col("n_nationkey").cast("string")).alias("s"),
+        F.lit("p:adjacentTo").alias("p"),
+        F.concat(F.lit("nat:"), (F.col("n_nationkey") + 1).cast("string")).alias("o"),
+    )
+    triples = axioms.unionByName(part).unionByName(haspart).unionByName(adj)
+    return owl_property_entailment(triples)
+
+
+_ORACLE_R4["kg_owl_entail"] = """
+WITH RECURSIVE
+axioms(s, p, o) AS (
+  VALUES ('p:partOf', 'rdf:type', 'owl:TransitiveProperty'),
+         ('p:hasPart', 'owl:inverseOf', 'p:partOf'),
+         ('p:adjacentTo', 'rdf:type', 'owl:SymmetricProperty')),
+part_asserted(s, o) AS (
+  SELECT 'e:' || CAST(c_custkey AS VARCHAR), 'e:' || CAST(c_custkey // 2 AS VARCHAR)
+  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 <> 0),
+haspart_asserted(s, o) AS (
+  SELECT 'e:' || CAST(c_custkey // 2 AS VARCHAR), 'e:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey > 1 AND c_custkey % 3 = 0),
+adj(s, o) AS (
+  SELECT 'nat:' || CAST(n_nationkey AS VARCHAR), 'nat:' || CAST(n_nationkey + 1 AS VARCHAR)
+  FROM nation WHERE n_nationkey < 24),
+part_all(s, o) AS (
+  SELECT s, o FROM part_asserted UNION SELECT o, s FROM haspart_asserted),
+anc(s, o) AS (
+  SELECT s, o FROM part_all
+  UNION
+  SELECT a.s, p.o FROM anc a JOIN part_all p ON a.o = p.s)
+SELECT DISTINCT s, p, o FROM (
+  SELECT s, p, o FROM axioms
+  UNION ALL SELECT s, 'p:partOf', o FROM part_asserted
+  UNION ALL SELECT s, 'p:hasPart', o FROM haspart_asserted
+  UNION ALL SELECT s, 'p:adjacentTo', o FROM adj
+  UNION ALL SELECT o, 'p:adjacentTo', s FROM adj
+  UNION ALL SELECT s, 'p:partOf', o FROM anc
+  UNION ALL SELECT o, 'p:hasPart', s FROM anc
+)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7038,6 +7115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_shacl_validate": q_kg_shacl_validate,
         "kg_ifp_resolution": q_kg_ifp_resolution,
         "doc_nfc_normalize": q_doc_nfc_normalize,
+        "kg_owl_entail": q_kg_owl_entail,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

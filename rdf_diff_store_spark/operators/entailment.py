@@ -138,6 +138,109 @@ def rdfs_entailment(
     )
 
 
+OWL_INVERSE = "owl:inverseOf"
+OWL_TRANSITIVE = "owl:TransitiveProperty"
+OWL_SYMMETRIC = "owl:SymmetricProperty"
+
+
+def owl_property_entailment(
+    triples: DataFrame,
+    type_pred: str = RDF_TYPE,
+    inverse_pred: str = OWL_INVERSE,
+    transitive_class: str = OWL_TRANSITIVE,
+    symmetric_class: str = OWL_SYMMETRIC,
+) -> DataFrame:
+    """OWL 2 RL property-axiom materialization — the prp-* rule subset
+    that complements `rdfs_entailment` (W3C OWL 2 Profiles §4.3,
+    "The OWL 2 RL Profile", rule table 5):
+
+    * prp-inv1/inv2 : (p inverseOf q), (s p o) → (o q s) and mirror
+    * prp-symp      : (p type SymmetricProperty), (s p o) → (o p s)
+    * prp-trp       : (p type TransitiveProperty) → p-edges close
+                      transitively
+
+    Reference context: same as `rdfs_entailment` — the reference
+    evaluates SPARQL over ASSERTED triples only (`/root/reference/src/
+    query.rs:102`), so OWL property semantics must be materialized at
+    load time for queries to see them.
+
+    Stratification (single pass reaches the fixpoint): inverse first,
+    then symmetric, then per-property transitive closure over the
+    widened frame, then inverse+symmetric applied once more to the
+    closure-minted edges. That last step is what closes the
+    rule-interaction loop: closure(p) mirrored through inverseOf IS
+    closure(q) (q's pre-closure edges are exactly p's mirrored, and
+    the mirror of a closed set is closed), and the closure of a
+    symmetric edge set is itself symmetric (the reverse of a path is
+    a path) — so no derivation remains after one ordered sweep. Rules
+    fire on DECLARED axioms only (the RL rule semantics); axiom
+    predicates themselves are assumed not derived by instance data,
+    the same schema/instance separation `rdfs_entailment` documents.
+
+    Scale shape: the axiom tables (inverseOf pairs, symmetric /
+    transitive property lists) are vocabulary-sized and BROADCAST into
+    every rule join — the A-box never shuffles for inv/symp. prp-trp
+    is the one genuinely recursive rule: it runs the doubling
+    `transitive_closure` keyed by predicate (`key_cols=("p",)` — the
+    property rides the shuffle key, so each property's closure
+    co-locates for free) over ONLY the declared-transitive slice of
+    the corpus (a vocabulary-filtered fraction, e.g. partOf
+    hierarchies — never the full 100 TB), log(diameter) rounds."""
+    inv = (
+        triples.filter(F.col("p") == inverse_pred)
+        .select(F.col("s").alias("_ip"), F.col("o").alias("_iq"))
+        .distinct()
+    )
+    # inverseOf is its own inverse: fire both directions (prp-inv1 + inv2)
+    inv_both = F.broadcast(
+        inv.unionByName(
+            inv.select(F.col("_iq").alias("_ip"), F.col("_ip").alias("_iq"))
+        ).distinct()
+    )
+    sym = F.broadcast(
+        triples.filter(
+            (F.col("p") == type_pred) & (F.col("o") == symmetric_class)
+        )
+        .select(F.col("s").alias("_symp"))
+        .distinct()
+    )
+    trp = F.broadcast(
+        triples.filter(
+            (F.col("p") == type_pred) & (F.col("o") == transitive_class)
+        )
+        .select(F.col("s").alias("_trpp"))
+        .distinct()
+    )
+
+    def mirror_inv(df: DataFrame) -> DataFrame:
+        return df.join(inv_both, df["p"] == F.col("_ip")).select(
+            F.col("o").alias("s"), F.col("_iq").alias("p"), F.col("s").alias("o")
+        )
+
+    def mirror_sym(df: DataFrame) -> DataFrame:
+        return df.join(sym, df["p"] == F.col("_symp")).select(
+            F.col("o").alias("s"), F.col("p"), F.col("s").alias("o")
+        )
+
+    asserted = triples.select("s", "p", "o")
+    base = asserted.unionByName(mirror_inv(asserted))
+    base = base.unionByName(mirror_sym(base))
+
+    t_edges = base.join(trp, base["p"] == F.col("_trpp")).select(
+        "p", F.col("s").alias("src"), F.col("o").alias("dst")
+    )
+    closed = transitive_closure(t_edges, key_cols=("p",)).select(
+        F.col("src").alias("s"), "p", F.col("dst").alias("o")
+    )
+
+    return (
+        base.unionByName(closed)
+        .unionByName(mirror_inv(closed))
+        .unionByName(mirror_sym(closed))
+        .distinct()
+    )
+
+
 def sameas_mapping(triples: DataFrame, sameas_pred: str = "owl:sameAs") -> DataFrame:
     """The (id → rep) canonicalization table implied by a frame's
     owl:sameAs assertions: sameAs is symmetric + transitive, so its

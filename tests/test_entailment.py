@@ -229,3 +229,80 @@ class TestSameasCanonicalize:
         df = spark.createDataFrame(rows, ["s", "p", "o"])
         got = {tuple(r) for r in sameas_mapping(df).collect()}
         assert got == {("b", "a"), ("c", "a")}  # no ('a','a') row
+
+
+class TestOwlPropertyEntailment:
+    """OWL 2 RL prp-inv1/2, prp-symp, prp-trp
+    (entailment.py::owl_property_entailment), rule by rule."""
+
+    AXIOMS = [
+        ("partOf", "rdf:type", "owl:TransitiveProperty"),
+        ("hasPart", "owl:inverseOf", "partOf"),
+        ("adj", "rdf:type", "owl:SymmetricProperty"),
+    ]
+
+    def _entail(self, spark, rows):
+        from rdf_diff_store_spark.operators.entailment import (
+            owl_property_entailment,
+        )
+
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        return {tuple(r) for r in owl_property_entailment(df).collect()}
+
+    def test_transitive_closure(self, spark):
+        out = self._entail(
+            spark, self.AXIOMS + [("a", "partOf", "b"), ("b", "partOf", "c")]
+        )
+        assert ("a", "partOf", "c") in out
+
+    def test_inverse_both_directions(self, spark):
+        out = self._entail(
+            spark, self.AXIOMS + [("a", "partOf", "b"), ("c", "hasPart", "d")]
+        )
+        assert ("b", "hasPart", "a") in out  # prp-inv1
+        assert ("d", "partOf", "c") in out  # prp-inv2
+
+    def test_inverse_feeds_closure(self, spark):
+        # chain split across the two directions: a partOf b, c hasPart b
+        # (i.e. b partOf c) — closure must span the reconstructed chain
+        out = self._entail(
+            spark, self.AXIOMS + [("a", "partOf", "b"), ("c", "hasPart", "b")]
+        )
+        assert ("a", "partOf", "c") in out
+        assert ("c", "hasPart", "a") in out  # inverse of the closure edge
+
+    def test_symmetric(self, spark):
+        out = self._entail(spark, self.AXIOMS + [("x", "adj", "y")])
+        assert ("y", "adj", "x") in out
+        # adj is NOT transitive: no self-loop from x adj y adj x
+        assert ("x", "adj", "x") not in out
+
+    def test_undeclared_property_untouched(self, spark):
+        out = self._entail(
+            spark, self.AXIOMS + [("a", "likes", "b"), ("b", "likes", "c")]
+        )
+        assert ("a", "likes", "c") not in out
+        assert ("b", "likes", "a") not in out
+
+    def test_fixpoint_idempotent(self, spark):
+        from rdf_diff_store_spark.operators.entailment import (
+            owl_property_entailment,
+        )
+
+        rows = self.AXIOMS + [
+            ("a", "partOf", "b"),
+            ("c", "hasPart", "b"),
+            ("x", "adj", "y"),
+        ]
+        df = spark.createDataFrame(rows, ["s", "p", "o"])
+        once = owl_property_entailment(df)
+        twice = owl_property_entailment(once)
+        assert {tuple(r) for r in once.collect()} == {
+            tuple(r) for r in twice.collect()
+        }
+
+    def test_asserted_survive_and_distinct(self, spark):
+        rows = self.AXIOMS + [("a", "partOf", "b"), ("a", "partOf", "b")]
+        out_df_rows = self._entail(spark, rows)
+        assert ("a", "partOf", "b") in out_df_rows
+        assert ("partOf", "rdf:type", "owl:TransitiveProperty") in out_df_rows
