@@ -6995,6 +6995,61 @@ SELECT DISTINCT s, p, o FROM (
 """
 
 
+def q_web_triangles(spark, sf_dir):
+    """Per-node triangle counting by degree orientation
+    (operators/graph.py::triangle_count; Suri & Vassilvitskii WWW 2011)
+    — the web-graph clustering primitive (spam-farm detection,
+    community density) whose naive wedge join dies on hub nodes (the
+    "last reducer"); orientation bounds wedge volume to O(m^1.5)
+    regardless of skew. Deterministic dense-ish test graph: each
+    customer key contributes the undirected edge (k mod 97, k mod 61)
+    — a multigraph the operator must canonicalize; top-50 nodes by
+    (triangles, node), total order. The oracle reruns the same
+    orientation algebra as SQL joins — bit-exact BIGINT counts."""
+    from rdf_diff_store_spark.operators.graph import triangle_count
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        (F.col("c_custkey") % 97).alias("src"), (F.col("c_custkey") % 61).alias("dst")
+    )
+    return (
+        triangle_count(edges)
+        .orderBy(F.desc("n_triangles"), "node")
+        .limit(50)
+    )
+
+
+_ORACLE_R4["web_triangles"] = """
+WITH raw AS (SELECT c_custkey % 97 AS x, c_custkey % 61 AS y FROM customer),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+  GROUP BY n),
+o AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+w AS (
+  SELECT x.u AS wu, x.v AS wv, y.v AS ww
+  FROM o x JOIN o y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+closed AS (
+  SELECT wu, wv, ww FROM w JOIN o ON w.wv = o.u AND w.ww = o.v),
+pn AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT wu AS n FROM closed
+        UNION ALL SELECT wv FROM closed
+        UNION ALL SELECT ww FROM closed)
+  GROUP BY n)
+SELECT deg.n AS node, deg.deg AS degree,
+       CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM deg LEFT JOIN pn ON deg.n = pn.n
+ORDER BY n_triangles DESC, node
+LIMIT 50
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7116,6 +7171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ifp_resolution": q_kg_ifp_resolution,
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "kg_owl_entail": q_kg_owl_entail,
+        "web_triangles": q_web_triangles,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
