@@ -7050,6 +7050,97 @@ LIMIT 50
 """
 
 
+def q_nquads_roundtrip(spark, sf_dir):
+    """N-Quads dataset source/sink roundtrip (sources/nquads.py) — the
+    line-oriented RDF dump format web-scale KG corpora ship in (Web
+    Data Commons publishes its Common-Crawl extraction as N-Quads);
+    the whole-dataset export whose graph term the reference encodes in
+    per-graph FILENAMES instead (src/git.rs:24-41). Deterministic
+    statements from the customer table exercise every term class: IRI
+    objects, plain literals stuffed with the full escape alphabet
+    (quote, backslash, newline, tab), @lang literals, typed literals,
+    blank-node subjects, and default-graph rows (NULL graph → graph
+    term omitted). The query serializes (pure JVM expression), parses
+    back (ONE Arrow hop), and re-serializes for the md5 — so the
+    checked values pin BOTH codec directions; the oracle rebuilds the
+    parsed fields AND the exact line bytes closed-form, never running
+    either codec."""
+    from rdf_diff_store_spark.sources.nquads import (
+        nquad_line,
+        parse_nquads,
+        serialize_nquads,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    m4, m5, m7 = (k % 4).cast("int"), (k % 5).cast("int"), (k % 7).cast("int")
+    xsd_s = "http://www.w3.org/2001/XMLSchema#string"
+    t = cust.select(
+        F.when(m5 == 4, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g:"), m5.cast("string")))
+        .alias("graph_id"),
+        F.when(m7 == 0, F.concat(F.lit("_:b"), ks))
+        .otherwise(F.concat(F.lit("http://ex.org/e/"), ks))
+        .alias("subj"),
+        F.lit("http://ex.org/p/name").alias("pred"),
+        F.when(m4 == 0, F.concat(F.lit("http://ex.org/o/"), ks))
+        .when(m4 == 1, F.concat(F.lit('va"l\\'), ks, F.lit("\nx\ty")))
+        .when(m4 == 2, F.concat(F.lit("hei "), ks))
+        .otherwise(ks)
+        .alias("obj"),
+        F.when(m4 == 1, F.lit(xsd_s))
+        .when(m4 == 3, F.lit("http://www.w3.org/2001/XMLSchema#integer"))
+        .alias("obj_dt"),
+        F.when(m4 == 2, F.lit("nb")).alias("obj_lang"),
+    )
+    parsed = parse_nquads(serialize_nquads(t), line_col="line")
+    re_line = nquad_line(
+        F.col("subj"),
+        F.col("pred"),
+        F.col("obj"),
+        F.col("obj_dt"),
+        F.col("obj_lang"),
+        F.col("graph_id"),
+    )
+    return parsed.select(
+        "graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang",
+        F.md5(re_line).alias("line_md5"),
+    )
+
+
+_ORACLE_R4["nquads_roundtrip"] = """
+WITH base AS (
+  SELECT CAST(c_custkey AS VARCHAR) AS ks,
+         CAST(c_custkey % 4 AS INT) AS m4,
+         CAST(c_custkey % 5 AS INT) AS m5,
+         CAST(c_custkey % 7 AS INT) AS m7
+  FROM customer)
+SELECT
+  CASE WHEN m5 = 4 THEN NULL ELSE 'g:' || CAST(m5 AS VARCHAR) END AS graph_id,
+  CASE WHEN m7 = 0 THEN '_:b' || ks ELSE 'http://ex.org/e/' || ks END AS subj,
+  'http://ex.org/p/name' AS pred,
+  CASE m4 WHEN 0 THEN 'http://ex.org/o/' || ks
+          WHEN 1 THEN 'va"l\\' || ks || chr(10) || 'x' || chr(9) || 'y'
+          WHEN 2 THEN 'hei ' || ks
+          ELSE ks END AS obj,
+  CASE WHEN m4 = 1 THEN 'http://www.w3.org/2001/XMLSchema#string'
+       WHEN m4 = 3 THEN 'http://www.w3.org/2001/XMLSchema#integer' END AS obj_dt,
+  CASE WHEN m4 = 2 THEN 'nb' END AS obj_lang,
+  md5(
+    (CASE WHEN m7 = 0 THEN '_:b' || ks ELSE '<http://ex.org/e/' || ks || '>' END)
+    || ' <http://ex.org/p/name> '
+    || CASE m4 WHEN 0 THEN '<http://ex.org/o/' || ks || '>'
+               WHEN 1 THEN '"va\\"l\\\\' || ks || '\\nx\\ty"'
+               WHEN 2 THEN '"hei ' || ks || '"@nb'
+               ELSE '"' || ks || '"^^<http://www.w3.org/2001/XMLSchema#integer>' END
+    || CASE WHEN m5 = 4 THEN '' ELSE ' <g:' || CAST(m5 AS VARCHAR) || '>' END
+    || ' .'
+  ) AS line_md5
+FROM base
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7172,6 +7263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_nfc_normalize": q_doc_nfc_normalize,
         "kg_owl_entail": q_kg_owl_entail,
         "web_triangles": q_web_triangles,
+        "nquads_roundtrip": q_nquads_roundtrip,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
