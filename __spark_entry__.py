@@ -7141,6 +7141,82 @@ FROM base
 """
 
 
+def q_kg_property_table(spark, sf_dir):
+    """Property-table pivot (operators/layout.py::property_table;
+    Wilkinson SSWS 2006) — the wide-row storage layout that turns
+    star-shaped SPARQL (all attributes of an entity) into a single
+    columnar scan with zero self-joins; the reference keeps graphs as
+    Turtle documents (src/rdf.rs:87-92) and has no layout story.
+    Deterministic entity facts from the customer table: every entity
+    has in_nation, emails exist for even keys, k%5==0 entities carry
+    TWO phone values (the multi-value determinism case — sorted
+    comma-join), and the predicate vocabulary is passed explicitly so
+    the plan is ONE subject-hash aggregation with no discovery pass.
+    The oracle mirrors the pivot with FILTERed ordered string_agg."""
+    from rdf_diff_store_spark.operators.layout import property_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    ks = k.cast("string")
+    ent = F.concat(F.lit("cust:"), ks)
+    nat = cust.select(
+        ent.alias("s"),
+        F.lit("p:in_nation").alias("p"),
+        F.concat(F.lit("nat:"), F.col("c_nationkey").cast("string")).alias("o"),
+    )
+    email = cust.filter(k % 2 == 0).select(
+        ent.alias("s"),
+        F.lit("p:email").alias("p"),
+        F.concat(F.lit("mail:"), ks).alias("o"),
+    )
+    ph1 = cust.filter(k % 3 == 0).select(
+        ent.alias("s"),
+        F.lit("p:phone").alias("p"),
+        F.concat(F.lit("tel:a"), ks).alias("o"),
+    )
+    ph2 = cust.filter(k % 5 == 0).select(
+        ent.alias("s"),
+        F.lit("p:phone").alias("p"),
+        F.concat(F.lit("tel:b"), ks).alias("o"),
+    )
+    triples = nat.unionByName(email).unionByName(ph1).unionByName(ph2)
+    wide = property_table(
+        triples, predicates=["p:email", "p:in_nation", "p:phone"]
+    )
+    return wide.select(
+        "s",
+        F.col("p:email").alias("email"),
+        F.col("p:in_nation").alias("in_nation"),
+        F.col("p:phone").alias("phone"),
+    )
+
+
+_ORACLE_R4["kg_property_table"] = """
+WITH facts AS (
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR) AS s, 'p:in_nation' AS p,
+         'nat:' || CAST(c_nationkey AS VARCHAR) AS o
+  FROM customer
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'p:email',
+         'mail:' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 2 = 0
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'p:phone',
+         'tel:a' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 3 = 0
+  UNION ALL
+  SELECT 'cust:' || CAST(c_custkey AS VARCHAR), 'p:phone',
+         'tel:b' || CAST(c_custkey AS VARCHAR)
+  FROM customer WHERE c_custkey % 5 = 0)
+SELECT s,
+       string_agg(o, ',' ORDER BY o) FILTER (WHERE p = 'p:email') AS email,
+       string_agg(o, ',' ORDER BY o) FILTER (WHERE p = 'p:in_nation') AS in_nation,
+       string_agg(o, ',' ORDER BY o) FILTER (WHERE p = 'p:phone') AS phone
+FROM facts
+GROUP BY s
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7264,6 +7340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_owl_entail": q_kg_owl_entail,
         "web_triangles": q_web_triangles,
         "nquads_roundtrip": q_nquads_roundtrip,
+        "kg_property_table": q_kg_property_table,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
