@@ -7217,6 +7217,67 @@ GROUP BY s
 """
 
 
+def q_web_kcore(spark, sf_dir):
+    """k-core decomposition by iterative peeling (operators/graph.py::
+    kcore_peel; Seidman 1983) — the web-graph density filter (link-farm
+    cores, community nuclei). Deterministic 3-layer test graph from the
+    customer table: a ring+chord core on 40 nodes (in-core degree 4),
+    mid nodes of degree EXACTLY k=3 hanging off it, and two leaves per
+    mid — so round 1 peels the leaves, round 2 peels the mids (their
+    degree only drops below k AFTER round 1: the iteration itself is
+    what's checked), and round 3 is a no-op; 3 fixed rounds ≡ the
+    converged 3-core at every scale factor by construction. The oracle
+    unrolls the identical 3 rounds as anti-join CTEs — bit-exact."""
+    from rdf_diff_store_spark.operators.graph import kcore_peel
+
+    cust = load_table(spark, sf_dir, "customer")
+    x = (F.col("c_custkey") % 200).alias("x")
+    base = cust.select(x, (F.col("c_custkey") % 200 % 40).alias("c"))
+    c, xn = F.col("c"), F.col("x")
+    parts = [
+        base.select(c.alias("src"), ((c + 1) % 40).alias("dst")),
+        base.select(c.alias("src"), ((c + 2) % 40).alias("dst")),
+        base.select((xn + 1000).alias("src"), c.alias("dst")),
+        base.select((xn + 2000).alias("src"), (xn + 1000).alias("dst")),
+        base.select((xn + 3000).alias("src"), (xn + 1000).alias("dst")),
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return kcore_peel(edges, k=3, rounds=3)
+
+
+_ORACLE_R4["web_kcore"] = """
+WITH base AS (
+  SELECT c_custkey % 200 AS x, c_custkey % 200 % 40 AS c FROM customer),
+raw(s, d) AS (
+  SELECT c, (c + 1) % 40 FROM base
+  UNION ALL SELECT c, (c + 2) % 40 FROM base
+  UNION ALL SELECT x + 1000, c FROM base
+  UNION ALL SELECT x + 2000, x + 1000 FROM base
+  UNION ALL SELECT x + 3000, x + 1000 FROM base),
+e0 AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b FROM raw WHERE s <> d),
+d0 AS (SELECT n, COUNT(*) AS c FROM (SELECT a AS n FROM e0 UNION ALL SELECT b FROM e0) GROUP BY n),
+w0 AS (SELECT n FROM d0 WHERE c < 3),
+e1 AS (SELECT e.a, e.b FROM e0 e
+       LEFT JOIN w0 p ON e.a = p.n LEFT JOIN w0 q ON e.b = q.n
+       WHERE p.n IS NULL AND q.n IS NULL),
+d1 AS (SELECT n, COUNT(*) AS c FROM (SELECT a AS n FROM e1 UNION ALL SELECT b FROM e1) GROUP BY n),
+w1 AS (SELECT n FROM d1 WHERE c < 3),
+e2 AS (SELECT e.a, e.b FROM e1 e
+       LEFT JOIN w1 p ON e.a = p.n LEFT JOIN w1 q ON e.b = q.n
+       WHERE p.n IS NULL AND q.n IS NULL),
+d2 AS (SELECT n, COUNT(*) AS c FROM (SELECT a AS n FROM e2 UNION ALL SELECT b FROM e2) GROUP BY n),
+w2 AS (SELECT n FROM d2 WHERE c < 3),
+e3 AS (SELECT e.a, e.b FROM e2 e
+       LEFT JOIN w2 p ON e.a = p.n LEFT JOIN w2 q ON e.b = q.n
+       WHERE p.n IS NULL AND q.n IS NULL)
+SELECT n AS node, CAST(COUNT(*) AS BIGINT) AS degree
+FROM (SELECT a AS n FROM e3 UNION ALL SELECT b AS n FROM e3)
+GROUP BY n
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7341,6 +7402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_triangles": q_web_triangles,
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_property_table": q_kg_property_table,
+        "web_kcore": q_web_kcore,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

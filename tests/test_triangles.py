@@ -47,3 +47,35 @@ def test_hub_star_plus_one_closing_edge(spark):
 def test_two_disjoint_triangles(spark):
     out = _count(spark, [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (12, 10)])
     assert sum(t for _, t in out.values()) == 6  # each triangle counted at 3 nodes
+
+
+class TestKcore:
+    """kcore_peel (operators/graph.py) — peel dynamics pinned by hand."""
+
+    def _core(self, spark, pairs, k, rounds=None):
+        from rdf_diff_store_spark.operators.graph import kcore_peel
+
+        df = spark.createDataFrame(pairs, "src long, dst long")
+        return {r.node: r.degree for r in kcore_peel(df, k, rounds=rounds).collect()}
+
+    def test_triangle_is_its_own_2core(self, spark):
+        out = self._core(spark, [(1, 2), (2, 3), (3, 1)], 2)
+        assert out == {1: 2, 2: 2, 3: 2}
+
+    def test_pendant_chain_needs_two_rounds(self, spark):
+        # K4 core; mid 10 has degree 2 (= k) via core + leaf 20:
+        # round 1 peels leaf 20, round 2 peels mid 10 (degree fell to 1)
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        g = k4 + [(0, 10), (10, 20)]
+        one_round = self._core(spark, g, 2, rounds=1)
+        assert 10 in one_round and 20 not in one_round
+        converged = self._core(spark, g, 2)
+        assert converged == {n: 3 for n in range(4)}
+
+    def test_k_too_high_empties_graph(self, spark):
+        out = self._core(spark, [(1, 2), (2, 3), (3, 1)], 3)
+        assert out == {}
+
+    def test_extra_rounds_are_noops(self, spark):
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert self._core(spark, k4, 2, rounds=5) == self._core(spark, k4, 2)
