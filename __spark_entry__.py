@@ -7278,6 +7278,124 @@ GROUP BY n
 """
 
 
+def q_kg_datatype_validate(spark, sf_dir):
+    """XSD datatype validation + lexical canonicalization at load
+    (operators/shacl.py::validate_literals) — the datatype half of the
+    ingest gate (shapes are kg_shacl_validate): non-canonical lexical
+    forms ("007", "+13", "5.10", "1"-for-true) break downstream
+    exact-match joins the way un-NFC'd Unicode breaks text dedup.
+    Deterministic typed literals from the customer table: each of
+    integer/decimal/boolean/date gets five lexical variants including
+    invalid ones (letters in digits, double dots, month 13, and
+    2023-02-29 — valid REGEX but an impossible calendar date, the
+    cast-verified case). Map-only JVM regex algebra, shared Java∩RE2
+    patterns; the oracle mirrors the same regexes, replace chains, and
+    TRY_CAST."""
+    from rdf_diff_store_spark.operators.shacl import validate_literals
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    m4, m5 = (k % 4).cast("int"), (k % 5).cast("int")
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    dt = (
+        F.when(m4 == 0, F.lit(xsd + "integer"))
+        .when(m4 == 1, F.lit(xsd + "decimal"))
+        .when(m4 == 2, F.lit(xsd + "boolean"))
+        .otherwise(F.lit(xsd + "date"))
+    )
+    lex = (
+        F.when(m4 == 0,
+               F.when(m5 == 0, F.lit("42")).when(m5 == 1, F.lit("007"))
+               .when(m5 == 2, F.lit("+13")).when(m5 == 3, F.lit("-0"))
+               .otherwise(F.lit("4a")))
+        .when(m4 == 1,
+              F.when(m5 == 0, F.lit("5.10")).when(m5 == 1, F.lit("00.50"))
+              .when(m5 == 2, F.lit(".5")).when(m5 == 3, F.lit("5."))
+              .otherwise(F.lit("1..2")))
+        .when(m4 == 2,
+              F.when(m5 == 0, F.lit("true")).when(m5 == 1, F.lit("false"))
+              .when(m5 == 2, F.lit("1")).when(m5 == 3, F.lit("0"))
+              .otherwise(F.lit("maybe")))
+        .otherwise(
+            F.when(m5 == 0, F.lit("2024-02-29")).when(m5 == 1, F.lit("2023-02-29"))
+            .when(m5 == 2, F.lit("2024-13-01")).when(m5 == 3, F.lit("2024-01-02"))
+            .otherwise(F.lit("24-1-2")))
+    )
+    t = cust.select(
+        F.concat(F.lit("e:"), k.cast("string")).alias("s"),
+        F.lit("p:val").alias("p"),
+        lex.alias("obj"),
+        dt.alias("obj_dt"),
+    )
+    return validate_literals(t).select(
+        "s", "obj", "obj_dt", "dt_valid", "canonical"
+    )
+
+
+_ORACLE_R4["kg_datatype_validate"] = """
+WITH base AS (
+  SELECT c_custkey AS k, CAST(c_custkey % 4 AS INT) AS m4,
+         CAST(c_custkey % 5 AS INT) AS m5
+  FROM customer),
+lex AS (
+  SELECT 'e:' || CAST(k AS VARCHAR) AS s, 'p:val' AS p,
+    CASE m4
+      WHEN 0 THEN 'http://www.w3.org/2001/XMLSchema#integer'
+      WHEN 1 THEN 'http://www.w3.org/2001/XMLSchema#decimal'
+      WHEN 2 THEN 'http://www.w3.org/2001/XMLSchema#boolean'
+      ELSE 'http://www.w3.org/2001/XMLSchema#date' END AS obj_dt,
+    CASE m4
+      WHEN 0 THEN CASE m5 WHEN 0 THEN '42' WHEN 1 THEN '007'
+                          WHEN 2 THEN '+13' WHEN 3 THEN '-0' ELSE '4a' END
+      WHEN 1 THEN CASE m5 WHEN 0 THEN '5.10' WHEN 1 THEN '00.50'
+                          WHEN 2 THEN '.5' WHEN 3 THEN '5.' ELSE '1..2' END
+      WHEN 2 THEN CASE m5 WHEN 0 THEN 'true' WHEN 1 THEN 'false'
+                          WHEN 2 THEN '1' WHEN 3 THEN '0' ELSE 'maybe' END
+      ELSE CASE m5 WHEN 0 THEN '2024-02-29' WHEN 1 THEN '2023-02-29'
+                   WHEN 2 THEN '2024-13-01' WHEN 3 THEN '2024-01-02'
+                   ELSE '24-1-2' END END AS obj,
+    m4 FROM base),
+checked AS (
+  SELECT s, obj, obj_dt, m4,
+    CASE m4
+      WHEN 0 THEN regexp_matches(obj, '^[+-]?[0-9]+$')
+      WHEN 1 THEN regexp_matches(obj, '^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$')
+      WHEN 2 THEN regexp_matches(obj, '^(true|false|1|0)$')
+      ELSE regexp_matches(obj, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$')
+           AND TRY_CAST(obj AS DATE) IS NOT NULL END AS dt_valid
+  FROM lex),
+canon AS (
+  SELECT s, obj, obj_dt, dt_valid, m4,
+    CASE m4
+      WHEN 0 THEN
+        CASE WHEN regexp_replace(regexp_replace(obj, '^\\+', ''),
+                                 '^(-?)0+([0-9])', '\\1\\2') = '-0' THEN '0'
+             ELSE regexp_replace(regexp_replace(obj, '^\\+', ''),
+                                 '^(-?)0+([0-9])', '\\1\\2') END
+      WHEN 1 THEN
+        CASE WHEN c2.step4 = '-0' THEN '0' ELSE c2.step4 END
+      WHEN 2 THEN CASE WHEN obj IN ('true', '1') THEN 'true' ELSE 'false' END
+      ELSE obj END AS canonical
+  FROM checked,
+  LATERAL (
+    SELECT regexp_replace(
+             CASE WHEN contains(step2, '.')
+                  THEN regexp_replace(step2, '(\\.[0-9]*?)0+$', '\\1')
+                  ELSE step2 END,
+             '\\.$', '') AS step4
+    FROM (
+      SELECT regexp_replace(
+               regexp_replace(
+                 regexp_replace(regexp_replace(obj, '^\\+', ''), '^\\.', '0.'),
+                 '^-\\.', '-0.'),
+               '^(-?)0+([0-9])', '\\1\\2') AS step2)
+  ) c2)
+SELECT s, obj, obj_dt, dt_valid,
+       CASE WHEN dt_valid THEN canonical END AS canonical
+FROM canon
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7403,6 +7521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nquads_roundtrip": q_nquads_roundtrip,
         "kg_property_table": q_kg_property_table,
         "web_kcore": q_web_kcore,
+        "kg_datatype_validate": q_kg_datatype_validate,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

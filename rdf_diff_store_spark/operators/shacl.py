@@ -176,3 +176,79 @@ def shacl_validate(triples: DataFrame, shapes: DataFrame) -> DataFrame:
     for r in reports[1:]:
         out = out.unionByName(r)
     return out
+
+
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+# lexical-space regexes for the validated types — kept inside the
+# Java∩RE2 common subset (NO lookaround: RE2 has none), so the DuckDB
+# oracle runs the identical patterns
+INTEGER_LEX = "^[+-]?[0-9]+$"
+DECIMAL_LEX = "^[+-]?([0-9]+(\\.[0-9]*)?|\\.[0-9]+)$"
+BOOLEAN_LEX = "^(true|false|1|0)$"
+DATE_LEX = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+
+
+def _canon_int(o):
+    x = F.regexp_replace(o, "^\\+", "")
+    x = F.regexp_replace(x, "^(-?)0+([0-9])", "$1$2")
+    return F.when(x == "-0", F.lit("0")).otherwise(x)
+
+
+def _canon_dec(o):
+    x = F.regexp_replace(o, "^\\+", "")
+    x = F.regexp_replace(x, "^\\.", "0.")
+    x = F.regexp_replace(x, "^-\\.", "-0.")
+    x = F.regexp_replace(x, "^(-?)0+([0-9])", "$1$2")
+    # trailing fraction zeros, then a bare trailing point (minimal /
+    # XSD 1.1-style canonical form)
+    x = F.when(
+        x.contains("."), F.regexp_replace(x, "(\\.[0-9]*?)0+$", "$1")
+    ).otherwise(x)
+    x = F.regexp_replace(x, "\\.$", "")
+    return F.when(x == "-0", F.lit("0")).otherwise(x)
+
+
+def validate_literals(
+    triples: DataFrame, dt_col: str = "obj_dt", obj_col: str = "obj"
+) -> DataFrame:
+    """Load-time XSD datatype validation + lexical canonicalization —
+    the datatype half of the ingest quality gate (`shacl_validate` is
+    the shape half; the reference round-trips literals verbatim and
+    never checks them, src/rdf.rs:87-92). Typed-literal corpora arrive
+    with non-canonical lexical forms ("007", "+5", "5.10", "1" for true)
+    that break exact-match joins and dedup hashes downstream exactly
+    like un-normalized Unicode does for text — canonicalize once at
+    load.
+
+    Adds two columns: `dt_valid` (lexical form ∈ the datatype's
+    lexical space — cast-verified for dates, so 2023-02-29 fails) and
+    `canonical` (minimal canonical form; NULL when invalid or when the
+    datatype isn't one of integer/decimal/boolean/date — unvalidated
+    types pass through with dt_valid = NULL, loud and filterable).
+
+    Map-only JVM projection: regex checks + replace chains in
+    whole-stage codegen, zero shuffles at any corpus size. Integer
+    canonicalization is pure string surgery (no numeric cast), so
+    values beyond 64-bit range canonicalize correctly."""
+    o, dt = F.col(obj_col), F.col(dt_col)
+    is_int = dt == f"{_XSD}integer"
+    is_dec = dt == f"{_XSD}decimal"
+    is_bool = dt == f"{_XSD}boolean"
+    is_date = dt == f"{_XSD}date"
+    date_ok = o.rlike(DATE_LEX) & o.try_cast("date").isNotNull()
+    valid = (
+        F.when(is_int, o.rlike(INTEGER_LEX))
+        .when(is_dec, o.rlike(DECIMAL_LEX))
+        .when(is_bool, o.rlike(BOOLEAN_LEX))
+        .when(is_date, date_ok)
+    )
+    canon = (
+        F.when(is_int, _canon_int(o))
+        .when(is_dec, _canon_dec(o))
+        .when(is_bool, F.when(o.isin("true", "1"), F.lit("true")).otherwise(F.lit("false")))
+        .when(is_date, o)
+    )
+    return triples.withColumn("dt_valid", valid).withColumn(
+        "canonical", F.when(valid, canon)
+    )
