@@ -7396,6 +7396,57 @@ FROM canon
 """
 
 
+def q_web_mirror_hosts(spark, sf_dir):
+    """Mirror-site detection (operators/crawl.py::mirror_hosts) — host
+    pairs whose content-hash sets overlap above a Jaccard threshold,
+    the crawl-budget lever per-document dedup can't be (a mirror is
+    waste BEFORE you fetch it). Deterministic mirror structure from
+    the documents table: host h(doc_id%10) holds shared contents
+    {c : c ≡ h (mod 5)} (so h and h+5 are exact content twins — the
+    mod-10/mod-25 residue construction guarantees it at every SF)
+    plus 3 host-unique contents, giving the twins Jaccard
+    100·5/(8+8−5) = 45% and every other pair 0; threshold 40 keeps
+    exactly the five (h, h+5) pairs. Pair generation goes through the
+    df-capped inverted hash index (never hosts²); the oracle rebuilds
+    the same sets and algebra in SQL."""
+    from rdf_diff_store_spark.operators.crawl import mirror_hosts
+
+    docs = load_table(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 10).cast("string"))
+    shared = F.concat(F.lit("c:"), (F.col("doc_id") % 25).cast("string"))
+    uniq = F.concat(
+        F.lit("u:"), host, F.lit(":"), (F.col("doc_id") % 3).cast("string")
+    )
+    pages = docs.select(host.alias("host"), F.md5(shared).alias("content_hash")).unionByName(
+        docs.select(host.alias("host"), F.md5(uniq).alias("content_hash"))
+    )
+    return mirror_hosts(pages, min_jaccard_pct=40)
+
+
+_ORACLE_R4["web_mirror_hosts"] = """
+WITH hh AS (
+  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR) AS h,
+         md5('c:' || CAST(doc_id % 25 AS VARCHAR)) AS x
+  FROM documents
+  UNION
+  SELECT DISTINCT 'h' || CAST(doc_id % 10 AS VARCHAR),
+         md5('u:h' || CAST(doc_id % 10 AS VARCHAR) || ':'
+             || CAST(doc_id % 3 AS VARCHAR))
+  FROM documents),
+sizes AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM hh GROUP BY h),
+pairs AS (
+  SELECT a.h AS host_a, b.h AS host_b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM hh a JOIN hh b ON a.x = b.x AND a.h < b.h
+  GROUP BY a.h, b.h)
+SELECT host_a, host_b, shared, sa.n AS size_a, sb.n AS size_b,
+       CAST(floor(100.0 * shared / (sa.n + sb.n - shared)) AS INT) AS jaccard_pct
+FROM pairs
+JOIN sizes sa ON sa.h = host_a
+JOIN sizes sb ON sb.h = host_b
+WHERE floor(100.0 * shared / (sa.n + sb.n - shared)) >= 40
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7522,6 +7573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_property_table": q_kg_property_table,
         "web_kcore": q_web_kcore,
         "kg_datatype_validate": q_kg_datatype_validate,
+        "web_mirror_hosts": q_web_mirror_hosts,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

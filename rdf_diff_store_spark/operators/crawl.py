@@ -307,3 +307,60 @@ def frontier_schedule(
             + lane
         ).alias("fetch_slot"),
     )
+
+
+def mirror_hosts(
+    pages: DataFrame,
+    host_col: str = "host",
+    hash_col: str = "content_hash",
+    min_jaccard_pct: int = 50,
+    max_hash_df: int = 50,
+) -> DataFrame:
+    """Mirror-site detection: host pairs whose page-content-hash SETS
+    overlap above a Jaccard threshold — the host-granularity dual of
+    document near-dup, and the crawl-budget lever every large crawl
+    pulls (Common Crawl's mirror/farm suppression): fetching a mirror
+    is pure waste, and mirrors are invisible to per-document dedup
+    until both copies are already downloaded.
+
+    Set-similarity join done the skew-safe way (the doc_shared_spans
+    discipline): one distinct (host, hash) projection, per-host set
+    sizes, then pair generation ONLY through the inverted hash index,
+    FREQUENCY-CAPPED at `max_hash_df` hosts per hash — a boilerplate
+    hash present on 10^5 hosts would otherwise mint 10^10 pairs; a
+    true mirror hash lives on a handful. Shared counts aggregate from
+    (host_a, host_b) id pairs only (no hash rides the pair shuffle);
+    Jaccard is exact integer math: 100·|∩| / (|A|+|B|−|∩|).
+
+    Output: (host_a, host_b, shared, size_a, size_b, jaccard_pct)
+    with host_a < host_b, filtered to ≥ min_jaccard_pct."""
+    hh = pages.select(F.col(host_col).alias("h"), F.col(hash_col).alias("x")).distinct()
+    sizes = hh.groupBy("h").agg(F.count("*").alias("n"))
+    capped = (
+        hh.groupBy("x")
+        .agg(F.collect_list("h").alias("hosts"), F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_hash_df))
+    )
+    a = F.explode("hosts").alias("host_a")
+    pairs = (
+        capped.select(F.col("hosts").alias("hs"), a)
+        .select("host_a", F.explode("hs").alias("host_b"))
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("h").alias("host_a"), F.col("n").alias("size_a"))
+    sb = sizes.select(F.col("h").alias("host_b"), F.col("n").alias("size_b"))
+    # integer floor-division (DuckDB CAST(double AS INT) ROUNDS while
+    # Spark truncates — floor() is the portable spelling)
+    jac = F.floor(
+        (F.lit(100) * F.col("shared"))
+        / (F.col("size_a") + F.col("size_b") - F.col("shared"))
+    )
+    return (
+        pairs.join(sa, "host_a")
+        .join(sb, "host_b")
+        .withColumn("jaccard_pct", jac.cast("int"))
+        .filter(F.col("jaccard_pct") >= min_jaccard_pct)
+        .select("host_a", "host_b", "shared", "size_a", "size_b", "jaccard_pct")
+    )

@@ -437,3 +437,40 @@ class TestPhraseSearch:
 
         with _pytest.raises(ValueError):
             phrase_search(self._df(spark), "   ")
+
+
+class TestMirrorHosts:
+    """mirror_hosts (crawl.py) — set-similarity pair detection."""
+
+    def _run(self, spark, rows, **kw):
+        from rdf_diff_store_spark.operators.crawl import mirror_hosts
+
+        df = spark.createDataFrame(rows, ["host", "content_hash"])
+        return {
+            (r.host_a, r.host_b): (r.shared, r.size_a, r.size_b, r.jaccard_pct)
+            for r in mirror_hosts(df, **kw).collect()
+        }
+
+    def test_exact_mirror_is_100(self, spark):
+        rows = [("a", "x1"), ("a", "x2"), ("b", "x1"), ("b", "x2"), ("c", "y")]
+        out = self._run(spark, rows, min_jaccard_pct=50)
+        assert out == {("a", "b"): (2, 2, 2, 100)}
+
+    def test_partial_overlap_floor(self, spark):
+        # shared 1, sizes 2 and 2 -> 100*1/3 = 33 (floored)
+        rows = [("a", "x"), ("a", "u1"), ("b", "x"), ("b", "u2")]
+        out = self._run(spark, rows, min_jaccard_pct=0)
+        assert out[("a", "b")] == (1, 2, 2, 33)
+        assert not self._run(spark, rows, min_jaccard_pct=34)
+
+    def test_df_cap_suppresses_boilerplate_hash(self, spark):
+        # 'bp' lives on 4 hosts; with max_hash_df=3 it mints no pairs
+        rows = [(h, "bp") for h in "abcd"] + [("a", "x"), ("b", "x")]
+        out = self._run(spark, rows, min_jaccard_pct=0, max_hash_df=3)
+        assert set(out) == {("a", "b")}
+        assert out[("a", "b")][0] == 1  # only 'x' counted as shared
+
+    def test_duplicate_pages_one_vote(self, spark):
+        rows = [("a", "x"), ("a", "x"), ("b", "x")]
+        out = self._run(spark, rows, min_jaccard_pct=0)
+        assert out[("a", "b")] == (1, 1, 1, 100)
