@@ -7447,6 +7447,59 @@ WHERE floor(100.0 * shared / (sa.n + sb.n - shared)) >= 40
 """
 
 
+def q_kg_entail_delta(spark, sf_dir):
+    """Incremental (semi-naive) entailment maintenance
+    (operators/entailment.py::rdfs_entail_delta) — derive ONLY the new
+    inferences when a batch of triples lands on an already-materialized
+    closure, never re-deriving the corpus (the reference's 60 s push
+    cycle, src/bin/rdf-diff-writer.rs:45-91, made viable for a
+    materialized store). Schema: works_at has domain Person, Person ⊑
+    Agent; A-box: every customer works_at an org, customers split into
+    the OLD store (k%3≠0, closed up front) and the DELTA batch (k%3=0).
+    The delta derivation runs over delta+schema only; the anti-join
+    against the old closure removes the re-derived schema rows, so the
+    result is exactly three rows per delta entity (the fact, the
+    domain-minted type, the inherited supertype) — which the oracle
+    states in closed form. Pytest pins closure(old)∪delta-result ≡
+    closure(all)."""
+    from rdf_diff_store_spark.operators.entailment import (
+        rdfs_entail_delta,
+        rdfs_entailment,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    schema_rows = spark.createDataFrame(
+        [
+            ("p:works_at", "rdfs:domain", "class:Person"),
+            ("class:Person", "rdfs:subClassOf", "class:Agent"),
+        ],
+        ["s", "p", "o"],
+    )
+    fact = lambda df: df.select(  # noqa: E731
+        F.concat(F.lit("cust:"), k.cast("string")).alias("s"),
+        F.lit("p:works_at").alias("p"),
+        F.concat(F.lit("org:"), (k % 50).cast("string")).alias("o"),
+    )
+    old = fact(cust.filter(k % 3 != 0)).unionByName(schema_rows)
+    delta = fact(cust.filter(k % 3 == 0))
+    closure = rdfs_entailment(old)
+    return rdfs_entail_delta(closure, delta)
+
+
+_ORACLE_R4["kg_entail_delta"] = """
+WITH delta_k AS (
+  SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0)
+SELECT 'cust:' || CAST(k AS VARCHAR) AS s, 'p:works_at' AS p,
+       'org:' || CAST(k % 50 AS VARCHAR) AS o
+FROM delta_k
+UNION ALL
+SELECT 'cust:' || CAST(k AS VARCHAR), 'rdf:type', 'class:Person' FROM delta_k
+UNION ALL
+SELECT 'cust:' || CAST(k AS VARCHAR), 'rdf:type', 'class:Agent' FROM delta_k
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7574,6 +7627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_kcore": q_web_kcore,
         "kg_datatype_validate": q_kg_datatype_validate,
         "web_mirror_hosts": q_web_mirror_hosts,
+        "kg_entail_delta": q_kg_entail_delta,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -354,3 +354,39 @@ def sameas_canonicalize(
         )
         .distinct()
     )
+
+
+def rdfs_entail_delta(
+    closure: DataFrame, delta: DataFrame, tbox: DataFrame | None = None
+) -> DataFrame:
+    """Incremental (semi-naive) entailment maintenance: given an
+    already-materialized ρdf closure and a batch of NEW asserted
+    triples, derive ONLY the new entailed rows — never re-deriving the
+    existing closure. This is what makes materialization viable on a
+    LIVE store (the reference's 60 s push cycle, src/bin/
+    rdf-diff-writer.rs:45-91, would otherwise pay a full-corpus
+    re-derivation per push).
+
+    Correctness rests on the ρdf rule shape: every rule joins ONE
+    instance triple against vocabulary-sized schema (rdfs_entailment's
+    stratification), so the closure operator is LINEAR in the A-box —
+    closure(old ∪ Δ) = closure(old) ∪ closure(Δ ∪ tbox) — and the
+    semi-naive step is exactly closure(Δ with the schema in scope)
+    minus what's already materialized. (`tbox` defaults to the schema
+    rows already present in `closure`; pass it explicitly when the
+    delta itself carries new schema — new schema invalidates linearity
+    for OLD triples and the caller should re-materialize instead,
+    which this function makes loud by never touching the old A-box.)
+
+    Scale shape: the expensive side is Δ-sized, not corpus-sized —
+    rule joins broadcast the T-box exactly as in rdfs_entailment, and
+    the one corpus-sized operation is the final LEFT ANTI join against
+    the existing closure (hash join on (s,p,o); with the closure
+    stored bucketed on s, AQE keeps it shuffle-free on the closure
+    side). Returns rows to APPEND: existing_closure ∪ result ≡
+    rdfs_entailment(old ∪ Δ), pytest-pinned."""
+    schema_preds = [RDFS_SUBCLASS, RDFS_SUBPROP, RDFS_DOMAIN, RDFS_RANGE]
+    if tbox is None:
+        tbox = closure.filter(F.col("p").isin(schema_preds))
+    new_closed = rdfs_entailment(tbox.unionByName(delta.select("s", "p", "o")))
+    return new_closed.join(closure, ["s", "p", "o"], "left_anti")

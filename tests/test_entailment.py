@@ -306,3 +306,56 @@ class TestOwlPropertyEntailment:
         out_df_rows = self._entail(spark, rows)
         assert ("a", "partOf", "b") in out_df_rows
         assert ("partOf", "rdf:type", "owl:TransitiveProperty") in out_df_rows
+
+
+class TestEntailDelta:
+    """Semi-naive incremental maintenance
+    (entailment.py::rdfs_entail_delta)."""
+
+    SCHEMA = [
+        ("p", "rdfs:domain", "C"),
+        ("C", "rdfs:subClassOf", "D"),
+    ]
+
+    def _frames(self, spark, old_rows, delta_rows):
+        from rdf_diff_store_spark.operators.entailment import rdfs_entailment
+
+        old = spark.createDataFrame(self.SCHEMA + old_rows, ["s", "p", "o"])
+        delta = spark.createDataFrame(
+            delta_rows, "s string, p string, o string"
+        )
+        return rdfs_entailment(old), delta
+
+    def test_union_equals_full_closure(self, spark):
+        from rdf_diff_store_spark.operators.entailment import (
+            rdfs_entail_delta,
+            rdfs_entailment,
+        )
+
+        old_rows = [("a", "p", "x")]
+        delta_rows = [("b", "p", "y")]
+        closure, delta = self._frames(spark, old_rows, delta_rows)
+        new = rdfs_entail_delta(closure, delta)
+        combined = {tuple(r) for r in closure.unionByName(new).collect()}
+        full = spark.createDataFrame(
+            self.SCHEMA + old_rows + delta_rows, ["s", "p", "o"]
+        )
+        assert combined == {tuple(r) for r in rdfs_entailment(full).collect()}
+
+    def test_only_new_rows_returned(self, spark):
+        from rdf_diff_store_spark.operators.entailment import rdfs_entail_delta
+
+        closure, delta = self._frames(spark, [("a", "p", "x")], [("b", "p", "y")])
+        new = {tuple(r) for r in rdfs_entail_delta(closure, delta).collect()}
+        assert new == {
+            ("b", "p", "y"),
+            ("b", "rdf:type", "C"),
+            ("b", "rdf:type", "D"),
+        }
+
+    def test_redundant_delta_appends_nothing(self, spark):
+        from rdf_diff_store_spark.operators.entailment import rdfs_entail_delta
+
+        closure, _ = self._frames(spark, [("a", "p", "x")], [])
+        delta = spark.createDataFrame([("a", "p", "x")], ["s", "p", "o"])
+        assert rdfs_entail_delta(closure, delta).count() == 0
