@@ -1,0 +1,71 @@
+"""Streaming entailment maintenance: keep a materialized ρdf closure
+current over an unbounded stream of triple batches.
+
+Reference context: the reference applies each update transactionally
+and queries always see the current state (/root/reference/src/bin/
+rdf-diff-writer.rs:45-91, 60 s push cycle); a store that materializes
+entailment (operators/entailment.py) must keep the CLOSURE current per
+push too, and re-deriving a 100 TB closure per micro-batch is not a
+plan. Each batch runs the semi-naive delta derivation
+(`rdfs_entail_delta` — Δ-sized rule joins against the broadcast
+schema) and APPENDS only the genuinely new rows.
+
+Replay safety WITHOUT a high-water mark (the StreamingDistinct class
+of idempotence, not the count-min class): the appended rows are
+computed as ``closure(Δ + schema) LEFT ANTI JOIN current state``, so
+replaying a batch after a crash — whether the crash hit before or
+after the append — derives against whatever state survived and
+appends only what is still missing. Partial appends self-heal, full
+appends replay as the empty set. No mark machinery exists to get
+wrong.
+
+Scale note: state is the closure itself (corpus-sized). The
+append-only parquet directory is the test shape; production writes it
+bucketed by subject hash (sources/bucketed_store.py) so the per-batch
+anti-join co-locates without shuffling the stored closure.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from rdf_diff_store_spark.operators.entailment import (
+    rdfs_entail_delta,
+    rdfs_entailment,
+)
+
+_SCHEMA = "s string, p string, o string"
+
+
+class StreamingEntailment:
+    """foreachBatch processor: seed with `initialize`, feed (s, p, o)
+    micro-batches via ``stream.writeStream.foreachBatch(se.process_batch)``,
+    read the always-current closure with `closure()`."""
+
+    def __init__(self, spark: SparkSession, work_dir: str) -> None:
+        self.spark = spark
+        self._state_path = os.path.join(work_dir, "closure_state")
+
+    def closure(self) -> DataFrame:
+        try:
+            return self.spark.read.parquet(self._state_path)
+        except Exception:  # noqa: BLE001 — not initialized yet
+            return self.spark.createDataFrame([], _SCHEMA)
+
+    def initialize(self, triples: DataFrame) -> None:
+        """Materialize the full closure of the initial store (schema +
+        any pre-existing A-box) — the one corpus-sized derivation."""
+        rdfs_entailment(triples.select("s", "p", "o")).write.mode(
+            "overwrite"
+        ).parquet(self._state_path)
+
+    def process_batch(self, batch: DataFrame, batch_id: int) -> None:
+        # localCheckpoint barrier: materialize the delta BEFORE the
+        # append touches the directory the anti-join reads from
+        new = rdfs_entail_delta(
+            self.closure(), batch.select("s", "p", "o")
+        ).localCheckpoint()
+        if not new.isEmpty():
+            new.write.mode("append").parquet(self._state_path)
