@@ -567,6 +567,40 @@ def main() -> None:
         )
     )
 
+    # 31. triangles: never a cartesian pair explosion, never an
+    # adjacency-list hot key (no collect_list), ids-only hash joins
+    p_tri = plan_of(qs["web_triangles"](spark, sf_dir))
+    checks.append(
+        (
+            "triangles: no cartesian, no adjacency hot-key",
+            "CartesianProduct" not in p_tri and "collect_list" not in p_tri,
+            "oriented wedge join only",
+        )
+    )
+
+    # 32. property table: exactly ONE shuffle (the subject pivot agg),
+    # JVM end to end
+    p_pt = plan_of(qs["kg_property_table"](spark, sf_dir))
+    n_ex_pt = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_pt))
+    checks.append(
+        (
+            "property table = one subject-hash aggregation",
+            n_ex_pt == 1 and "ArrowEvalPython" not in p_pt,
+            f"{n_ex_pt} Exchange",
+        )
+    )
+
+    # 33. mirror hosts: pair generation via the capped index, never a
+    # cartesian host product
+    p_mh = plan_of(qs["web_mirror_hosts"](spark, sf_dir))
+    checks.append(
+        (
+            "mirror hosts: df-capped index pairs, no cartesian",
+            "CartesianProduct" not in p_mh,
+            "inverted-index pair gen",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
