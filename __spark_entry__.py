@@ -7500,6 +7500,150 @@ SELECT 'cust:' || CAST(k AS VARCHAR), 'rdf:type', 'class:Agent' FROM delta_k
 """
 
 
+def q_kg_jsonld_extract(spark, sf_dir):
+    """Embedded schema.org JSON-LD extraction (operators/structured.py::
+    extract_jsonld) — the Web Data Commons triple-extraction stage over
+    Common-Crawl-style pages, UPSTREAM of the reference's entire store
+    path (src/graphs.rs:30-61 ingests already-materialized RDF; on the
+    open web that RDF comes out of exactly these script blocks). Pages
+    are rendered from `documents` with a REAL JSON-LD block inside real
+    markup plus the body text; extraction then runs the production
+    path end-to-end: JVM contains-prefilter + regexp block slicing,
+    ONE Arrow mapInPandas hop (stdlib json), depth-first flattening
+    with @context vocabulary expansion and deterministic per-page
+    blank labels (the nested author node → _:b0). The oracle rebuilds
+    every expected triple closed-form from the same document columns,
+    so drift anywhere — slicing regex, JSON parse, term expansion,
+    @type handling, literal lexical forms, blank allocation — breaks
+    the hash. Map-only, zero shuffles: embarrassingly parallel at
+    10^12 pages, with no-markup pages filtered JVM-side."""
+    from rdf_diff_store_spark.operators.structured import extract_jsonld
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    block = F.format_string(
+        '{"@context":"https://schema.org",'
+        '"@id":"https://docs.example.org/%s","@type":"Article",'
+        '"name":"doc %s","inLanguage":"%s","wordCount":%s,'
+        '"author":{"@type":"Person","name":"author %s"},'
+        '"keywords":["k%s","k%s"]}',
+        d,
+        d,
+        F.col("lang"),
+        F.col("n_chars").cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/"), d).alias("url"),
+        F.concat(
+            F.lit(
+                "<html><head><title>d</title>"
+                '<script type="application/ld+json">'
+            ),
+            block,
+            F.lit("</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return extract_jsonld(pages)
+
+
+_ORACLE_R4["kg_jsonld_extract"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, lang, n_chars
+  FROM documents)
+SELECT url, url AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Article' AS obj, TRUE AS is_iri FROM p
+UNION ALL SELECT url, url, 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang, FALSE FROM p
+UNION ALL SELECT url, url, 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, url, 'https://schema.org/author', '_:b0', TRUE FROM p
+UNION ALL SELECT url, '_:b0',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Person', TRUE FROM p
+UNION ALL SELECT url, '_:b0', 'https://schema.org/name',
+       'author ' || CAST(doc_id % 7 AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, url, 'https://schema.org/keywords',
+       'k' || CAST(doc_id % 3 AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, url, 'https://schema.org/keywords',
+       'k' || CAST(doc_id % 5 AS VARCHAR), FALSE FROM p
+"""
+
+
+def q_kg_microdata_extract(spark, sf_dir):
+    """HTML microdata extraction (operators/structured.py::
+    extract_microdata) — the second WDC embedding format: one-pass
+    itemscope/itemtype/itemprop walk via stdlib html.parser in ONE
+    Arrow hop. The rendered page nests an Offer item inside a Product
+    (itemid subject), exercising every value rule the HTML spec
+    defines: text-content props with nested markup, meta/@content,
+    a/@href (IRI-valued), link/@href on a void element, parent→child
+    item linking, rdf:type from itemtype, vocabulary derived from the
+    itemtype IRI, and deterministic blank labels (_:md0 for the
+    itemid-less Offer). Closed-form oracle; map-only at crawl scale
+    with an `itemscope` JVM prefilter."""
+    from rdf_diff_store_spark.operators.structured import extract_microdata
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.format_string(
+        '<html><body><div itemscope itemtype="https://schema.org/Product"'
+        ' itemid="https://docs.example.org/prod/%s">'
+        '<span itemprop="name">item <b>%s</b></span>'
+        '<meta itemprop="sku" content="SKU-%s">'
+        '<a itemprop="url" href="https://docs.example.org/%s">link</a>'
+        '<div itemprop="offers" itemscope'
+        ' itemtype="https://schema.org/Offer">'
+        '<span itemprop="price">%s.00</span>'
+        '<link itemprop="availability" href="https://schema.org/InStock">'
+        "</div></div><p>%s</p></body></html>",
+        d,
+        d,
+        F.pmod(F.col("doc_id"), F.lit(100)).cast("string"),
+        d,
+        F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+        F.col("text"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/"), d).alias("url"),
+        html.alias("html"),
+    )
+    return extract_microdata(pages)
+
+
+_ORACLE_R4["kg_microdata_extract"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://docs.example.org/prod/' || CAST(doc_id AS VARCHAR) AS subj,
+         doc_id
+  FROM documents)
+SELECT url, subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Product' AS obj, TRUE AS is_iri FROM p
+UNION ALL SELECT url, subj, 'https://schema.org/name',
+       'item ' || CAST(doc_id AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, subj, 'https://schema.org/sku',
+       'SKU-' || CAST(doc_id % 100 AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, subj, 'https://schema.org/url',
+       'https://docs.example.org/' || CAST(doc_id AS VARCHAR), TRUE FROM p
+UNION ALL SELECT url, subj, 'https://schema.org/offers', '_:md0', TRUE FROM p
+UNION ALL SELECT url, '_:md0',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Offer', TRUE FROM p
+UNION ALL SELECT url, '_:md0', 'https://schema.org/price',
+       CAST(doc_id % 50 AS VARCHAR) || '.00', FALSE FROM p
+UNION ALL SELECT url, '_:md0', 'https://schema.org/availability',
+       'https://schema.org/InStock', TRUE FROM p
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -7628,6 +7772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_datatype_validate": q_kg_datatype_validate,
         "web_mirror_hosts": q_web_mirror_hosts,
         "kg_entail_delta": q_kg_entail_delta,
+        # -- session-15 additions (WDC structured-data extraction) ----
+        "kg_jsonld_extract": q_kg_jsonld_extract,
+        "kg_microdata_extract": q_kg_microdata_extract,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -1,0 +1,425 @@
+"""Embedded structured-data extraction from HTML — the Web Data
+Commons path over Common Crawl: schema.org JSON-LD blocks
+(``<script type="application/ld+json">``) and HTML microdata
+(``itemscope``/``itemtype``/``itemprop``) lifted into
+(url, subj, pred, obj, is_iri) triples.
+
+This is the "triple extraction" stage of BASELINE.json's north_star
+that sits UPSTREAM of everything rdf-diff-store models: the reference
+ingests already-materialized RDF (`/root/reference/src/graphs.rs:30-61`
+stores whatever Turtle the API is handed), and on the open web that
+Turtle comes from exactly these two embedding formats (WDC extracts
+JSON-LD + microdata + RDFa from Common Crawl into the N-Quads dumps
+our `sources/nquads.py` reads/writes). Output triples feed the
+versioned changelog (`operators/versioned.py::append_updates`) and the
+N-Quads sink unchanged.
+
+Scale shape (100 TB of pages):
+* a pure-JVM `contains`/regexp prefilter runs at the parquet scan, so
+  pages without a marker never cross into Python — on real crawls
+  most pages carry no structured data, and the filter is pushdown-able
+  column pruning territory (url + html only);
+* ONE Arrow `mapInPandas` hop per format does the actual parse
+  (stdlib ``json`` / ``html.parser`` — per-row imperative work that
+  genuinely can't be a JVM expression), map-only with ZERO shuffles:
+  at 1000 executors it's embarrassingly parallel;
+* an explicit repartition before the hop decouples parse parallelism
+  from the compact upstream byte size (the AQE-coalescing trap
+  CLAUDE.md documents for every CPU-heavy per-row stage).
+
+Determinism: blank-node labels are allocated per page in document
+order (``_:b0``, ``_:b1``, … for JSON-LD; ``_:md0``, … for
+microdata), so the same page always yields byte-identical triples on
+any executor at any parallelism — the property every oracle and the
+idempotent-write path (content-hash anti-join) rely on.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+DEFAULT_VOCAB = "https://schema.org/"
+
+# ---------------------------------------------------------------------------
+# JSON-LD
+# ---------------------------------------------------------------------------
+
+# Java regex (JVM side): lazily match script blocks whose type attr is
+# application/ld+json, any attr order, case-insensitive, dotall.
+_SCRIPT_BLOCK_RE = (
+    r"(?is)<script\b[^>]*type\s*=\s*[\"']application/ld\+json[\"'][^>]*>"
+    r"(.*?)</script>"
+)
+
+_TRIPLE_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("is_iri", BooleanType()),
+    ]
+)
+
+
+def jsonld_blocks(html: Column) -> Column:
+    """All raw JSON-LD script payloads of a page as array<string> —
+    pure JVM `regexp_extract_all`, whole-stage codegen."""
+    return F.regexp_extract_all(html, F.lit(_SCRIPT_BLOCK_RE), 1)
+
+
+def _vocab_of(ctx) -> str:
+    """Vocabulary base IRI from a JSON-LD @context (string form, dict
+    with @vocab, or a list scanning for either); normalized to end in
+    '/' or '#' so term expansion is concatenation."""
+    v = None
+    if isinstance(ctx, str):
+        v = ctx
+    elif isinstance(ctx, dict):
+        vv = ctx.get("@vocab")
+        if isinstance(vv, str):
+            v = vv
+    elif isinstance(ctx, list):
+        for part in ctx:
+            got = _vocab_of(part)
+            if got != DEFAULT_VOCAB:
+                return got
+    if not v:
+        return DEFAULT_VOCAB
+    return v if v.endswith(("/", "#")) else v + "/"
+
+
+def _prefixes_of(ctx) -> dict:
+    """prefix -> IRI mappings from a dict-form @context (term
+    definitions whose value is a string IRI)."""
+    out: dict = {}
+    if isinstance(ctx, dict):
+        for k, v in ctx.items():
+            if not k.startswith("@") and isinstance(v, str):
+                out[k] = v
+    elif isinstance(ctx, list):
+        for part in ctx:
+            out.update(_prefixes_of(part))
+    return out
+
+
+def _expand_term(term: str, vocab: str, prefixes: dict) -> str:
+    """Expand a JSON-LD key / @type / microdata itemprop to an IRI:
+    absolute IRIs pass through, `prefix:local` resolves against the
+    context's term definitions, bare terms concatenate to the vocab."""
+    if "://" in term:
+        return term
+    if ":" in term:
+        prefix, local = term.split(":", 1)
+        base = prefixes.get(prefix)
+        if base:
+            return base + local
+        return term  # unknown prefixed name: keep verbatim (loud in data)
+    mapped = prefixes.get(term)
+    if mapped and "://" in mapped:
+        return mapped
+    return vocab + term
+
+
+def _lex(v) -> str:
+    """Canonical lexical form of a JSON scalar: strings verbatim,
+    booleans as xsd lexicals, ints as decimal digits, floats as the
+    shortest round-trip repr (Python == DuckDB printf %!r semantics
+    for the values our tests exercise)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return v
+    return repr(v) if isinstance(v, float) else str(v)
+
+
+def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -> str:
+    """Depth-first JSON-LD node flattening. Returns the node's subject
+    (its @id, or a fresh per-page blank label). Emits rdf:type for
+    @type, one triple per (key, array element), recursing into nested
+    objects; ``@value`` wrappers emit their literal; JSON nulls are
+    ignored per JSON-LD §4."""
+    subj = node.get("@id")
+    if not isinstance(subj, str) or not subj:
+        subj = f"_:b{bn[0]}"
+        bn[0] += 1
+    types = node.get("@type")
+    for t in types if isinstance(types, list) else ([types] if types else []):
+        if isinstance(t, str):
+            out.append((subj, RDF_TYPE, _expand_term(t, vocab, prefixes), True))
+    for key, val in node.items():
+        if key.startswith("@"):
+            continue
+        pred = _expand_term(key, vocab, prefixes)
+        items = val if isinstance(val, list) else [val]
+        for item in items:
+            if item is None:
+                continue
+            if isinstance(item, dict):
+                if "@value" in item:
+                    if item["@value"] is not None:
+                        out.append((subj, pred, _lex(item["@value"]), False))
+                else:
+                    osubj = _flatten_node(item, vocab, prefixes, out, bn)
+                    out.append((subj, pred, osubj, True))
+            elif isinstance(item, list):
+                for sub in item:  # nested list: flatten one level
+                    if sub is not None and not isinstance(sub, (dict, list)):
+                        out.append((subj, pred, _lex(sub), False))
+            else:
+                out.append((subj, pred, _lex(item), False))
+    return subj
+
+
+def jsonld_triples_of_page(blocks: Iterable[str]) -> list:
+    """All (subj, pred, obj, is_iri) triples of one page's JSON-LD
+    blocks, document order, deterministic blank labels. Malformed
+    JSON blocks are skipped (the WDC convention — a broken publisher
+    block must not poison the page's other blocks)."""
+    out: list = []
+    bn = [0]
+    for block in blocks:
+        try:
+            doc = json.loads(block)
+        except (ValueError, RecursionError):
+            continue
+        roots = doc if isinstance(doc, list) else [doc]
+        for root in roots:
+            if not isinstance(root, dict):
+                continue
+            ctx = root.get("@context")
+            vocab, prefixes = _vocab_of(ctx), _prefixes_of(ctx)
+            nodes = root.get("@graph")
+            if isinstance(nodes, list):
+                for n in nodes:
+                    if isinstance(n, dict):
+                        _flatten_node(n, vocab, prefixes, out, bn)
+            else:
+                _flatten_node(root, vocab, prefixes, out, bn)
+    return out
+
+
+def extract_jsonld(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(url, subj, pred, obj, is_iri) triples from every embedded
+    JSON-LD block of `pages`. JVM prefilter + block slicing; ONE
+    Arrow hop for the JSON parse; zero shuffles (map-only)."""
+    html_str = F.col(html_col).cast("string")
+    src = (
+        pages.select(F.col(url_col).alias("url"), html_str.alias("_html"))
+        .filter(F.col("_html").contains("application/ld+json"))
+        .select("url", jsonld_blocks(F.col("_html")).alias("_blocks"))
+        .filter(F.size("_blocks") > 0)
+    )
+    spark = pages.sparkSession
+    n_parts = parallelism or spark.sparkContext.defaultParallelism * 2
+    src = src.repartition(n_parts)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blocks in zip(pdf["url"], pdf["_blocks"]):
+                for t in jsonld_triples_of_page(blocks):
+                    rows.append((url, *t))
+            yield pd.DataFrame(
+                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
+            )
+
+    return src.mapInPandas(_parse, _TRIPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Microdata
+# ---------------------------------------------------------------------------
+
+_WS_RE = re.compile(r"\s+")
+
+# value-carrying attribute per element name (HTML microdata §5.2.4)
+_URL_VALUED = {
+    "a": "href",
+    "area": "href",
+    "link": "href",
+    "audio": "src",
+    "embed": "src",
+    "iframe": "src",
+    "img": "src",
+    "source": "src",
+    "track": "src",
+    "video": "src",
+}
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class _MicrodataParser(HTMLParser):
+    """One-pass microdata walk (HTML §5.2): itemscope opens an item
+    (subject = itemid or a fresh blank label), itemtype emits rdf:type
+    and fixes the item's vocabulary (IRI up to the last '/' or '#'),
+    itemprop on an itemscope element links parent→child, itemprop on
+    a value element emits a literal/IRI from the element's value
+    attribute or its whitespace-collapsed text content. Properties
+    with multiple space-separated names emit one triple per name."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.triples: list = []
+        self._bn = 0
+        self._items: list = []  # open itemscope stack: (subj, vocab)
+        self._frames: list = []  # open-element stack (non-void only)
+        self._collectors: list = []  # active text-prop collectors
+
+    # -- helpers ----------------------------------------------------
+    def _emit(self, s: str, p: str, o: str, iri: bool) -> None:
+        self.triples.append((s, p, o, iri))
+
+    def _cur(self):
+        return self._items[-1] if self._items else None
+
+    def _expand(self, name: str, vocab: str) -> str:
+        return name if "://" in name else vocab + name
+
+    # -- HTMLParser hooks -------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        void = tag in _VOID
+        frame = {"tag": tag, "item": False, "collector": None}
+        cur = self._cur()
+        props = (a.get("itemprop") or "").split()
+        if "itemscope" in a:
+            subj = a.get("itemid") or f"_:md{self._bn}"
+            if not a.get("itemid"):
+                self._bn += 1
+            vocab = DEFAULT_VOCAB
+            types = (a.get("itemtype") or "").split()
+            if types:
+                head = types[0]
+                cut = max(head.rfind("/"), head.rfind("#"))
+                if cut > len("https:/"):
+                    vocab = head[: cut + 1]
+            if props and cur:
+                for p in props:
+                    self._emit(cur[0], self._expand(p, cur[1]), subj, True)
+            for t in types:
+                self._emit(subj, RDF_TYPE, t, True)
+            self._items.append((subj, vocab))
+            frame["item"] = True
+            if void:  # itemscope on a void element closes immediately
+                self._items.pop()
+                return
+        elif props and cur:
+            preds = [self._expand(p, cur[1]) for p in props]
+            val: str | None = None
+            iri = False
+            if tag == "meta":
+                val = a.get("content") or ""
+            elif tag in _URL_VALUED:
+                val, iri = a.get(_URL_VALUED[tag]) or "", True
+            elif tag == "time" and a.get("datetime"):
+                val = a["datetime"]
+            elif tag == "data" and a.get("value"):
+                val = a["value"]
+            if val is not None:
+                for p in preds:
+                    self._emit(cur[0], p, val, iri)
+            elif void:
+                for p in preds:  # void element, no value attr: empty
+                    self._emit(cur[0], p, "", False)
+            else:
+                collector = (cur[0], preds, [])
+                self._collectors.append(collector)
+                frame["collector"] = collector
+        if not void:
+            self._frames.append(frame)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data: str) -> None:
+        for _, _, parts in self._collectors:
+            parts.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        # lenient close: pop to the nearest matching open tag
+        if not any(f["tag"] == tag for f in self._frames):
+            return
+        while self._frames:
+            frame = self._frames.pop()
+            if frame["collector"] is not None:
+                subj, preds, parts = frame["collector"]
+                self._collectors.remove(frame["collector"])
+                text = _WS_RE.sub(" ", "".join(parts)).strip()
+                for p in preds:
+                    self._emit(subj, p, text, False)
+            if frame["item"]:
+                self._items.pop()
+            if frame["tag"] == tag:
+                break
+
+    def close(self) -> None:  # finalize dangling frames on truncated html
+        super().close()
+        while self._frames:
+            self.handle_endtag(self._frames[-1]["tag"])
+
+
+def microdata_triples_of_page(html: str) -> list:
+    """(subj, pred, obj, is_iri) triples of one page's microdata,
+    document order, deterministic blank labels."""
+    p = _MicrodataParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # noqa: BLE001 — broken markup yields what parsed
+        pass
+    return p.triples
+
+
+def extract_microdata(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(url, subj, pred, obj, is_iri) triples from HTML microdata.
+    Same shape as `extract_jsonld`: JVM `itemscope` prefilter, ONE
+    Arrow hop, map-only."""
+    html_str = F.col(html_col).cast("string")
+    src = pages.select(F.col(url_col).alias("url"), html_str.alias("_html")).filter(
+        F.col("_html").contains("itemscope")
+    )
+    spark = pages.sparkSession
+    n_parts = parallelism or spark.sparkContext.defaultParallelism * 2
+    src = src.repartition(n_parts)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["_html"]):
+                for t in microdata_triples_of_page(html):
+                    rows.append((url, *t))
+            yield pd.DataFrame(
+                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
+            )
+
+    return src.mapInPandas(_parse, _TRIPLE_SCHEMA)

@@ -601,6 +601,20 @@ def main() -> None:
         )
     )
 
+    # 34. structured-data extraction: ONE Arrow hop each, map-only —
+    # the only Exchange is the explicit parse-parallelism repartition
+    for qname in ("kg_jsonld_extract", "kg_microdata_extract"):
+        p_sd = plan_of(qs[qname](spark, sf_dir))
+        n_arrow = len(_re.findall(r"\(\d+\) MapInPandas", p_sd))
+        n_ex_sd = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_sd))
+        checks.append(
+            (
+                f"{qname}: one Arrow hop, map-only",
+                n_arrow == 1 and n_ex_sd <= 1,
+                f"{n_arrow} MapInPandas, {n_ex_sd} Exchange",
+            )
+        )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")

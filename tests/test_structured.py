@@ -1,0 +1,197 @@
+"""Structured-data extraction (operators/structured.py): JSON-LD and
+microdata lifted from HTML into triples — the WDC-over-Common-Crawl
+stage upstream of the reference's RDF store path
+(`/root/reference/src/graphs.rs:30-61`)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.operators.structured import (
+    RDF_TYPE,
+    extract_jsonld,
+    extract_microdata,
+    jsonld_triples_of_page,
+    microdata_triples_of_page,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html string")
+
+
+class TestJsonldFlatten:
+    def test_basic_node_with_id(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/1",'
+                '"@type":"Article","name":"n1","wordCount":42}'
+            ]
+        )
+        assert ("https://x.org/1", RDF_TYPE, "https://schema.org/Article", True) in t
+        assert ("https://x.org/1", "https://schema.org/name", "n1", False) in t
+        assert ("https://x.org/1", "https://schema.org/wordCount", "42", False) in t
+
+    def test_nested_object_gets_blank_node_and_link(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/1",'
+                '"author":{"@type":"Person","name":"ada"}}'
+            ]
+        )
+        assert ("https://x.org/1", "https://schema.org/author", "_:b0", True) in t
+        assert ("_:b0", RDF_TYPE, "https://schema.org/Person", True) in t
+        assert ("_:b0", "https://schema.org/name", "ada", False) in t
+
+    def test_missing_id_allocates_sequential_blanks(self):
+        t = jsonld_triples_of_page(
+            ['{"name":"a"}', '{"name":"b"}']  # default vocab applies
+        )
+        assert ("_:b0", "https://schema.org/name", "a", False) in t
+        assert ("_:b1", "https://schema.org/name", "b", False) in t
+
+    def test_graph_array_and_list_values(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@graph":['
+                '{"@id":"https://x.org/a","keywords":["k1","k2"]},'
+                '{"@id":"https://x.org/b","name":"bb"}]}'
+            ]
+        )
+        assert ("https://x.org/a", "https://schema.org/keywords", "k1", False) in t
+        assert ("https://x.org/a", "https://schema.org/keywords", "k2", False) in t
+        assert ("https://x.org/b", "https://schema.org/name", "bb", False) in t
+
+    def test_context_dict_vocab_and_prefix(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":{"@vocab":"https://v.org/ns#","dc":"http://purl.org/dc/"},'
+                '"@id":"https://x.org/1","title":"t","dc:creator":"c"}'
+            ]
+        )
+        assert ("https://x.org/1", "https://v.org/ns#title", "t", False) in t
+        assert ("https://x.org/1", "http://purl.org/dc/creator", "c", False) in t
+
+    def test_value_wrapper_bool_and_null(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@id":"https://x.org/1","a":{"@value":"v","@language":"en"},'
+                '"b":true,"c":null,"d":1.5}'
+            ]
+        )
+        assert ("https://x.org/1", "https://schema.org/a", "v", False) in t
+        assert ("https://x.org/1", "https://schema.org/b", "true", False) in t
+        assert ("https://x.org/1", "https://schema.org/d", "1.5", False) in t
+        assert not any(p.endswith("/c") for _, p, _, _ in t)
+
+    def test_malformed_block_skipped_others_survive(self):
+        t = jsonld_triples_of_page(
+            ['{"name": BROKEN', '{"@id":"https://x.org/1","name":"ok"}']
+        )
+        assert t == [("https://x.org/1", "https://schema.org/name", "ok", False)]
+
+    def test_top_level_list_and_absolute_iri_key(self):
+        t = jsonld_triples_of_page(
+            ['[{"@id":"https://x.org/1","https://p.org/q":"v"}]']
+        )
+        assert t == [("https://x.org/1", "https://p.org/q", "v", False)]
+
+
+class TestJsonldSpark:
+    def test_extraction_and_prefilter(self, spark):
+        pages = _pages(
+            spark,
+            [
+                (
+                    "u1",
+                    '<html><head><SCRIPT type="application/ld+json">'
+                    '{"@id":"https://x.org/1","name":"one"}</SCRIPT>'
+                    '<script type="application/ld+json">{"@id":"https://x.org/2",'
+                    '"name":"two"}</script></head><body>x</body></html>',
+                ),
+                ("u2", "<html><body>no structured data</body></html>"),
+                (
+                    "u3",
+                    '<script async type=\'application/ld+json\'>'
+                    '{"@type":"Thing"}</script>',
+                ),
+            ],
+        )
+        got = {tuple(r) for r in extract_jsonld(pages).collect()}
+        assert ("u1", "https://x.org/1", "https://schema.org/name", "one", False) in got
+        assert ("u1", "https://x.org/2", "https://schema.org/name", "two", False) in got
+        assert ("u3", "_:b0", RDF_TYPE, "https://schema.org/Thing", True) in got
+        assert not any(r[0] == "u2" for r in got)
+
+    def test_single_arrow_hop_no_shuffle_after(self, spark):
+        pages = _pages(spark, [("u", "x")])
+        plan = extract_jsonld(pages)._jdf.queryExecution().toString()
+        assert plan.count("MapInPandas") >= 1
+        assert "ArrowEvalPython" not in plan
+
+
+class TestMicrodata:
+    HTML = (
+        '<div itemscope itemtype="https://schema.org/Product" '
+        'itemid="https://x.org/p1">'
+        '<span itemprop="name">item <b>one</b> !</span>'
+        '<meta itemprop="sku" content="SKU-1">'
+        '<a itemprop="url" href="https://x.org/1">link</a>'
+        '<div itemprop="offers" itemscope itemtype="https://schema.org/Offer">'
+        '<span itemprop="price">9.00</span></div>'
+        "</div>"
+    )
+
+    def test_full_item(self):
+        t = microdata_triples_of_page(self.HTML)
+        s = "https://x.org/p1"
+        assert (s, RDF_TYPE, "https://schema.org/Product", True) in t
+        assert (s, "https://schema.org/name", "item one !", False) in t
+        assert (s, "https://schema.org/sku", "SKU-1", False) in t
+        assert (s, "https://schema.org/url", "https://x.org/1", True) in t
+        assert (s, "https://schema.org/offers", "_:md0", True) in t
+        assert ("_:md0", RDF_TYPE, "https://schema.org/Offer", True) in t
+        assert ("_:md0", "https://schema.org/price", "9.00", False) in t
+
+    def test_multiple_prop_names_and_time(self):
+        t = microdata_triples_of_page(
+            '<div itemscope><time itemprop="datePublished dateModified" '
+            'datetime="2024-01-01">Jan 1</time></div>'
+        )
+        assert ("_:md0", "https://schema.org/datePublished", "2024-01-01", False) in t
+        assert ("_:md0", "https://schema.org/dateModified", "2024-01-01", False) in t
+
+    def test_vocab_from_hash_itemtype(self):
+        t = microdata_triples_of_page(
+            '<div itemscope itemtype="https://v.org/ns#Thing">'
+            '<span itemprop="p">v</span></div>'
+        )
+        assert ("_:md0", "https://v.org/ns#p", "v", False) in t
+
+    def test_absolute_itemprop_and_no_itemtype_default_vocab(self):
+        t = microdata_triples_of_page(
+            '<div itemscope><span itemprop="https://p.org/q">v</span>'
+            '<span itemprop="name">n</span></div>'
+        )
+        assert ("_:md0", "https://p.org/q", "v", False) in t
+        assert ("_:md0", "https://schema.org/name", "n", False) in t
+
+    def test_sibling_items_and_truncated_html(self):
+        t = microdata_triples_of_page(
+            '<div itemscope><span itemprop="name">a</span></div>'
+            '<div itemscope><span itemprop="name">b'  # unclosed
+        )
+        assert ("_:md0", "https://schema.org/name", "a", False) in t
+        assert ("_:md1", "https://schema.org/name", "b", False) in t
+
+    def test_itemprop_outside_any_item_ignored(self):
+        assert microdata_triples_of_page('<span itemprop="name">x</span>') == []
+
+    def test_spark_extraction(self, spark):
+        pages = _pages(
+            spark,
+            [("u1", self.HTML), ("u2", "<p>plain</p>")],
+        )
+        got = extract_microdata(pages).collect()
+        assert {r["url"] for r in got} == {"u1"}
+        assert len(got) == 7
