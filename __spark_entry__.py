@@ -7577,6 +7577,73 @@ UNION ALL SELECT url, url, 'https://schema.org/keywords',
 """
 
 
+def q_kg_rdfa_extract(spark, sf_dir):
+    """RDFa Lite extraction (operators/structured.py::extract_rdfa) —
+    the third WDC embedding format, which also covers the OpenGraph
+    meta-tag convention (<meta property="og:…" content="…">, the most
+    widely deployed structured data on the web). The rendered page
+    exercises the whole Lite attribute set: a `prefix`-declared og:
+    CURIE on head metas (document-url subject), `vocab` + `typeof` +
+    `resource` on body (explicit subject IRI), text-content and
+    href-valued properties, and property+typeof chaining into a
+    blank-labeled nested Person. Same scale shape as the other two
+    extractors: JVM prefilter, ONE Arrow hop, map-only; closed-form
+    oracle."""
+    from rdf_diff_store_spark.operators.structured import extract_rdfa
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    html = F.format_string(
+        '<html prefix="og: http://ogp.me/ns#"><head>'
+        '<meta property="og:title" content="doc %s">'
+        '<meta property="og:locale" content="%s"></head>'
+        '<body vocab="https://schema.org/" typeof="Article"'
+        ' resource="https://docs.example.org/%s#it">'
+        '<span property="name">doc %s</span>'
+        '<a property="url" href="https://docs.example.org/%s">x</a>'
+        '<div property="author" typeof="Person">'
+        '<span property="name">author %s</span></div>'
+        "<p>%s</p></body></html>",
+        d,
+        F.col("lang"),
+        d,
+        d,
+        d,
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.col("text"),
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/"), d).alias("url"),
+        html.alias("html"),
+    )
+    return extract_rdfa(pages)
+
+
+_ORACLE_R4["kg_rdfa_extract"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         'https://docs.example.org/' || CAST(doc_id AS VARCHAR) || '#it' AS it,
+         doc_id, lang
+  FROM documents)
+SELECT url, url AS subj, 'http://ogp.me/ns#title' AS pred,
+       'doc ' || CAST(doc_id AS VARCHAR) AS obj, FALSE AS is_iri FROM p
+UNION ALL SELECT url, url, 'http://ogp.me/ns#locale', lang, FALSE FROM p
+UNION ALL SELECT url, it,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Article', TRUE FROM p
+UNION ALL SELECT url, it, 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), FALSE FROM p
+UNION ALL SELECT url, it, 'https://schema.org/url',
+       'https://docs.example.org/' || CAST(doc_id AS VARCHAR), TRUE FROM p
+UNION ALL SELECT url, it, 'https://schema.org/author', '_:r0', TRUE FROM p
+UNION ALL SELECT url, '_:r0',
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Person', TRUE FROM p
+UNION ALL SELECT url, '_:r0', 'https://schema.org/name',
+       'author ' || CAST(doc_id % 7 AS VARCHAR), FALSE FROM p
+"""
+
+
 def q_kg_microdata_extract(spark, sf_dir):
     """HTML microdata extraction (operators/structured.py::
     extract_microdata) — the second WDC embedding format: one-pass
@@ -7775,6 +7842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-15 additions (WDC structured-data extraction) ----
         "kg_jsonld_extract": q_kg_jsonld_extract,
         "kg_microdata_extract": q_kg_microdata_extract,
+        "kg_rdfa_extract": q_kg_rdfa_extract,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -395,6 +395,207 @@ def microdata_triples_of_page(html: str) -> list:
     return p.triples
 
 
+# ---------------------------------------------------------------------------
+# RDFa Lite
+# ---------------------------------------------------------------------------
+
+# RDFa initial-context prefixes actually seen in crawl data (W3C
+# initial context + OGP, which publishers habitually leave undeclared)
+RDFA_INITIAL_PREFIXES = {
+    "og": "http://ogp.me/ns#",
+    "fb": "http://ogp.me/ns/fb#",
+    "dc": "http://purl.org/dc/terms/",
+    "dcterms": "http://purl.org/dc/terms/",
+    "foaf": "http://xmlns.com/foaf/0.1/",
+    "schema": "http://schema.org/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+}
+
+_PREFIX_ATTR_RE = re.compile(r"([^\s:]+):\s+(\S+)")
+
+
+class _RdfaParser(HTMLParser):
+    """RDFa Lite 1.1 walk (vocab / prefix / typeof / property /
+    resource / about / content + href/src values) — the subset WDC
+    extracts and the OGP <meta property="og:…"> convention rides on.
+
+    Simplifications vs full RDFa Core (documented, deliberate):
+    * the document subject is the page url (no <base> handling);
+    * `about`/`resource` values are taken verbatim (no CURIE/safe-
+      CURIE resolution in subject position, no relative-IRI base);
+    * bare property terms with NO in-scope `vocab` are dropped, per
+      Lite §2.1 (prefixed and absolute terms always work);
+    * chaining: `property` + `typeof` on one element links the parent
+      subject to the new resource (the Lite §2.4 pattern);
+    * no @rel/@rev/@datatype/@inlist (Core-only attributes)."""
+
+    def __init__(self, url: str) -> None:
+        super().__init__(convert_charrefs=True)
+        self.triples: list = []
+        self._bn = 0
+        # context: (subject, vocab-or-None, prefixes)
+        self._ctx = [(url, None, dict(RDFA_INITIAL_PREFIXES))]
+        self._frames: list = []
+        self._collectors: list = []
+
+    def _emit(self, s, p, o, iri) -> None:
+        self.triples.append((s, p, o, iri))
+
+    def _expand(self, term: str, vocab, prefixes) -> str | None:
+        if "://" in term:
+            return term
+        if ":" in term:
+            prefix, local = term.split(":", 1)
+            base = prefixes.get(prefix)
+            return base + local if base else None
+        return vocab + term if vocab else None
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        a = dict(attrs)
+        void = tag in _VOID
+        subj, vocab, prefixes = self._ctx[-1]
+        if a.get("vocab"):
+            vocab = a["vocab"]
+            if not vocab.endswith(("/", "#")):
+                vocab += "/"
+        if a.get("prefix"):
+            prefixes = dict(prefixes)
+            for pfx, iri in _PREFIX_ATTR_RE.findall(a["prefix"]):
+                prefixes[pfx] = iri
+        explicit = a.get("about") or a.get("resource")
+        props = [
+            p
+            for p in (a.get("property") or "").split()
+            if self._expand(p, vocab, prefixes)
+        ]
+        frame = {"tag": tag, "pushed": False, "collector": None}
+        if "typeof" in a:
+            new_subj = explicit or a.get("href") or a.get("src")
+            if not new_subj:
+                new_subj = f"_:r{self._bn}"
+                self._bn += 1
+            for t in (a.get("typeof") or "").split():
+                ti = self._expand(t, vocab, prefixes)
+                if ti:
+                    self._emit(new_subj, RDF_TYPE, ti, True)
+            if props and not a.get("about"):
+                for p in props:
+                    self._emit(subj, self._expand(p, vocab, prefixes), new_subj, True)
+            self._ctx.append((new_subj, vocab, prefixes))
+            frame["pushed"] = True
+        elif props:
+            # `about` sets this property's subject; `resource` is its
+            # OBJECT (handled below) and the subject only for nested
+            # content (chaining)
+            psubj = a.get("about") or subj
+            preds = [self._expand(p, vocab, prefixes) for p in props]
+            if "content" in a:
+                for p in preds:
+                    self._emit(psubj, p, a.get("content") or "", False)
+            elif a.get("resource"):
+                for p in preds:
+                    self._emit(psubj, p, a["resource"], True)
+            elif tag in _URL_VALUED and a.get(_URL_VALUED[tag]):
+                for p in preds:
+                    self._emit(psubj, p, a[_URL_VALUED[tag]], True)
+            elif a.get("datetime"):
+                for p in preds:
+                    self._emit(psubj, p, a["datetime"], False)
+            elif not void:
+                collector = (psubj, preds, [])
+                self._collectors.append(collector)
+                frame["collector"] = collector
+            else:
+                for p in preds:
+                    self._emit(psubj, p, "", False)
+            if explicit and not void:
+                self._ctx.append((explicit, vocab, prefixes))
+                frame["pushed"] = True
+        elif (explicit, vocab, prefixes) != (None, self._ctx[-1][1], self._ctx[-1][2]):
+            # subject / vocab / prefix scope change with no property
+            self._ctx.append((explicit or subj, vocab, prefixes))
+            frame["pushed"] = True
+        if not void:
+            self._frames.append(frame)
+        elif frame["pushed"]:
+            self._ctx.pop()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag not in _VOID:
+            self.handle_endtag(tag)
+
+    def handle_data(self, data: str) -> None:
+        for _, _, parts in self._collectors:
+            parts.append(data)
+
+    def handle_endtag(self, tag: str) -> None:
+        if not any(f["tag"] == tag for f in self._frames):
+            return
+        while self._frames:
+            frame = self._frames.pop()
+            if frame["collector"] is not None:
+                psubj, preds, parts = frame["collector"]
+                self._collectors.remove(frame["collector"])
+                text = _WS_RE.sub(" ", "".join(parts)).strip()
+                for p in preds:
+                    self._emit(psubj, p, text, False)
+            if frame["pushed"]:
+                self._ctx.pop()
+            if frame["tag"] == tag:
+                break
+
+    def close(self) -> None:
+        super().close()
+        while self._frames:
+            self.handle_endtag(self._frames[-1]["tag"])
+
+
+def rdfa_triples_of_page(url: str, html: str) -> list:
+    """(subj, pred, obj, is_iri) triples of one page's RDFa Lite
+    markup, document order, deterministic blank labels; the document
+    subject (for head-level og:/dc: metas) is the page url."""
+    p = _RdfaParser(url)
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:  # noqa: BLE001
+        pass
+    return p.triples
+
+
+def extract_rdfa(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(url, subj, pred, obj, is_iri) triples from RDFa Lite markup —
+    including the OpenGraph meta-tag convention. Same scale shape as
+    the other two extractors: JVM prefilter (`property=` or `typeof=`
+    must appear), ONE Arrow hop, map-only."""
+    html_str = F.col(html_col).cast("string")
+    src = pages.select(F.col(url_col).alias("url"), html_str.alias("_html")).filter(
+        F.col("_html").contains("property=") | F.col("_html").contains("typeof=")
+    )
+    spark = pages.sparkSession
+    n_parts = parallelism or spark.sparkContext.defaultParallelism * 2
+    src = src.repartition(n_parts)
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, html in zip(pdf["url"], pdf["_html"]):
+                for t in rdfa_triples_of_page(url, html):
+                    rows.append((url, *t))
+            yield pd.DataFrame(
+                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
+            )
+
+    return src.mapInPandas(_parse, _TRIPLE_SCHEMA)
+
+
 def extract_microdata(
     pages: DataFrame,
     url_col: str = "url",

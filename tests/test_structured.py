@@ -11,8 +11,10 @@ from rdf_diff_store_spark.operators.structured import (
     RDF_TYPE,
     extract_jsonld,
     extract_microdata,
+    extract_rdfa,
     jsonld_triples_of_page,
     microdata_triples_of_page,
+    rdfa_triples_of_page,
 )
 
 
@@ -195,3 +197,75 @@ class TestMicrodata:
         got = extract_microdata(pages).collect()
         assert {r["url"] for r in got} == {"u1"}
         assert len(got) == 7
+
+
+class TestRdfa:
+    def test_og_meta_tags_use_document_subject(self):
+        t = rdfa_triples_of_page(
+            "https://x.org/p",
+            '<html><head><meta property="og:title" content="T">'
+            '<meta property="og:type" content="article"></head></html>',
+        )
+        assert ("https://x.org/p", "http://ogp.me/ns#title", "T", False) in t
+        assert ("https://x.org/p", "http://ogp.me/ns#type", "article", False) in t
+
+    def test_prefix_attr_overrides_initial_context(self):
+        t = rdfa_triples_of_page(
+            "u",
+            '<html prefix="og: https://my.og/ns#">'
+            '<meta property="og:title" content="T"></html>',
+        )
+        assert ("u", "https://my.og/ns#title", "T", False) in t
+
+    def test_vocab_typeof_resource_and_chaining(self):
+        t = rdfa_triples_of_page(
+            "u",
+            '<body vocab="https://schema.org/" typeof="Article"'
+            ' resource="https://x.org/1#it">'
+            '<span property="name">doc</span>'
+            '<a property="url" href="https://x.org/1">x</a>'
+            '<div property="author" typeof="Person">'
+            '<span property="name">ada</span></div></body>',
+        )
+        it = "https://x.org/1#it"
+        assert (it, RDF_TYPE, "https://schema.org/Article", True) in t
+        assert (it, "https://schema.org/name", "doc", False) in t
+        assert (it, "https://schema.org/url", "https://x.org/1", True) in t
+        assert (it, "https://schema.org/author", "_:r0", True) in t
+        assert ("_:r0", RDF_TYPE, "https://schema.org/Person", True) in t
+        assert ("_:r0", "https://schema.org/name", "ada", False) in t
+
+    def test_bare_term_without_vocab_dropped(self):
+        t = rdfa_triples_of_page("u", '<span property="name">x</span>')
+        assert t == []
+
+    def test_resource_valued_property_and_about(self):
+        t = rdfa_triples_of_page(
+            "u",
+            '<div vocab="https://schema.org/" about="https://x.org/a">'
+            '<link property="sameAs" resource="https://x.org/b">'
+            '<span property="name">n</span></div>',
+        )
+        assert ("https://x.org/a", "https://schema.org/sameAs",
+                "https://x.org/b", True) in t
+        assert ("https://x.org/a", "https://schema.org/name", "n", False) in t
+
+    def test_vocab_scope_ends_with_element(self):
+        t = rdfa_triples_of_page(
+            "u",
+            '<div vocab="https://v.org/"><span property="p">a</span></div>'
+            '<span property="q">b</span>',
+        )
+        assert ("u", "https://v.org/p", "a", False) in t
+        assert not any(p.endswith("q") for _, p, _, _ in t)
+
+    def test_spark_extraction_and_prefilter(self, spark):
+        pages = _pages(
+            spark,
+            [
+                ("u1", '<meta property="og:title" content="T">'),
+                ("u2", "<p>nothing here</p>"),
+            ],
+        )
+        got = [tuple(r) for r in extract_rdfa(pages).collect()]
+        assert got == [("u1", "u1", "http://ogp.me/ns#title", "T", False)]
