@@ -7558,22 +7558,26 @@ WITH p AS (
   FROM documents)
 SELECT url, url AS subj,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
-       'https://schema.org/Article' AS obj, TRUE AS is_iri FROM p
+       'https://schema.org/Article' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM p
 UNION ALL SELECT url, url, 'https://schema.org/name',
-       'doc ' || CAST(doc_id AS VARCHAR), FALSE FROM p
-UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang, FALSE FROM p
+       'doc ' || CAST(doc_id AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, url, 'https://schema.org/wordCount',
-       CAST(n_chars AS VARCHAR), FALSE FROM p
-UNION ALL SELECT url, url, 'https://schema.org/author', '_:b0', TRUE FROM p
+       CAST(n_chars AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'https://schema.org/author', '_:b0',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:b0',
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
-       'https://schema.org/Person', TRUE FROM p
+       'https://schema.org/Person', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:b0', 'https://schema.org/name',
-       'author ' || CAST(doc_id % 7 AS VARCHAR), FALSE FROM p
+       'author ' || CAST(doc_id % 7 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, url, 'https://schema.org/keywords',
-       'k' || CAST(doc_id % 3 AS VARCHAR), FALSE FROM p
+       'k' || CAST(doc_id % 3 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, url, 'https://schema.org/keywords',
-       'k' || CAST(doc_id % 5 AS VARCHAR), FALSE FROM p
+       'k' || CAST(doc_id % 5 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 """
 
 
@@ -7626,21 +7630,25 @@ WITH p AS (
          doc_id, lang
   FROM documents)
 SELECT url, url AS subj, 'http://ogp.me/ns#title' AS pred,
-       'doc ' || CAST(doc_id AS VARCHAR) AS obj, FALSE AS is_iri FROM p
-UNION ALL SELECT url, url, 'http://ogp.me/ns#locale', lang, FALSE FROM p
+       'doc ' || CAST(doc_id AS VARCHAR) AS obj,
+       'http://www.w3.org/2001/XMLSchema#string' AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM p
+UNION ALL SELECT url, url, 'http://ogp.me/ns#locale', lang,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, it,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
-       'https://schema.org/Article', TRUE FROM p
+       'https://schema.org/Article', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, it, 'https://schema.org/name',
-       'doc ' || CAST(doc_id AS VARCHAR), FALSE FROM p
+       'doc ' || CAST(doc_id AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, it, 'https://schema.org/url',
-       'https://docs.example.org/' || CAST(doc_id AS VARCHAR), TRUE FROM p
-UNION ALL SELECT url, it, 'https://schema.org/author', '_:r0', TRUE FROM p
+       'https://docs.example.org/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, it, 'https://schema.org/author', '_:r0',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:r0',
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
-       'https://schema.org/Person', TRUE FROM p
+       'https://schema.org/Person', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:r0', 'https://schema.org/name',
-       'author ' || CAST(doc_id % 7 AS VARCHAR), FALSE FROM p
+       'author ' || CAST(doc_id % 7 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 """
 
 
@@ -7693,21 +7701,24 @@ WITH p AS (
   FROM documents)
 SELECT url, subj,
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
-       'https://schema.org/Product' AS obj, TRUE AS is_iri FROM p
+       'https://schema.org/Product' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM p
 UNION ALL SELECT url, subj, 'https://schema.org/name',
-       'item ' || CAST(doc_id AS VARCHAR), FALSE FROM p
+       'item ' || CAST(doc_id AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, subj, 'https://schema.org/sku',
-       'SKU-' || CAST(doc_id % 100 AS VARCHAR), FALSE FROM p
+       'SKU-' || CAST(doc_id % 100 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, subj, 'https://schema.org/url',
-       'https://docs.example.org/' || CAST(doc_id AS VARCHAR), TRUE FROM p
-UNION ALL SELECT url, subj, 'https://schema.org/offers', '_:md0', TRUE FROM p
+       'https://docs.example.org/' || CAST(doc_id AS VARCHAR),
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, subj, 'https://schema.org/offers', '_:md0',
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:md0',
        'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
-       'https://schema.org/Offer', TRUE FROM p
+       'https://schema.org/Offer', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:md0', 'https://schema.org/price',
-       CAST(doc_id % 50 AS VARCHAR) || '.00', FALSE FROM p
+       CAST(doc_id % 50 AS VARCHAR) || '.00', 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM p
 UNION ALL SELECT url, '_:md0', 'https://schema.org/availability',
-       'https://schema.org/InStock', TRUE FROM p
+       'https://schema.org/InStock', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
 """
 
 

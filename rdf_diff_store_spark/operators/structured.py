@@ -2,7 +2,10 @@
 Commons path over Common Crawl: schema.org JSON-LD blocks
 (``<script type="application/ld+json">``) and HTML microdata
 (``itemscope``/``itemtype``/``itemprop``) lifted into
-(url, subj, pred, obj, is_iri) triples.
+(url, subj, pred, obj, obj_dt, obj_lang) triples in the repo's
+shared term convention (literal iff obj_dt/obj_lang set, plain
+literals xsd:string, IRIs both-NULL) — directly composable with
+`sources/nquads.py::serialize_nquads` and the versioned changelog.
 
 This is the "triple extraction" stage of BASELINE.json's north_star
 that sits UPSTREAM of everything rdf-diff-store models: the reference
@@ -44,15 +47,24 @@ from typing import Iterable, Iterator
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    BooleanType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import StringType, StructField, StructType
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 DEFAULT_VOCAB = "https://schema.org/"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+XSD_STRING = _XSD + "string"  # sources/nquads.py:41 convention
+XSD_INTEGER = _XSD + "integer"
+XSD_DOUBLE = _XSD + "double"
+XSD_BOOLEAN = _XSD + "boolean"
+XSD_DATE = _XSD + "date"
+XSD_DATETIME = _XSD + "dateTime"
+
+# term convention shared with functions/turtle.py + sources/nquads.py:
+# a triple object is a literal iff obj_dt OR obj_lang is set (plain
+# literals carry xsd:string); IRIs/blank nodes have both NULL. This
+# makes extractor output feed serialize_nquads / the versioned
+# changelog with NO adaptation.
+IRI = (None, None)  # (obj_dt, obj_lang) of an IRI-valued object
 
 # ---------------------------------------------------------------------------
 # JSON-LD
@@ -71,9 +83,11 @@ _TRIPLE_SCHEMA = StructType(
         StructField("subj", StringType()),
         StructField("pred", StringType()),
         StructField("obj", StringType()),
-        StructField("is_iri", BooleanType()),
+        StructField("obj_dt", StringType()),
+        StructField("obj_lang", StringType()),
     ]
 )
+_TRIPLE_COLS = ["url", "subj", "pred", "obj", "obj_dt", "obj_lang"]
 
 
 def jsonld_blocks(html: Column) -> Column:
@@ -135,24 +149,29 @@ def _expand_term(term: str, vocab: str, prefixes: dict) -> str:
     return vocab + term
 
 
-def _lex(v) -> str:
-    """Canonical lexical form of a JSON scalar: strings verbatim,
-    booleans as xsd lexicals, ints as decimal digits, floats as the
-    shortest round-trip repr (Python == DuckDB printf %!r semantics
-    for the values our tests exercise)."""
+def _lex(v) -> tuple:
+    """(lexical form, datatype IRI) of a JSON scalar — the JSON-LD
+    §8.2 value-coercion table: strings are xsd:string (the turtle.py
+    plain-literal convention), booleans xsd:boolean, integral numbers
+    xsd:integer, fractional numbers xsd:double (shortest round-trip
+    repr)."""
     if isinstance(v, bool):
-        return "true" if v else "false"
+        return ("true" if v else "false", XSD_BOOLEAN)
     if isinstance(v, str):
-        return v
-    return repr(v) if isinstance(v, float) else str(v)
+        return (v, XSD_STRING)
+    if isinstance(v, float):
+        return (repr(v), XSD_DOUBLE)
+    return (str(v), XSD_INTEGER)
 
 
 def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -> str:
     """Depth-first JSON-LD node flattening. Returns the node's subject
     (its @id, or a fresh per-page blank label). Emits rdf:type for
     @type, one triple per (key, array element), recursing into nested
-    objects; ``@value`` wrappers emit their literal; JSON nulls are
-    ignored per JSON-LD §4."""
+    objects; ``@value`` wrappers emit their literal with the wrapper's
+    @language / expanded @type datatype; JSON nulls are ignored per
+    JSON-LD §4. Triples are (subj, pred, obj, obj_dt, obj_lang) in the
+    shared turtle/nquads term convention."""
     subj = node.get("@id")
     if not isinstance(subj, str) or not subj:
         subj = f"_:b{bn[0]}"
@@ -160,7 +179,7 @@ def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -
     types = node.get("@type")
     for t in types if isinstance(types, list) else ([types] if types else []):
         if isinstance(t, str):
-            out.append((subj, RDF_TYPE, _expand_term(t, vocab, prefixes), True))
+            out.append((subj, RDF_TYPE, _expand_term(t, vocab, prefixes), *IRI))
     for key, val in node.items():
         if key.startswith("@"):
             continue
@@ -172,21 +191,29 @@ def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -
             if isinstance(item, dict):
                 if "@value" in item:
                     if item["@value"] is not None:
-                        out.append((subj, pred, _lex(item["@value"]), False))
+                        lex, dt = _lex(item["@value"])
+                        lang = item.get("@language")
+                        if isinstance(lang, str) and lang:
+                            out.append((subj, pred, lex, None, lang))
+                        else:
+                            vt = item.get("@type")
+                            if isinstance(vt, str) and vt:
+                                dt = _expand_term(vt, vocab, prefixes)
+                            out.append((subj, pred, lex, dt, None))
                 else:
                     osubj = _flatten_node(item, vocab, prefixes, out, bn)
-                    out.append((subj, pred, osubj, True))
+                    out.append((subj, pred, osubj, *IRI))
             elif isinstance(item, list):
                 for sub in item:  # nested list: flatten one level
                     if sub is not None and not isinstance(sub, (dict, list)):
-                        out.append((subj, pred, _lex(sub), False))
+                        out.append((subj, pred, *_lex(sub), None))
             else:
-                out.append((subj, pred, _lex(item), False))
+                out.append((subj, pred, *_lex(item), None))
     return subj
 
 
 def jsonld_triples_of_page(blocks: Iterable[str]) -> list:
-    """All (subj, pred, obj, is_iri) triples of one page's JSON-LD
+    """All (subj, pred, obj, obj_dt, obj_lang) triples of one page's JSON-LD
     blocks, document order, deterministic blank labels. Malformed
     JSON blocks are skipped (the WDC convention — a broken publisher
     block must not poison the page's other blocks)."""
@@ -219,8 +246,8 @@ def extract_jsonld(
     html_col: str = "html",
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(url, subj, pred, obj, is_iri) triples from every embedded
-    JSON-LD block of `pages`. JVM prefilter + block slicing; ONE
+    """(url, subj, pred, obj, obj_dt, obj_lang) triples from every
+    embedded JSON-LD block of `pages`. JVM prefilter + block slicing; ONE
     Arrow hop for the JSON parse; zero shuffles (map-only)."""
     html_str = F.col(html_col).cast("string")
     src = (
@@ -239,9 +266,7 @@ def extract_jsonld(
             for url, blocks in zip(pdf["url"], pdf["_blocks"]):
                 for t in jsonld_triples_of_page(blocks):
                     rows.append((url, *t))
-            yield pd.DataFrame(
-                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
-            )
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
     return src.mapInPandas(_parse, _TRIPLE_SCHEMA)
 
@@ -251,6 +276,22 @@ def extract_jsonld(
 # ---------------------------------------------------------------------------
 
 _WS_RE = re.compile(r"\s+")
+
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}")
+
+
+def _sniff_temporal(lexical: str) -> str:
+    """xsd datatype of a time/@datetime value (microdata-to-RDF §4.3
+    lexical sniffing): full dates → xsd:date, date-times →
+    xsd:dateTime, anything else (durations, years, months) stays a
+    plain string."""
+    if _DATE_RE.match(lexical):
+        return XSD_DATE
+    if _DATETIME_RE.match(lexical):
+        return XSD_DATETIME
+    return XSD_STRING
+
 
 # value-carrying attribute per element name (HTML microdata §5.2.4)
 _URL_VALUED = {
@@ -277,8 +318,11 @@ class _MicrodataParser(HTMLParser):
     and fixes the item's vocabulary (IRI up to the last '/' or '#'),
     itemprop on an itemscope element links parent→child, itemprop on
     a value element emits a literal/IRI from the element's value
-    attribute or its whitespace-collapsed text content. Properties
-    with multiple space-separated names emit one triple per name."""
+    attribute or its whitespace-collapsed text content (time/@datetime
+    values are sniffed to xsd:date / xsd:dateTime per the
+    microdata-to-RDF spec §4.3; other literals are plain xsd:string).
+    Properties with multiple space-separated names emit one triple per
+    name."""
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -289,8 +333,8 @@ class _MicrodataParser(HTMLParser):
         self._collectors: list = []  # active text-prop collectors
 
     # -- helpers ----------------------------------------------------
-    def _emit(self, s: str, p: str, o: str, iri: bool) -> None:
-        self.triples.append((s, p, o, iri))
+    def _emit(self, s: str, p: str, o: str, dt: str | None, lang: str | None) -> None:
+        self.triples.append((s, p, o, dt, lang))
 
     def _cur(self):
         return self._items[-1] if self._items else None
@@ -318,9 +362,9 @@ class _MicrodataParser(HTMLParser):
                     vocab = head[: cut + 1]
             if props and cur:
                 for p in props:
-                    self._emit(cur[0], self._expand(p, cur[1]), subj, True)
+                    self._emit(cur[0], self._expand(p, cur[1]), subj, *IRI)
             for t in types:
-                self._emit(subj, RDF_TYPE, t, True)
+                self._emit(subj, RDF_TYPE, t, *IRI)
             self._items.append((subj, vocab))
             frame["item"] = True
             if void:  # itemscope on a void element closes immediately
@@ -330,20 +374,22 @@ class _MicrodataParser(HTMLParser):
             preds = [self._expand(p, cur[1]) for p in props]
             val: str | None = None
             iri = False
+            dt: str | None = XSD_STRING
             if tag == "meta":
                 val = a.get("content") or ""
             elif tag in _URL_VALUED:
                 val, iri = a.get(_URL_VALUED[tag]) or "", True
             elif tag == "time" and a.get("datetime"):
                 val = a["datetime"]
+                dt = _sniff_temporal(val)
             elif tag == "data" and a.get("value"):
                 val = a["value"]
             if val is not None:
                 for p in preds:
-                    self._emit(cur[0], p, val, iri)
+                    self._emit(cur[0], p, val, *(IRI if iri else (dt, None)))
             elif void:
                 for p in preds:  # void element, no value attr: empty
-                    self._emit(cur[0], p, "", False)
+                    self._emit(cur[0], p, "", XSD_STRING, None)
             else:
                 collector = (cur[0], preds, [])
                 self._collectors.append(collector)
@@ -371,7 +417,7 @@ class _MicrodataParser(HTMLParser):
                 self._collectors.remove(frame["collector"])
                 text = _WS_RE.sub(" ", "".join(parts)).strip()
                 for p in preds:
-                    self._emit(subj, p, text, False)
+                    self._emit(subj, p, text, XSD_STRING, None)
             if frame["item"]:
                 self._items.pop()
             if frame["tag"] == tag:
@@ -384,7 +430,7 @@ class _MicrodataParser(HTMLParser):
 
 
 def microdata_triples_of_page(html: str) -> list:
-    """(subj, pred, obj, is_iri) triples of one page's microdata,
+    """(subj, pred, obj, obj_dt, obj_lang) triples of one page's microdata,
     document order, deterministic blank labels."""
     p = _MicrodataParser()
     try:
@@ -439,8 +485,8 @@ class _RdfaParser(HTMLParser):
         self._frames: list = []
         self._collectors: list = []
 
-    def _emit(self, s, p, o, iri) -> None:
-        self.triples.append((s, p, o, iri))
+    def _emit(self, s, p, o, dt, lang) -> None:
+        self.triples.append((s, p, o, dt, lang))
 
     def _expand(self, term: str, vocab, prefixes) -> str | None:
         if "://" in term:
@@ -478,10 +524,10 @@ class _RdfaParser(HTMLParser):
             for t in (a.get("typeof") or "").split():
                 ti = self._expand(t, vocab, prefixes)
                 if ti:
-                    self._emit(new_subj, RDF_TYPE, ti, True)
+                    self._emit(new_subj, RDF_TYPE, ti, *IRI)
             if props and not a.get("about"):
                 for p in props:
-                    self._emit(subj, self._expand(p, vocab, prefixes), new_subj, True)
+                    self._emit(subj, self._expand(p, vocab, prefixes), new_subj, *IRI)
             self._ctx.append((new_subj, vocab, prefixes))
             frame["pushed"] = True
         elif props:
@@ -492,23 +538,23 @@ class _RdfaParser(HTMLParser):
             preds = [self._expand(p, vocab, prefixes) for p in props]
             if "content" in a:
                 for p in preds:
-                    self._emit(psubj, p, a.get("content") or "", False)
+                    self._emit(psubj, p, a.get("content") or "", XSD_STRING, None)
             elif a.get("resource"):
                 for p in preds:
-                    self._emit(psubj, p, a["resource"], True)
+                    self._emit(psubj, p, a["resource"], *IRI)
             elif tag in _URL_VALUED and a.get(_URL_VALUED[tag]):
                 for p in preds:
-                    self._emit(psubj, p, a[_URL_VALUED[tag]], True)
+                    self._emit(psubj, p, a[_URL_VALUED[tag]], *IRI)
             elif a.get("datetime"):
                 for p in preds:
-                    self._emit(psubj, p, a["datetime"], False)
+                    self._emit(psubj, p, a["datetime"], _sniff_temporal(a["datetime"]), None)
             elif not void:
                 collector = (psubj, preds, [])
                 self._collectors.append(collector)
                 frame["collector"] = collector
             else:
                 for p in preds:
-                    self._emit(psubj, p, "", False)
+                    self._emit(psubj, p, "", XSD_STRING, None)
             if explicit and not void:
                 self._ctx.append((explicit, vocab, prefixes))
                 frame["pushed"] = True
@@ -540,7 +586,7 @@ class _RdfaParser(HTMLParser):
                 self._collectors.remove(frame["collector"])
                 text = _WS_RE.sub(" ", "".join(parts)).strip()
                 for p in preds:
-                    self._emit(psubj, p, text, False)
+                    self._emit(psubj, p, text, XSD_STRING, None)
             if frame["pushed"]:
                 self._ctx.pop()
             if frame["tag"] == tag:
@@ -553,7 +599,7 @@ class _RdfaParser(HTMLParser):
 
 
 def rdfa_triples_of_page(url: str, html: str) -> list:
-    """(subj, pred, obj, is_iri) triples of one page's RDFa Lite
+    """(subj, pred, obj, obj_dt, obj_lang) triples of one page's RDFa Lite
     markup, document order, deterministic blank labels; the document
     subject (for head-level og:/dc: metas) is the page url."""
     p = _RdfaParser(url)
@@ -571,7 +617,8 @@ def extract_rdfa(
     html_col: str = "html",
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(url, subj, pred, obj, is_iri) triples from RDFa Lite markup —
+    """(url, subj, pred, obj, obj_dt, obj_lang) triples from RDFa Lite
+    markup —
     including the OpenGraph meta-tag convention. Same scale shape as
     the other two extractors: JVM prefilter (`property=` or `typeof=`
     must appear), ONE Arrow hop, map-only."""
@@ -589,9 +636,7 @@ def extract_rdfa(
             for url, html in zip(pdf["url"], pdf["_html"]):
                 for t in rdfa_triples_of_page(url, html):
                     rows.append((url, *t))
-            yield pd.DataFrame(
-                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
-            )
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
     return src.mapInPandas(_parse, _TRIPLE_SCHEMA)
 
@@ -602,7 +647,8 @@ def extract_microdata(
     html_col: str = "html",
     parallelism: int | None = None,
 ) -> DataFrame:
-    """(url, subj, pred, obj, is_iri) triples from HTML microdata.
+    """(url, subj, pred, obj, obj_dt, obj_lang) triples from HTML
+    microdata.
     Same shape as `extract_jsonld`: JVM `itemscope` prefilter, ONE
     Arrow hop, map-only."""
     html_str = F.col(html_col).cast("string")
@@ -619,8 +665,6 @@ def extract_microdata(
             for url, html in zip(pdf["url"], pdf["_html"]):
                 for t in microdata_triples_of_page(html):
                     rows.append((url, *t))
-            yield pd.DataFrame(
-                rows, columns=["url", "subj", "pred", "obj", "is_iri"]
-            )
+            yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
     return src.mapInPandas(_parse, _TRIPLE_SCHEMA)

@@ -1,14 +1,21 @@
-"""Structured-data extraction (operators/structured.py): JSON-LD and
-microdata lifted from HTML into triples — the WDC-over-Common-Crawl
+"""Structured-data extraction (operators/structured.py): JSON-LD,
+microdata and RDFa Lite lifted from HTML into typed triples — the WDC
 stage upstream of the reference's RDF store path
-(`/root/reference/src/graphs.rs:30-61`)."""
+(`/root/reference/src/graphs.rs:30-61`). Output uses the repo's shared
+term convention: literal iff obj_dt/obj_lang set, plain literals
+xsd:string, IRIs both-NULL — directly composable with
+sources/nquads.py and the versioned changelog."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
-
 from rdf_diff_store_spark.operators.structured import (
     RDF_TYPE,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
     extract_jsonld,
     extract_microdata,
     extract_rdfa,
@@ -16,6 +23,9 @@ from rdf_diff_store_spark.operators.structured import (
     microdata_triples_of_page,
     rdfa_triples_of_page,
 )
+
+S = XSD_STRING
+NOIRI = (None, None)
 
 
 def _pages(spark, rows):
@@ -30,9 +40,15 @@ class TestJsonldFlatten:
                 '"@type":"Article","name":"n1","wordCount":42}'
             ]
         )
-        assert ("https://x.org/1", RDF_TYPE, "https://schema.org/Article", True) in t
-        assert ("https://x.org/1", "https://schema.org/name", "n1", False) in t
-        assert ("https://x.org/1", "https://schema.org/wordCount", "42", False) in t
+        assert ("https://x.org/1", RDF_TYPE, "https://schema.org/Article", *NOIRI) in t
+        assert ("https://x.org/1", "https://schema.org/name", "n1", S, None) in t
+        assert (
+            "https://x.org/1",
+            "https://schema.org/wordCount",
+            "42",
+            XSD_INTEGER,
+            None,
+        ) in t
 
     def test_nested_object_gets_blank_node_and_link(self):
         t = jsonld_triples_of_page(
@@ -41,16 +57,14 @@ class TestJsonldFlatten:
                 '"author":{"@type":"Person","name":"ada"}}'
             ]
         )
-        assert ("https://x.org/1", "https://schema.org/author", "_:b0", True) in t
-        assert ("_:b0", RDF_TYPE, "https://schema.org/Person", True) in t
-        assert ("_:b0", "https://schema.org/name", "ada", False) in t
+        assert ("https://x.org/1", "https://schema.org/author", "_:b0", *NOIRI) in t
+        assert ("_:b0", RDF_TYPE, "https://schema.org/Person", *NOIRI) in t
+        assert ("_:b0", "https://schema.org/name", "ada", S, None) in t
 
     def test_missing_id_allocates_sequential_blanks(self):
-        t = jsonld_triples_of_page(
-            ['{"name":"a"}', '{"name":"b"}']  # default vocab applies
-        )
-        assert ("_:b0", "https://schema.org/name", "a", False) in t
-        assert ("_:b1", "https://schema.org/name", "b", False) in t
+        t = jsonld_triples_of_page(['{"name":"a"}', '{"name":"b"}'])
+        assert ("_:b0", "https://schema.org/name", "a", S, None) in t
+        assert ("_:b1", "https://schema.org/name", "b", S, None) in t
 
     def test_graph_array_and_list_values(self):
         t = jsonld_triples_of_page(
@@ -60,9 +74,9 @@ class TestJsonldFlatten:
                 '{"@id":"https://x.org/b","name":"bb"}]}'
             ]
         )
-        assert ("https://x.org/a", "https://schema.org/keywords", "k1", False) in t
-        assert ("https://x.org/a", "https://schema.org/keywords", "k2", False) in t
-        assert ("https://x.org/b", "https://schema.org/name", "bb", False) in t
+        assert ("https://x.org/a", "https://schema.org/keywords", "k1", S, None) in t
+        assert ("https://x.org/a", "https://schema.org/keywords", "k2", S, None) in t
+        assert ("https://x.org/b", "https://schema.org/name", "bb", S, None) in t
 
     def test_context_dict_vocab_and_prefix(self):
         t = jsonld_triples_of_page(
@@ -71,32 +85,49 @@ class TestJsonldFlatten:
                 '"@id":"https://x.org/1","title":"t","dc:creator":"c"}'
             ]
         )
-        assert ("https://x.org/1", "https://v.org/ns#title", "t", False) in t
-        assert ("https://x.org/1", "http://purl.org/dc/creator", "c", False) in t
+        assert ("https://x.org/1", "https://v.org/ns#title", "t", S, None) in t
+        assert ("https://x.org/1", "http://purl.org/dc/creator", "c", S, None) in t
 
-    def test_value_wrapper_bool_and_null(self):
+    def test_value_wrapper_lang_datatype_bool_null(self):
         t = jsonld_triples_of_page(
             [
-                '{"@id":"https://x.org/1","a":{"@value":"v","@language":"en"},'
+                '{"@id":"https://x.org/1",'
+                '"a":{"@value":"v","@language":"en"},'
                 '"b":true,"c":null,"d":1.5}'
             ]
         )
-        assert ("https://x.org/1", "https://schema.org/a", "v", False) in t
-        assert ("https://x.org/1", "https://schema.org/b", "true", False) in t
-        assert ("https://x.org/1", "https://schema.org/d", "1.5", False) in t
-        assert not any(p.endswith("/c") for _, p, _, _ in t)
+        assert ("https://x.org/1", "https://schema.org/a", "v", None, "en") in t
+        assert ("https://x.org/1", "https://schema.org/b", "true", XSD_BOOLEAN, None) in t
+        assert ("https://x.org/1", "https://schema.org/d", "1.5", XSD_DOUBLE, None) in t
+        assert not any(p.endswith("/c") for _, p, _, _, _ in t)
+
+    def test_value_wrapper_typed_datatype_expansion(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":{"xsd":"http://www.w3.org/2001/XMLSchema#"},'
+                '"@id":"https://x.org/1",'
+                '"when":{"@value":"2024-01-01","@type":"xsd:date"}}'
+            ]
+        )
+        assert (
+            "https://x.org/1",
+            "https://schema.org/when",
+            "2024-01-01",
+            XSD_DATE,
+            None,
+        ) in t
 
     def test_malformed_block_skipped_others_survive(self):
         t = jsonld_triples_of_page(
             ['{"name": BROKEN', '{"@id":"https://x.org/1","name":"ok"}']
         )
-        assert t == [("https://x.org/1", "https://schema.org/name", "ok", False)]
+        assert t == [("https://x.org/1", "https://schema.org/name", "ok", S, None)]
 
     def test_top_level_list_and_absolute_iri_key(self):
         t = jsonld_triples_of_page(
             ['[{"@id":"https://x.org/1","https://p.org/q":"v"}]']
         )
-        assert t == [("https://x.org/1", "https://p.org/q", "v", False)]
+        assert t == [("https://x.org/1", "https://p.org/q", "v", S, None)]
 
 
 class TestJsonldSpark:
@@ -114,15 +145,15 @@ class TestJsonldSpark:
                 ("u2", "<html><body>no structured data</body></html>"),
                 (
                     "u3",
-                    '<script async type=\'application/ld+json\'>'
+                    "<script async type='application/ld+json'>"
                     '{"@type":"Thing"}</script>',
                 ),
             ],
         )
         got = {tuple(r) for r in extract_jsonld(pages).collect()}
-        assert ("u1", "https://x.org/1", "https://schema.org/name", "one", False) in got
-        assert ("u1", "https://x.org/2", "https://schema.org/name", "two", False) in got
-        assert ("u3", "_:b0", RDF_TYPE, "https://schema.org/Thing", True) in got
+        assert ("u1", "https://x.org/1", "https://schema.org/name", "one", S, None) in got
+        assert ("u1", "https://x.org/2", "https://schema.org/name", "two", S, None) in got
+        assert ("u3", "_:b0", RDF_TYPE, "https://schema.org/Thing", None, None) in got
         assert not any(r[0] == "u2" for r in got)
 
     def test_single_arrow_hop_no_shuffle_after(self, spark):
@@ -130,6 +161,40 @@ class TestJsonldSpark:
         plan = extract_jsonld(pages)._jdf.queryExecution().toString()
         assert plan.count("MapInPandas") >= 1
         assert "ArrowEvalPython" not in plan
+
+    def test_feeds_nquads_sink_directly(self, spark):
+        """Extractor output in the shared term convention serializes
+        through sources/nquads.py with no adaptation, and parses back
+        to the same terms."""
+        from pyspark.sql import functions as F
+
+        from rdf_diff_store_spark.sources.nquads import (
+            parse_nquads,
+            serialize_nquads,
+        )
+
+        pages = _pages(
+            spark,
+            [
+                (
+                    "https://x.org/page",
+                    '<script type="application/ld+json">'
+                    '{"@id":"https://x.org/1","name":"n","wordCount":7,'
+                    '"label":{"@value":"bonjour","@language":"fr"}}</script>',
+                )
+            ],
+        )
+        triples = extract_jsonld(pages).withColumnRenamed("url", "graph_id")
+        lines = serialize_nquads(triples)
+        back = parse_nquads(lines.select(F.col("line").alias("value")))
+        orig = {
+            tuple(r)
+            for r in triples.select(
+                "graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"
+            ).collect()
+        }
+        got = {tuple(r) for r in back.collect()}
+        assert got == orig and len(got) == 3
 
 
 class TestMicrodata:
@@ -147,44 +212,66 @@ class TestMicrodata:
     def test_full_item(self):
         t = microdata_triples_of_page(self.HTML)
         s = "https://x.org/p1"
-        assert (s, RDF_TYPE, "https://schema.org/Product", True) in t
-        assert (s, "https://schema.org/name", "item one !", False) in t
-        assert (s, "https://schema.org/sku", "SKU-1", False) in t
-        assert (s, "https://schema.org/url", "https://x.org/1", True) in t
-        assert (s, "https://schema.org/offers", "_:md0", True) in t
-        assert ("_:md0", RDF_TYPE, "https://schema.org/Offer", True) in t
-        assert ("_:md0", "https://schema.org/price", "9.00", False) in t
+        assert (s, RDF_TYPE, "https://schema.org/Product", *NOIRI) in t
+        assert (s, "https://schema.org/name", "item one !", S, None) in t
+        assert (s, "https://schema.org/sku", "SKU-1", S, None) in t
+        assert (s, "https://schema.org/url", "https://x.org/1", *NOIRI) in t
+        assert (s, "https://schema.org/offers", "_:md0", *NOIRI) in t
+        assert ("_:md0", RDF_TYPE, "https://schema.org/Offer", *NOIRI) in t
+        assert ("_:md0", "https://schema.org/price", "9.00", S, None) in t
 
-    def test_multiple_prop_names_and_time(self):
+    def test_multiple_prop_names_and_time_sniffing(self):
         t = microdata_triples_of_page(
             '<div itemscope><time itemprop="datePublished dateModified" '
-            'datetime="2024-01-01">Jan 1</time></div>'
+            'datetime="2024-01-01">Jan 1</time>'
+            '<time itemprop="exact" datetime="2024-01-01T10:30:00Z">x</time>'
+            '<time itemprop="loose" datetime="P3D">3 days</time></div>'
         )
-        assert ("_:md0", "https://schema.org/datePublished", "2024-01-01", False) in t
-        assert ("_:md0", "https://schema.org/dateModified", "2024-01-01", False) in t
+        assert (
+            "_:md0",
+            "https://schema.org/datePublished",
+            "2024-01-01",
+            XSD_DATE,
+            None,
+        ) in t
+        assert (
+            "_:md0",
+            "https://schema.org/dateModified",
+            "2024-01-01",
+            XSD_DATE,
+            None,
+        ) in t
+        assert (
+            "_:md0",
+            "https://schema.org/exact",
+            "2024-01-01T10:30:00Z",
+            XSD_DATETIME,
+            None,
+        ) in t
+        assert ("_:md0", "https://schema.org/loose", "P3D", S, None) in t
 
     def test_vocab_from_hash_itemtype(self):
         t = microdata_triples_of_page(
             '<div itemscope itemtype="https://v.org/ns#Thing">'
             '<span itemprop="p">v</span></div>'
         )
-        assert ("_:md0", "https://v.org/ns#p", "v", False) in t
+        assert ("_:md0", "https://v.org/ns#p", "v", S, None) in t
 
     def test_absolute_itemprop_and_no_itemtype_default_vocab(self):
         t = microdata_triples_of_page(
             '<div itemscope><span itemprop="https://p.org/q">v</span>'
             '<span itemprop="name">n</span></div>'
         )
-        assert ("_:md0", "https://p.org/q", "v", False) in t
-        assert ("_:md0", "https://schema.org/name", "n", False) in t
+        assert ("_:md0", "https://p.org/q", "v", S, None) in t
+        assert ("_:md0", "https://schema.org/name", "n", S, None) in t
 
     def test_sibling_items_and_truncated_html(self):
         t = microdata_triples_of_page(
             '<div itemscope><span itemprop="name">a</span></div>'
             '<div itemscope><span itemprop="name">b'  # unclosed
         )
-        assert ("_:md0", "https://schema.org/name", "a", False) in t
-        assert ("_:md1", "https://schema.org/name", "b", False) in t
+        assert ("_:md0", "https://schema.org/name", "a", S, None) in t
+        assert ("_:md1", "https://schema.org/name", "b", S, None) in t
 
     def test_itemprop_outside_any_item_ignored(self):
         assert microdata_triples_of_page('<span itemprop="name">x</span>') == []
@@ -206,8 +293,8 @@ class TestRdfa:
             '<html><head><meta property="og:title" content="T">'
             '<meta property="og:type" content="article"></head></html>',
         )
-        assert ("https://x.org/p", "http://ogp.me/ns#title", "T", False) in t
-        assert ("https://x.org/p", "http://ogp.me/ns#type", "article", False) in t
+        assert ("https://x.org/p", "http://ogp.me/ns#title", "T", S, None) in t
+        assert ("https://x.org/p", "http://ogp.me/ns#type", "article", S, None) in t
 
     def test_prefix_attr_overrides_initial_context(self):
         t = rdfa_triples_of_page(
@@ -215,7 +302,7 @@ class TestRdfa:
             '<html prefix="og: https://my.og/ns#">'
             '<meta property="og:title" content="T"></html>',
         )
-        assert ("u", "https://my.og/ns#title", "T", False) in t
+        assert ("u", "https://my.og/ns#title", "T", S, None) in t
 
     def test_vocab_typeof_resource_and_chaining(self):
         t = rdfa_triples_of_page(
@@ -228,16 +315,15 @@ class TestRdfa:
             '<span property="name">ada</span></div></body>',
         )
         it = "https://x.org/1#it"
-        assert (it, RDF_TYPE, "https://schema.org/Article", True) in t
-        assert (it, "https://schema.org/name", "doc", False) in t
-        assert (it, "https://schema.org/url", "https://x.org/1", True) in t
-        assert (it, "https://schema.org/author", "_:r0", True) in t
-        assert ("_:r0", RDF_TYPE, "https://schema.org/Person", True) in t
-        assert ("_:r0", "https://schema.org/name", "ada", False) in t
+        assert (it, RDF_TYPE, "https://schema.org/Article", *NOIRI) in t
+        assert (it, "https://schema.org/name", "doc", S, None) in t
+        assert (it, "https://schema.org/url", "https://x.org/1", *NOIRI) in t
+        assert (it, "https://schema.org/author", "_:r0", *NOIRI) in t
+        assert ("_:r0", RDF_TYPE, "https://schema.org/Person", *NOIRI) in t
+        assert ("_:r0", "https://schema.org/name", "ada", S, None) in t
 
     def test_bare_term_without_vocab_dropped(self):
-        t = rdfa_triples_of_page("u", '<span property="name">x</span>')
-        assert t == []
+        assert rdfa_triples_of_page("u", '<span property="name">x</span>') == []
 
     def test_resource_valued_property_and_about(self):
         t = rdfa_triples_of_page(
@@ -246,9 +332,13 @@ class TestRdfa:
             '<link property="sameAs" resource="https://x.org/b">'
             '<span property="name">n</span></div>',
         )
-        assert ("https://x.org/a", "https://schema.org/sameAs",
-                "https://x.org/b", True) in t
-        assert ("https://x.org/a", "https://schema.org/name", "n", False) in t
+        assert (
+            "https://x.org/a",
+            "https://schema.org/sameAs",
+            "https://x.org/b",
+            *NOIRI,
+        ) in t
+        assert ("https://x.org/a", "https://schema.org/name", "n", S, None) in t
 
     def test_vocab_scope_ends_with_element(self):
         t = rdfa_triples_of_page(
@@ -256,8 +346,8 @@ class TestRdfa:
             '<div vocab="https://v.org/"><span property="p">a</span></div>'
             '<span property="q">b</span>',
         )
-        assert ("u", "https://v.org/p", "a", False) in t
-        assert not any(p.endswith("q") for _, p, _, _ in t)
+        assert ("u", "https://v.org/p", "a", S, None) in t
+        assert not any(p.endswith("q") for _, p, _, _, _ in t)
 
     def test_spark_extraction_and_prefilter(self, spark):
         pages = _pages(
@@ -268,4 +358,4 @@ class TestRdfa:
             ],
         )
         got = [tuple(r) for r in extract_rdfa(pages).collect()]
-        assert got == [("u1", "u1", "http://ogp.me/ns#title", "T", False)]
+        assert got == [("u1", "u1", "http://ogp.me/ns#title", "T", S, None)]
