@@ -7581,6 +7581,60 @@ UNION ALL SELECT url, url, 'https://schema.org/keywords',
 """
 
 
+def q_kg_skolemize(spark, sf_dir):
+    """Skolemization of extractor output (operators/structured.py::
+    skolemize) — RDF 1.1 Concepts §3.5: the per-page blank labels the
+    extractors mint (`_:b0` on EVERY page with a nested author node)
+    are document-scoped, so unioning two pages' triples into one store
+    (the WDC dump / the reference's changelog, src/graphs.rs:30-61)
+    would silently merge distinct resources. Skolemizing to
+    `/.well-known/genid/md5(url || ' ' || label)` gives every blank
+    node a globally unique, deterministic IRI with NO coordination —
+    pure JVM md5/concat/when column math appended to the map-only
+    extraction plan (still ZERO shuffles end-to-end). The oracle
+    recomputes the same md5 over the closed-form triple set, so a
+    drift in scoping, the gate (literals whose lexical form is `_:…`
+    must pass through), or the hash input breaks value parity."""
+    from rdf_diff_store_spark.operators.structured import skolemize
+
+    return skolemize(q_kg_jsonld_extract(spark, sf_dir))
+
+
+_ORACLE_R4["kg_skolemize"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, lang, n_chars
+  FROM documents),
+sk AS (
+  SELECT url,
+         'https://w3id.org/.well-known/genid/' || md5(url || ' _:b0') AS b0,
+         doc_id, lang, n_chars
+  FROM p)
+SELECT url, url AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Article' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
+       'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR),
+       'http://www.w3.org/2001/XMLSchema#integer', CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/author', b0,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, b0,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Person', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, b0, 'https://schema.org/name',
+       'author ' || CAST(doc_id % 7 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/keywords',
+       'k' || CAST(doc_id % 3 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/keywords',
+       'k' || CAST(doc_id % 5 AS VARCHAR), 'http://www.w3.org/2001/XMLSchema#string', CAST(NULL AS VARCHAR) FROM sk
+"""
+
+
 def q_kg_rdfa_extract(spark, sf_dir):
     """RDFa Lite extraction (operators/structured.py::extract_rdfa) —
     the third WDC embedding format, which also covers the OpenGraph
@@ -7854,6 +7908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_jsonld_extract": q_kg_jsonld_extract,
         "kg_microdata_extract": q_kg_microdata_extract,
         "kg_rdfa_extract": q_kg_rdfa_extract,
+        "kg_skolemize": q_kg_skolemize,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -668,3 +668,57 @@ def extract_microdata(
             yield pd.DataFrame(rows, columns=_TRIPLE_COLS)
 
     return src.mapInPandas(_parse, _TRIPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Skolemization (RDF 1.1 Concepts §3.5) — merging extractor output
+# ---------------------------------------------------------------------------
+
+SKOLEM_PREFIX = "https://w3id.org/.well-known/genid/"
+
+
+def skolemize(
+    triples: DataFrame,
+    scope_col: str = "url",
+    prefix: str = SKOLEM_PREFIX,
+) -> DataFrame:
+    """Replace page-scoped blank-node labels with globally unique
+    Skolem IRIs (RDF 1.1 Concepts §3.5 ``/.well-known/genid/``).
+
+    The extractors mint deterministic PER-PAGE labels (``_:b0``,
+    ``_:md0``, ``_:r0`` …) — document-scoped per RDF semantics, so two
+    pages' ``_:b0`` are DIFFERENT resources. The moment extraction
+    output is unioned into one store (the WDC dump shape, the
+    reference's changelog — /root/reference/src/graphs.rs:30-61 keys
+    everything on graph id), those labels would collide. Skolemizing
+    to ``prefix + md5(scope || ' ' || label)`` makes every blank node
+    a stable, collision-free IRI while preserving within-page
+    co-reference — the classic store-side fix (Skolemization is what
+    RDF 1.1 recommends over renaming-on-merge precisely because it
+    needs no global coordination: each row computes its IRI locally).
+
+    Scale shape: pure JVM column expressions (md5/concat/when) — map
+    only, ZERO shuffles, whole-stage codegen, no Python. A literal
+    whose lexical form happens to start with ``_:`` is untouched: the
+    term convention (literal ⟺ obj_dt/obj_lang set) gates the object
+    rewrite, not the string shape.
+    """
+    scope = F.col(scope_col).cast("string")
+
+    def _skolem(term: Column) -> Column:
+        return F.concat(F.lit(prefix), F.md5(F.concat(scope, F.lit(" "), term)))
+
+    is_blank_obj = (
+        F.col("obj").startswith("_:")
+        & F.col("obj_dt").isNull()
+        & F.col("obj_lang").isNull()
+    )
+    return triples.withColumn(
+        "subj",
+        F.when(F.col("subj").startswith("_:"), _skolem(F.col("subj"))).otherwise(
+            F.col("subj")
+        ),
+    ).withColumn(
+        "obj",
+        F.when(is_blank_obj, _skolem(F.col("obj"))).otherwise(F.col("obj")),
+    )

@@ -603,7 +603,14 @@ def main() -> None:
 
     # 34. structured-data extraction: ONE Arrow hop each, map-only —
     # the only Exchange is the explicit parse-parallelism repartition
-    for qname in ("kg_jsonld_extract", "kg_microdata_extract", "kg_rdfa_extract"):
+    for qname in (
+        "kg_jsonld_extract",
+        "kg_microdata_extract",
+        "kg_rdfa_extract",
+        # skolemize must ADD no Arrow hop / shuffle: JVM md5 on top of
+        # the extraction plan (structured.py::skolemize)
+        "kg_skolemize",
+    ):
         p_sd = plan_of(qs[qname](spark, sf_dir))
         n_arrow = len(_re.findall(r"\(\d+\) MapInPandas", p_sd))
         n_ex_sd = len(_re.findall(r"\(\d+\) Exchange[ \n]", p_sd))

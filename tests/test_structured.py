@@ -359,3 +359,98 @@ class TestRdfa:
         )
         got = [tuple(r) for r in extract_rdfa(pages).collect()]
         assert got == [("u1", "u1", "http://ogp.me/ns#title", "T", S, None)]
+
+
+class TestSkolemize:
+    """RDF 1.1 §3.5 Skolem IRIs over extractor output: per-page blank
+    labels become globally unique, merge-safe IRIs."""
+
+    def _t(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "url string, subj string, pred string, obj string, "
+            "obj_dt string, obj_lang string",
+        )
+
+    def test_same_label_different_pages_diverge(self, spark):
+        from rdf_diff_store_spark.operators.structured import (
+            SKOLEM_PREFIX,
+            skolemize,
+        )
+
+        df = skolemize(
+            self._t(
+                spark,
+                [
+                    ("u1", "_:b0", "p", "x", XSD_STRING, None),
+                    ("u2", "_:b0", "p", "x", XSD_STRING, None),
+                ],
+            )
+        )
+        subjs = [r["subj"] for r in df.collect()]
+        assert subjs[0] != subjs[1]
+        assert all(s.startswith(SKOLEM_PREFIX) for s in subjs)
+
+    def test_within_page_coreference_preserved(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        rows = skolemize(
+            self._t(
+                spark,
+                [
+                    ("u1", "s", "author", "_:b0", None, None),
+                    ("u1", "_:b0", "name", "ada", XSD_STRING, None),
+                ],
+            )
+        ).collect()
+        link_obj = next(r for r in rows if r["pred"] == "author")["obj"]
+        node_subj = next(r for r in rows if r["pred"] == "name")["subj"]
+        assert link_obj == node_subj and not link_obj.startswith("_:")
+
+    def test_literal_lexically_blank_untouched(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        rows = skolemize(
+            self._t(spark, [("u1", "s", "code", "_:b0", XSD_STRING, None)])
+        ).collect()
+        assert rows[0]["obj"] == "_:b0"  # it's a LITERAL, not a node
+
+    def test_iris_and_literals_pass_through(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        src = [
+            ("u1", "https://x.org/1", "name", "hello", XSD_STRING, None),
+            ("u1", "https://x.org/1", "see", "https://y.org/2", None, None),
+        ]
+        assert sorted(map(tuple, skolemize(self._t(spark, src)).collect())) == sorted(
+            src
+        )
+
+    def test_plan_is_jvm_map_only(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        plan = skolemize(
+            self._t(spark, [("u1", "_:b0", "p", "_:b1", None, None)])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "InPandas" not in plan
+
+    def test_composes_with_extractor(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        html = (
+            '<html><head><script type="application/ld+json">'
+            '{"@context":"https://schema.org","@id":"https://x.org/1",'
+            '"author":{"@type":"Person","name":"ada"}}'
+            "</script></head></html>"
+        )
+        pages = _pages(spark, [("u1", html), ("u2", html)])
+        out = skolemize(extract_jsonld(pages)).collect()
+        assert not any(
+            r["subj"].startswith("_:")
+            or (r["obj"].startswith("_:") and r["obj_dt"] is None)
+            for r in out
+        )
+        # u1's author node != u2's author node
+        authors = {r["obj"] for r in out if r["pred"].endswith("author")}
+        assert len(authors) == 2
