@@ -610,6 +610,8 @@ def main() -> None:
         # skolemize must ADD no Arrow hop / shuffle: JVM md5 on top of
         # the extraction plan (structured.py::skolemize)
         "kg_skolemize",
+        # parse + JVM lift (tables.py) share the same shape contract
+        "kg_table_extract",
     ):
         p_sd = plan_of(qs[qname](spark, sf_dir))
         n_arrow = len(_re.findall(r"\(\d+\) MapInPandas", p_sd))
