@@ -7712,6 +7712,155 @@ UNION ALL SELECT url, '_:t0r1', 'https://schema.org/lang_tag', 'en',
 """
 
 
+def _fusion_claims(spark, sf_dir):
+    """Synthetic multi-source claim table: 17 sources × 29 entities
+    asserting schema.org/name with 3 conflicting values determined by
+    (source + entity) mod 3 — every entity is contested, every source
+    both right and wrong somewhere (the Knowledge Vault input shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    return docs.select(
+        F.concat(F.lit("s"), (d % 17).cast("string")).alias("source"),
+        F.concat(F.lit("e"), (d % 29).cast("string")).alias("subj"),
+        F.lit("https://schema.org/name").alias("pred"),
+        F.concat(F.lit("v"), ((d % 17 + d % 29) % 3).cast("string")).alias("obj"),
+    )
+
+
+_FUSION_CLAIMS_CTE = """
+c AS (
+  SELECT DISTINCT 's' || CAST(doc_id % 17 AS VARCHAR) AS source,
+         'e' || CAST(doc_id % 29 AS VARCHAR) AS subj,
+         'https://schema.org/name' AS pred,
+         'v' || CAST((doc_id % 17 + doc_id % 29) % 3 AS VARCHAR) AS obj
+  FROM documents)"""
+
+
+def q_kg_fact_support(spark, sf_dir):
+    """Provenance rollup (operators/fusion.py::fact_support) — distinct
+    sources and claim occurrences per asserted fact, the weight input
+    to fusion (Dong et al. KDD 2014 §3; the reference ingests fused
+    RDF, src/graphs.rs:30-61 — this operator family produces it). ONE
+    map-side-combinable aggregation shuffle at 10^11 claims."""
+    from rdf_diff_store_spark.operators.fusion import fact_support
+
+    return fact_support(_fusion_claims(spark, sf_dir))
+
+
+_ORACLE_R4["kg_fact_support"] = (
+    """
+WITH raw AS (
+  SELECT 's' || CAST(doc_id % 17 AS VARCHAR) AS source,
+         'e' || CAST(doc_id % 29 AS VARCHAR) AS subj,
+         'https://schema.org/name' AS pred,
+         'v' || CAST((doc_id % 17 + doc_id % 29) % 3 AS VARCHAR) AS obj
+  FROM documents)
+SELECT subj, pred, obj,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_claims
+FROM raw GROUP BY subj, pred, obj"""
+)
+
+
+def _sums_trust_cte(iterations: int) -> str:
+    """Unrolled Sums/HITS trust loop over the bipartite source→fact
+    graph — the same integer micro-unit model as _hits_oracle (div-by-
+    max rescale, BIGINT everywhere), node names unprefixed because the
+    two namespaces ('sN' vs 'eJ|vK') are disjoint by construction."""
+    sql = [
+        "WITH "
+        + _FUSION_CLAIMS_CTE.strip()
+        + """,
+e AS (SELECT DISTINCT source AS src, subj || '|' || obj AS dst FROM c),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes)"""
+    ]
+    for k in range(iterations):
+        sql.append(
+            f""",
+a{k + 1}r AS (
+  SELECT e.dst AS node, SUM(h.score) AS raw
+  FROM e JOIN h{k} h ON h.node = e.src GROUP BY e.dst),
+a{k + 1} AS (
+  SELECT n.node, CAST(COALESCE(
+    r.raw // (SELECT GREATEST(CAST(1 AS BIGINT), MAX(raw) // 1000000) FROM a{k + 1}r),
+    0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN a{k + 1}r r USING (node)),
+h{k + 1}r AS (
+  SELECT e.src AS node, SUM(a.score) AS raw
+  FROM e JOIN a{k + 1} a ON a.node = e.dst GROUP BY e.src),
+h{k + 1} AS (
+  SELECT n.node, CAST(COALESCE(
+    r.raw // (SELECT GREATEST(CAST(1 AS BIGINT), MAX(raw) // 1000000) FROM h{k + 1}r),
+    0) AS BIGINT) AS score
+  FROM nodes n LEFT JOIN h{k + 1}r r USING (node))"""
+        )
+    sql.append(
+        f""",
+trust AS (
+  SELECT s.source, h.score AS trust_micro
+  FROM (SELECT DISTINCT source FROM c) s
+  JOIN h{iterations} h ON h.node = s.source)"""
+    )
+    return "".join(sql)
+
+
+def q_kg_source_trust(spark, sf_dir):
+    """Sums truth discovery (operators/fusion.py::source_trust;
+    Pasternack & Roth COLING 2010) — source trust ⇆ fact belief
+    fixpoint on the bipartite claim graph, which IS integer-HITS
+    (trust = hub): the operator delegates to operators/graph.py::hits,
+    so the oracle is the same unrolled-CTE bit-exact construction as
+    web_hits. 2 iterations; every score an exact BIGINT in both
+    engines."""
+    from rdf_diff_store_spark.operators.fusion import source_trust
+
+    trust, _ = source_trust(_fusion_claims(spark, sf_dir), iterations=2)
+    return trust
+
+
+_ORACLE_R4["kg_source_trust"] = (
+    _sums_trust_cte(2) + "\nSELECT source, trust_micro FROM trust"
+)
+
+
+def q_kg_fact_resolution(spark, sf_dir):
+    """Trust-weighted conflict resolution (operators/fusion.py::
+    resolve_conflicts) — one fused object per (subj, pred): the value
+    whose distinct supporting sources carry the most total Sums trust,
+    ties to the lexicographically smallest object (deterministic in
+    any engine). Full chain under the oracle: claims → 2-round trust
+    loop → support sum → per-(subj,pred) top-1 window — drift in any
+    stage breaks the hash. Plan: broadcastable trust join + one
+    combinable sum + a PARTITIONED row_number (never a global sort)."""
+    from rdf_diff_store_spark.operators.fusion import (
+        resolve_conflicts,
+        source_trust,
+    )
+
+    claims = _fusion_claims(spark, sf_dir)
+    trust, _ = source_trust(claims, iterations=2)
+    return resolve_conflicts(claims, trust)
+
+
+_ORACLE_R4["kg_fact_resolution"] = (
+    _sums_trust_cte(2)
+    + """,
+support AS (
+  SELECT subj, pred, obj,
+         CAST(SUM(t.trust_micro) AS BIGINT) AS support_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_sources
+  FROM c JOIN trust t USING (source)
+  GROUP BY subj, pred, obj),
+picked AS (
+  SELECT subj, pred, obj, support_micro, n_sources,
+         ROW_NUMBER() OVER (PARTITION BY subj, pred
+                            ORDER BY support_micro DESC, obj ASC) AS rk
+  FROM support)
+SELECT subj, pred, obj, support_micro, n_sources FROM picked WHERE rk = 1"""
+)
+
+
 def q_kg_rdfa_extract(spark, sf_dir):
     """RDFa Lite extraction (operators/structured.py::extract_rdfa) —
     the third WDC embedding format, which also covers the OpenGraph
@@ -7987,6 +8136,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_rdfa_extract": q_kg_rdfa_extract,
         "kg_skolemize": q_kg_skolemize,
         "kg_table_extract": q_kg_table_extract,
+        "kg_fact_support": q_kg_fact_support,
+        "kg_source_trust": q_kg_source_trust,
+        "kg_fact_resolution": q_kg_fact_resolution,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
