@@ -7736,6 +7736,92 @@ c AS (
   FROM documents)"""
 
 
+def q_kg_vocab_align(spark, sf_dir):
+    """Vocabulary alignment (operators/vocab.py) — the WDC
+    normalization pass between extraction and fusion: schema.org
+    scheme/host variants (http, https, www) fold onto the canonical
+    https://schema.org/ spelling in predicates AND rdf:type objects
+    (literals untouched even when their text is a schema.org URL),
+    then the curated OpenGraph→schema.org correspondence rewrites og:
+    predicates by BROADCAST join with unmapped predicates passing
+    through. The synthesized triple frame exercises every branch:
+    og:title/og:locale (mapped), http:// and http://www. variants
+    (folded), an rdf:type class IRI (folded), a literal that LOOKS
+    like a schema.org URL (must not fold), and an unmapped og:
+    predicate (passthrough). Triple side never shuffles — the only
+    exchanges are the 6-row mapping's defensive distinct inside the
+    broadcast build."""
+    from rdf_diff_store_spark.operators.structured import RDF_TYPE
+    from rdf_diff_store_spark.operators.vocab import (
+        align_predicates,
+        canonicalize_schema_org,
+        og_mapping,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://docs.example.org/"), d)
+    xs = "http://www.w3.org/2001/XMLSchema#string"
+    xi = "http://www.w3.org/2001/XMLSchema#integer"
+
+    def row(pred, obj, dt):
+        return docs.select(
+            url.alias("url"),
+            url.alias("subj"),
+            pred.alias("pred"),
+            obj.alias("obj"),
+            F.lit(dt).cast("string").alias("obj_dt"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    triples = (
+        row(F.lit("http://ogp.me/ns#title"), F.concat(F.lit("doc "), d), xs)
+        .unionByName(row(F.lit("http://ogp.me/ns#locale"), F.col("lang"), xs))
+        .unionByName(
+            row(F.lit(RDF_TYPE), F.lit("http://schema.org/Article"), None)
+        )
+        .unionByName(
+            row(
+                F.lit("http://www.schema.org/wordCount"),
+                F.col("n_chars").cast("string"),
+                xi,
+            )
+        )
+        .unionByName(
+            # literal whose TEXT is a schema.org URL: must NOT fold
+            row(F.lit("https://schema.org/disambiguatingDescription"),
+                F.lit("http://schema.org/Person"), xs)
+        )
+        .unionByName(row(F.lit("http://ogp.me/ns#determiner"), F.lit("the"), xs))
+    )
+    return align_predicates(
+        canonicalize_schema_org(triples), og_mapping(spark)
+    )
+
+
+_ORACLE_R4["kg_vocab_align"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, lang, n_chars
+  FROM documents),
+xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#string' AS s,
+               'http://www.w3.org/2001/XMLSchema#integer' AS i)
+SELECT url, url AS subj, 'https://schema.org/name' AS pred,
+       'doc ' || CAST(doc_id AS VARCHAR) AS obj,
+       (SELECT s FROM xsd) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM p
+UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
+       (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Article', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR), (SELECT i FROM xsd), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'https://schema.org/disambiguatingDescription',
+       'http://schema.org/Person', (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM p
+UNION ALL SELECT url, url, 'http://ogp.me/ns#determiner', 'the',
+       (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM p
+"""
+
+
 def q_kg_fact_support(spark, sf_dir):
     """Provenance rollup (operators/fusion.py::fact_support) — distinct
     sources and claim occurrences per asserted fact, the weight input
@@ -8139,6 +8225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_support": q_kg_fact_support,
         "kg_source_trust": q_kg_source_trust,
         "kg_fact_resolution": q_kg_fact_resolution,
+        "kg_vocab_align": q_kg_vocab_align,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
