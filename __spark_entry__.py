@@ -7736,6 +7736,119 @@ c AS (
   FROM documents)"""
 
 
+def q_kg_web_ingest(spark, sf_dir):
+    """THE kg_construct composition, end-to-end under one oracle:
+    Common-Crawl-style pages carrying BOTH an embedded schema.org
+    JSON-LD block and OpenGraph head metas → multi-format extraction
+    (`structured.extract_jsonld` ∪ `extract_rdfa`) → vocabulary
+    alignment (`vocab.align_predicates`, og:→schema.org) →
+    skolemization (`structured.skolemize`, the per-page `_:b0` author
+    nodes become genid IRIs) → per-page Turtle serialization
+    (`turtle.serialize_graph`) → versioned-store ingest
+    (`versioned.canonical_changelog_row` — the reference's whole write
+    path, src/graphs.rs:35-79) → `snapshot_triples` as-of a later
+    timestamp. The oracle rebuilds the final snapshot closed-form, so
+    drift ANYWHERE in the chain — extraction, mapping, skolem hashing,
+    Turtle escape/canonicalize/parse roundtrip, changelog semantics,
+    as-of resolution — breaks the hash. Every stage is the production
+    operator, not a test double; plan: two map-only Arrow extraction
+    hops, broadcast mapping join, one serialize aggregation, one
+    latest-wins aggregation, one parse hop."""
+    from rdf_diff_store_spark.functions.turtle import serialize_graph
+    from rdf_diff_store_spark.operators.structured import (
+        extract_jsonld,
+        extract_rdfa,
+        skolemize,
+    )
+    from rdf_diff_store_spark.operators.versioned import (
+        canonical_changelog_row,
+        snapshot_triples,
+    )
+    from rdf_diff_store_spark.operators.vocab import align_predicates, og_mapping
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://docs.example.org/"), d)
+    block = F.format_string(
+        '{"@context":"https://schema.org",'
+        '"@id":"https://docs.example.org/%s#it","@type":"Article",'
+        '"name":"doc %s","wordCount":%s,'
+        '"author":{"@type":"Person","name":"author %s"}}',
+        d,
+        d,
+        F.col("n_chars").cast("string"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+    )
+    pages = docs.select(
+        url.alias("url"),
+        F.concat(
+            F.lit("<html><head>"),
+            F.format_string(
+                '<meta property="og:title" content="doc %s">'
+                '<meta property="og:locale" content="%s">',
+                d,
+                F.col("lang"),
+            ),
+            F.lit('<script type="application/ld+json">'),
+            block,
+            F.lit("</script></head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    triples = skolemize(
+        align_predicates(
+            extract_jsonld(pages).unionByName(extract_rdfa(pages)),
+            og_mapping(spark),
+        )
+    )
+    updates = serialize_graph(
+        triples.withColumnRenamed("url", "graph_id")
+    ).select(
+        "graph_id",
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("store").alias("op"),
+        F.col("doc").alias("payload"),
+    )
+    changelog = canonical_changelog_row(updates)
+    return snapshot_triples(changelog, "2024-06-01 00:00:00").select(
+        "graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"
+    )
+
+
+_ORACLE_R4["kg_web_ingest"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, lang, n_chars
+  FROM documents),
+sk AS (
+  SELECT url, url || '#it' AS it,
+         'https://w3id.org/.well-known/genid/' || md5(url || ' _:b0') AS b0,
+         doc_id, lang, n_chars
+  FROM p),
+xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#string' AS s,
+               'http://www.w3.org/2001/XMLSchema#integer' AS i)
+SELECT url AS graph_id, it AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Article' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM sk
+UNION ALL SELECT url, it, 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, it, 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR), (SELECT i FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, it, 'https://schema.org/author', b0,
+       CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, b0, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
+       'https://schema.org/Person', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, b0, 'https://schema.org/name',
+       'author ' || CAST(doc_id % 7 AS VARCHAR), (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
+       (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+"""
+
+
 def q_kg_vocab_align(spark, sf_dir):
     """Vocabulary alignment (operators/vocab.py) — the WDC
     normalization pass between extraction and fusion: schema.org
@@ -8226,6 +8339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_source_trust": q_kg_source_trust,
         "kg_fact_resolution": q_kg_fact_resolution,
         "kg_vocab_align": q_kg_vocab_align,
+        "kg_web_ingest": q_kg_web_ingest,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
