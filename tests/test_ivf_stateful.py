@@ -39,7 +39,12 @@ def test_latest_state_stream(spark, tmp_path):
         ("g1", t("2024-01-01 00:01:00"), "add", "doc-a", "text/turtle"),  # resend → skip
         ("g2", t("2024-01-01 00:00:30"), "delete", None, "text/turtle"),  # delete of missing → skip
     ]
-    spark.createDataFrame(batch1, GRAPH_UPDATES).write.mode("append").parquet(src)
+    # single file per append: a multi-file append can be LISTED partially
+    # by the file source and split across micro-batches, changing the
+    # within-batch ts-order semantics this test pins (suite-order flake)
+    spark.createDataFrame(batch1, GRAPH_UPDATES).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     q = (
         latest_state_stream(read_updates_stream(spark, src))
         .writeStream.outputMode("append")
@@ -55,7 +60,9 @@ def test_latest_state_stream(spark, tmp_path):
         ("g1", t("2024-01-01 00:02:00"), "add", "doc-zzz", "text/turtle"),  # stale (< state ts after doc-b? no: processed in ts order within batch)
         ("g1", t("2024-01-01 00:06:00"), "delete", None, "text/turtle"),
     ]
-    spark.createDataFrame(batch2, GRAPH_UPDATES).write.mode("append").parquet(src)
+    spark.createDataFrame(batch2, GRAPH_UPDATES).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
     q.processAllAvailable()
     q.stop()
     rows = sorted(
