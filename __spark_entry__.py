@@ -7849,6 +7849,110 @@ UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
 """
 
 
+def q_kg_recrawl_diff(spark, sf_dir):
+    """Re-crawl RDF diff — the reference's reason to exist
+    (rdf-diff-store tracks how published RDF changes over time;
+    src/graphs.rs:35-93 store/delete + the git diff contract) run over
+    the WEB path end-to-end: crawl 1 extracts JSON-LD from every page;
+    crawl 2 re-extracts a month later with every third page's
+    wordCount bumped and every seventh page GONE (tombstoned); both
+    crawls serialize through the production Turtle writer into one
+    changelog, and `versioned.diff` computes the triple-level
+    added/removed set between the two crawl instants. Exercises the
+    full dual-state machinery: unchanged pages prune on content-hash
+    equality (never parsed), changed pages parse BOTH sides in ONE
+    mapInPandas pass, tombstones remove whole graphs. The oracle
+    derives every added/removed row arithmetically from the doc_id
+    formulas."""
+    from rdf_diff_store_spark.functions.turtle import serialize_graph
+    from rdf_diff_store_spark.operators.structured import extract_jsonld
+    from rdf_diff_store_spark.operators.versioned import (
+        canonical_changelog_row,
+        diff,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    url = F.concat(F.lit("https://docs.example.org/"), d)
+
+    def render(wc):
+        block = F.format_string(
+            '{"@context":"https://schema.org",'
+            '"@id":"https://docs.example.org/%s#it","@type":"Article",'
+            '"name":"doc %s","wordCount":%s}',
+            d,
+            d,
+            wc.cast("string"),
+        )
+        return F.concat(
+            F.lit('<html><head><script type="application/ld+json">'),
+            block,
+            F.lit("</script></head><body></body></html>"),
+        )
+
+    def to_updates(pages, ts):
+        return serialize_graph(
+            extract_jsonld(pages).withColumnRenamed("url", "graph_id")
+        ).select(
+            "graph_id",
+            F.lit(ts).cast("timestamp").alias("ts"),
+            F.lit("store").alias("op"),
+            F.col("doc").alias("payload"),
+        )
+
+    crawl1 = docs.select(url.alias("url"), render(F.col("n_chars")).alias("html"))
+    wc2 = F.col("n_chars") + F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)
+    crawl2 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        url.alias("url"), render(wc2).alias("html")
+    )
+    gone = docs.filter(F.col("doc_id") % 7 == 0).select(
+        url.alias("graph_id"),
+        F.lit("2024-02-01 00:00:00").cast("timestamp").alias("ts"),
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("payload"),
+    )
+    changelog = canonical_changelog_row(
+        to_updates(crawl1, "2024-01-01 00:00:00")
+        .unionByName(to_updates(crawl2, "2024-02-01 00:00:00"))
+        .unionByName(gone)
+    )
+    return diff(changelog, "2024-01-15 00:00:00", "2024-02-15 00:00:00")
+
+
+_ORACLE_R4["kg_recrawl_diff"] = """
+WITH p AS (
+  SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+         doc_id, n_chars
+  FROM documents),
+xsd AS (SELECT 'http://www.w3.org/2001/XMLSchema#string' AS s,
+               'http://www.w3.org/2001/XMLSchema#integer' AS i)
+-- tombstoned pages (doc_id % 7 = 0): every triple removed
+SELECT url AS graph_id, url || '#it' AS subj,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+       'https://schema.org/Article' AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang,
+       'removed' AS change
+FROM p WHERE doc_id % 7 = 0
+UNION ALL SELECT url, url || '#it', 'https://schema.org/name',
+       'doc ' || CAST(doc_id AS VARCHAR), (SELECT s FROM xsd),
+       CAST(NULL AS VARCHAR), 'removed'
+FROM p WHERE doc_id % 7 = 0
+UNION ALL SELECT url, url || '#it', 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR), (SELECT i FROM xsd),
+       CAST(NULL AS VARCHAR), 'removed'
+FROM p WHERE doc_id % 7 = 0
+-- changed pages (doc_id % 3 = 0, still alive): wordCount swaps
+UNION ALL SELECT url, url || '#it', 'https://schema.org/wordCount',
+       CAST(n_chars AS VARCHAR), (SELECT i FROM xsd),
+       CAST(NULL AS VARCHAR), 'removed'
+FROM p WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+UNION ALL SELECT url, url || '#it', 'https://schema.org/wordCount',
+       CAST(n_chars + 1 AS VARCHAR), (SELECT i FROM xsd),
+       CAST(NULL AS VARCHAR), 'added'
+FROM p WHERE doc_id % 7 <> 0 AND doc_id % 3 = 0
+"""
+
+
 def q_kg_vocab_align(spark, sf_dir):
     """Vocabulary alignment (operators/vocab.py) — the WDC
     normalization pass between extraction and fusion: schema.org
@@ -8340,6 +8444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_fact_resolution": q_kg_fact_resolution,
         "kg_vocab_align": q_kg_vocab_align,
         "kg_web_ingest": q_kg_web_ingest,
+        "kg_recrawl_diff": q_kg_recrawl_diff,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
