@@ -50,6 +50,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 DEFAULT_VOCAB = "https://schema.org/"
 _XSD = "http://www.w3.org/2001/XMLSchema#"
 XSD_STRING = _XSD + "string"  # sources/nquads.py:41 convention
@@ -164,6 +167,49 @@ def _lex(v) -> tuple:
     return (str(v), XSD_INTEGER)
 
 
+def _emit_list(values, vocab: str, prefixes: dict, out: list, bn: list) -> str:
+    """Emit an RDF collection (rdf:first / rdf:rest cells, rdf:nil
+    terminator) for a JSON-LD ``@list`` array and return its head term
+    — ``rdf:nil`` itself for the empty list. Values follow the same
+    rules as plain array members: scalars become typed literals,
+    node objects recurse, ``@value`` wrappers carry language/datatype;
+    JSON nulls are skipped per JSON-LD §4."""
+    if not isinstance(values, list):
+        values = [values]
+    values = [
+        v
+        for v in values
+        if v is not None
+        and not (isinstance(v, dict) and "@value" in v and v["@value"] is None)
+    ]
+    if not values:
+        return RDF_NIL
+    cells = []
+    for _ in values:
+        cells.append(f"_:b{bn[0]}")
+        bn[0] += 1
+    for i, (cell, v) in enumerate(zip(cells, values)):
+        if isinstance(v, dict):
+            if "@value" in v:
+                lex, dt = _lex(v["@value"])
+                lang = v.get("@language")
+                if isinstance(lang, str) and lang:
+                    out.append((cell, RDF_FIRST, lex, None, lang))
+                else:
+                    vt = v.get("@type")
+                    if isinstance(vt, str) and vt:
+                        dt = _expand_term(vt, vocab, prefixes)
+                    out.append((cell, RDF_FIRST, lex, dt, None))
+            else:
+                osubj = _flatten_node(v, vocab, prefixes, out, bn)
+                out.append((cell, RDF_FIRST, osubj, *IRI))
+        else:
+            out.append((cell, RDF_FIRST, *_lex(v), None))
+        nxt = cells[i + 1] if i + 1 < len(cells) else RDF_NIL
+        out.append((cell, RDF_REST, nxt, *IRI))
+    return cells[0]
+
+
 def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -> str:
     """Depth-first JSON-LD node flattening. Returns the node's subject
     (its @id, or a fresh per-page blank label). Emits rdf:type for
@@ -189,7 +235,15 @@ def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -
             if item is None:
                 continue
             if isinstance(item, dict):
-                if "@value" in item:
+                if "@list" in item:
+                    # ordered values → an rdf:first/rdf:rest collection
+                    # chain (JSON-LD §4.3.1 / RDF 1.1 §3.4); the cells
+                    # are per-page blank labels, skolemize-ready
+                    head = _emit_list(
+                        item["@list"], vocab, prefixes, out, bn
+                    )
+                    out.append((subj, pred, head, *IRI))
+                elif "@value" in item:
                     if item["@value"] is not None:
                         lex, dt = _lex(item["@value"])
                         lang = item.get("@language")

@@ -454,3 +454,81 @@ class TestSkolemize:
         # u1's author node != u2's author node
         authors = {r["obj"] for r in out if r["pred"].endswith("author")}
         assert len(authors) == 2
+
+
+class TestJsonldList:
+    """JSON-LD @list → rdf:first/rdf:rest collection chains
+    (JSON-LD 1.1 §4.3.1, RDF 1.1 Concepts §3.4)."""
+
+    RDF_FIRST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+    RDF_REST = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+    RDF_NIL = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+    def test_scalar_list_chain(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/1",'
+                '"itemListElement":{"@list":["a","b"]}}'
+            ]
+        )
+        link = next(x for x in t if x[1].endswith("itemListElement"))
+        head = link[2]
+        assert head.startswith("_:") and link[3] is None
+        assert (head, self.RDF_FIRST, "a", S, None) in t
+        rest = next(x for x in t if x[0] == head and x[1] == self.RDF_REST)
+        cell2 = rest[2]
+        assert (cell2, self.RDF_FIRST, "b", S, None) in t
+        assert (cell2, self.RDF_REST, self.RDF_NIL, *NOIRI) in t
+
+    def test_empty_and_null_only_list_is_nil(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/1",'
+                '"a":{"@list":[]},"b":{"@list":[null,{"@value":null}]}}'
+            ]
+        )
+        assert ("https://x.org/1", "https://schema.org/a", self.RDF_NIL, *NOIRI) in t
+        assert ("https://x.org/1", "https://schema.org/b", self.RDF_NIL, *NOIRI) in t
+        assert not any(x[1] == self.RDF_FIRST for x in t)
+
+    def test_list_of_typed_values_and_nodes(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/1",'
+                '"stops":{"@list":[{"@value":"hei","@language":"no"},'
+                '{"@type":"Place","name":"Oslo"},7]}}'
+            ]
+        )
+        firsts = [x for x in t if x[1] == self.RDF_FIRST]
+        assert len(firsts) == 3
+        assert ("hei", None, "no") in {(x[2], x[3], x[4]) for x in firsts}
+        assert ("7", XSD_INTEGER, None) in {(x[2], x[3], x[4]) for x in firsts}
+        # the node member is typed and named under its own blank subject
+        place = next(
+            x[2] for x in firsts if x[3] is None and x[4] is None and x[2].startswith("_:")
+        )
+        assert (place, RDF_TYPE, "https://schema.org/Place", *NOIRI) in t
+        # chain terminates
+        rests = [x for x in t if x[1] == self.RDF_REST]
+        assert sum(1 for x in rests if x[2] == self.RDF_NIL) == 1
+
+    def test_list_cells_skolemize(self, spark):
+        from rdf_diff_store_spark.operators.structured import skolemize
+
+        html = (
+            '<html><head><script type="application/ld+json">'
+            '{"@context":"https://schema.org","@id":"https://x.org/1",'
+            '"steps":{"@list":["x","y"]}}'
+            "</script></head></html>"
+        )
+        out = skolemize(extract_jsonld(_pages(spark, [("u1", html)]))).collect()
+        assert not any(
+            r["subj"].startswith("_:")
+            or (r["obj"].startswith("_:") and r["obj_dt"] is None)
+            for r in out
+        )
+        # chain still linked after skolemization
+        link = next(r for r in out if r["pred"].endswith("steps"))
+        assert any(
+            r["subj"] == link["obj"] and r["pred"] == self.RDF_FIRST for r in out
+        )
