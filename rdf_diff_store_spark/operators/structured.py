@@ -374,7 +374,9 @@ class _MicrodataParser(HTMLParser):
     a value element emits a literal/IRI from the element's value
     attribute or its whitespace-collapsed text content (time/@datetime
     values are sniffed to xsd:date / xsd:dateTime per the
-    microdata-to-RDF spec §4.3; other literals are plain xsd:string).
+    microdata-to-RDF spec §4.3; other literals carry the element's
+    in-scope ``lang`` as a language tag per §2.3 — the inherited
+    ``<html lang>`` case — or xsd:string when no language applies).
     Properties with multiple space-separated names emit one triple per
     name."""
 
@@ -400,7 +402,14 @@ class _MicrodataParser(HTMLParser):
     def handle_starttag(self, tag: str, attrs) -> None:
         a = dict(attrs)
         void = tag in _VOID
-        frame = {"tag": tag, "item": False, "collector": None}
+        # effective language: the element's lang (xml:lang wins) or the
+        # nearest ancestor's; lang="" resets to no-language per HTML
+        raw_lang = a.get("xml:lang", a.get("lang"))
+        if raw_lang is None:
+            elang = self._frames[-1]["lang"] if self._frames else None
+        else:
+            elang = raw_lang or None
+        frame = {"tag": tag, "item": False, "collector": None, "lang": elang}
         cur = self._cur()
         props = (a.get("itemprop") or "").split()
         if "itemscope" in a:
@@ -439,13 +448,21 @@ class _MicrodataParser(HTMLParser):
             elif tag == "data" and a.get("value"):
                 val = a["value"]
             if val is not None:
+                if iri:
+                    term = IRI
+                elif dt != XSD_STRING:
+                    term = (dt, None)  # typed temporal: no language
+                elif elang:
+                    term = (None, elang)
+                else:
+                    term = (XSD_STRING, None)
                 for p in preds:
-                    self._emit(cur[0], p, val, *(IRI if iri else (dt, None)))
+                    self._emit(cur[0], p, val, *term)
             elif void:
                 for p in preds:  # void element, no value attr: empty
-                    self._emit(cur[0], p, "", XSD_STRING, None)
+                    self._emit(cur[0], p, "", *((None, elang) if elang else (XSD_STRING, None)))
             else:
-                collector = (cur[0], preds, [])
+                collector = (cur[0], preds, [], elang)
                 self._collectors.append(collector)
                 frame["collector"] = collector
         if not void:
@@ -457,7 +474,7 @@ class _MicrodataParser(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_data(self, data: str) -> None:
-        for _, _, parts in self._collectors:
+        for _, _, parts, _ in self._collectors:
             parts.append(data)
 
     def handle_endtag(self, tag: str) -> None:
@@ -467,11 +484,12 @@ class _MicrodataParser(HTMLParser):
         while self._frames:
             frame = self._frames.pop()
             if frame["collector"] is not None:
-                subj, preds, parts = frame["collector"]
+                subj, preds, parts, clang = frame["collector"]
                 self._collectors.remove(frame["collector"])
                 text = _WS_RE.sub(" ", "".join(parts)).strip()
+                term = (None, clang) if clang else (XSD_STRING, None)
                 for p in preds:
-                    self._emit(subj, p, text, XSD_STRING, None)
+                    self._emit(subj, p, text, *term)
             if frame["item"]:
                 self._items.pop()
             if frame["tag"] == tag:
@@ -555,6 +573,13 @@ class _RdfaParser(HTMLParser):
         a = dict(attrs)
         void = tag in _VOID
         subj, vocab, prefixes = self._ctx[-1]
+        # effective language (RDFa Core §7.5 "current language"):
+        # xml:lang wins over lang; lang="" resets; inherited otherwise
+        raw_lang = a.get("xml:lang", a.get("lang"))
+        if raw_lang is None:
+            elang = self._frames[-1]["lang"] if self._frames else None
+        else:
+            elang = raw_lang or None
         if a.get("vocab"):
             vocab = a["vocab"]
             if not vocab.endswith(("/", "#")):
@@ -569,7 +594,7 @@ class _RdfaParser(HTMLParser):
             for p in (a.get("property") or "").split()
             if self._expand(p, vocab, prefixes)
         ]
-        frame = {"tag": tag, "pushed": False, "collector": None}
+        frame = {"tag": tag, "pushed": False, "collector": None, "lang": elang}
         if "typeof" in a:
             new_subj = explicit or a.get("href") or a.get("src")
             if not new_subj:
@@ -590,9 +615,10 @@ class _RdfaParser(HTMLParser):
             # content (chaining)
             psubj = a.get("about") or subj
             preds = [self._expand(p, vocab, prefixes) for p in props]
+            lterm = (None, elang) if elang else (XSD_STRING, None)
             if "content" in a:
                 for p in preds:
-                    self._emit(psubj, p, a.get("content") or "", XSD_STRING, None)
+                    self._emit(psubj, p, a.get("content") or "", *lterm)
             elif a.get("resource"):
                 for p in preds:
                     self._emit(psubj, p, a["resource"], *IRI)
@@ -603,12 +629,12 @@ class _RdfaParser(HTMLParser):
                 for p in preds:
                     self._emit(psubj, p, a["datetime"], _sniff_temporal(a["datetime"]), None)
             elif not void:
-                collector = (psubj, preds, [])
+                collector = (psubj, preds, [], elang)
                 self._collectors.append(collector)
                 frame["collector"] = collector
             else:
                 for p in preds:
-                    self._emit(psubj, p, "", XSD_STRING, None)
+                    self._emit(psubj, p, "", *lterm)
             if explicit and not void:
                 self._ctx.append((explicit, vocab, prefixes))
                 frame["pushed"] = True
@@ -627,7 +653,7 @@ class _RdfaParser(HTMLParser):
             self.handle_endtag(tag)
 
     def handle_data(self, data: str) -> None:
-        for _, _, parts in self._collectors:
+        for _, _, parts, _ in self._collectors:
             parts.append(data)
 
     def handle_endtag(self, tag: str) -> None:
@@ -636,11 +662,12 @@ class _RdfaParser(HTMLParser):
         while self._frames:
             frame = self._frames.pop()
             if frame["collector"] is not None:
-                psubj, preds, parts = frame["collector"]
+                psubj, preds, parts, clang = frame["collector"]
                 self._collectors.remove(frame["collector"])
                 text = _WS_RE.sub(" ", "".join(parts)).strip()
+                term = (None, clang) if clang else (XSD_STRING, None)
                 for p in preds:
-                    self._emit(psubj, p, text, XSD_STRING, None)
+                    self._emit(psubj, p, text, *term)
             if frame["pushed"]:
                 self._ctx.pop()
             if frame["tag"] == tag:

@@ -532,3 +532,49 @@ class TestJsonldList:
         assert any(
             r["subj"] == link["obj"] and r["pred"] == self.RDF_FIRST for r in out
         )
+
+
+class TestLanguageTags:
+    """In-scope lang/xml:lang flows onto text-valued literals
+    (microdata-to-RDF §2.3, RDFa Core §7.5 current language)."""
+
+    def test_microdata_inherited_and_local_lang(self):
+        t = microdata_triples_of_page(
+            '<html lang="en"><body>'
+            '<div itemscope itemtype="https://schema.org/Book">'
+            '<span itemprop="name">Sult</span>'
+            '<span itemprop="alternateName" lang="no">Sulten</span>'
+            '<span itemprop="isbn" lang="">123</span>'
+            '<meta itemprop="bookEdition" content="1st">'
+            '<time itemprop="datePublished" datetime="1890-01-01">1890</time>'
+            "</div></body></html>"
+        )
+        vals = {x[1].rsplit("/", 1)[-1]: (x[2], x[3], x[4]) for x in t if x[1] != RDF_TYPE}
+        assert vals["name"] == ("Sult", None, "en")  # inherited from <html>
+        assert vals["alternateName"] == ("Sulten", None, "no")  # local override
+        assert vals["isbn"] == ("123", XSD_STRING, None)  # lang="" resets
+        assert vals["bookEdition"] == ("1st", None, "en")  # meta content too
+        assert vals["datePublished"] == ("1890-01-01", XSD_DATE, None)  # typed wins
+
+    def test_rdfa_lang_on_content_and_text(self):
+        t = rdfa_triples_of_page(
+            "https://x.org/p",
+            '<html lang="en"><head>'
+            '<meta property="og:title" content="Hello">'
+            "</head><body>"
+            '<p vocab="https://schema.org/" typeof="Person">'
+            '<span property="name" xml:lang="no">Ola</span>'
+            '<span property="email">x@y.z</span></p>'
+            "</body></html>",
+        )
+        vals = {x[1].rsplit("/", 1)[-1].rsplit("#", 1)[-1]: (x[2], x[3], x[4])
+                for x in t if x[1] != RDF_TYPE}
+        assert vals["title"] == ("Hello", None, "en")
+        assert vals["name"] == ("Ola", None, "no")  # xml:lang wins
+        assert vals["email"] == ("x@y.z", None, "en")  # inherited
+
+    def test_no_lang_stays_plain_string(self):
+        t = microdata_triples_of_page(
+            '<div itemscope><span itemprop="name">x</span></div>'
+        )
+        assert t == [("_:md0", "https://schema.org/name", "x", XSD_STRING, None)]
