@@ -7782,7 +7782,9 @@ def q_kg_web_ingest(spark, sf_dir):
     pages = docs.select(
         url.alias("url"),
         F.concat(
-            F.lit("<html><head>"),
+            # html-level lang: the og: metas' literals must come out
+            # language-tagged and SURVIVE the Turtle roundtrip as @lang
+            F.format_string('<html lang="%s"><head>', F.col("lang")),
             F.format_string(
                 '<meta property="og:title" content="doc %s">'
                 '<meta property="og:locale" content="%s">',
@@ -7843,9 +7845,9 @@ UNION ALL SELECT url, b0, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type',
 UNION ALL SELECT url, b0, 'https://schema.org/name',
        'author ' || CAST(doc_id % 7 AS VARCHAR), (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
 UNION ALL SELECT url, url, 'https://schema.org/name',
-       'doc ' || CAST(doc_id AS VARCHAR), (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+       'doc ' || CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), lang FROM sk
 UNION ALL SELECT url, url, 'https://schema.org/inLanguage', lang,
-       (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM sk
+       CAST(NULL AS VARCHAR), lang FROM sk
 """
 
 
@@ -8037,6 +8039,101 @@ UNION ALL SELECT url, url, 'https://schema.org/disambiguatingDescription',
 UNION ALL SELECT url, url, 'http://ogp.me/ns#determiner', 'the',
        (SELECT s FROM xsd), CAST(NULL AS VARCHAR) FROM p
 """
+
+
+def _void_triples(spark, sf_dir):
+    """Closed-form triple set: 29 entities, 4 classes, a contested
+    name value and a knows ring — duplicates on purpose (a graph is a
+    SET; the operators must dedupe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = F.concat(F.lit("e"), (d % 29).cast("string"))
+    rt = F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    types = docs.select(
+        e.alias("subj"),
+        rt.alias("pred"),
+        F.concat(F.lit("https://schema.org/C"), (d % 29 % 4).cast("string")).alias("obj"),
+    )
+    names = docs.select(
+        e.alias("subj"),
+        F.lit("https://schema.org/name").alias("pred"),
+        F.concat(F.lit("v"), ((d % 17 + d % 29) % 3).cast("string")).alias("obj"),
+    )
+    knows = docs.select(
+        e.alias("subj"),
+        F.lit("https://schema.org/knows").alias("pred"),
+        F.concat(F.lit("e"), ((d % 29 + 1) % 29).cast("string")).alias("obj"),
+    )
+    return types.unionByName(names).unionByName(knows)
+
+
+_VOID_TRIPLES_CTE = """
+t AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT 'e' || CAST(doc_id % 29 AS VARCHAR) AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'https://schema.org/C' || CAST(doc_id % 29 % 4 AS VARCHAR) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 29 AS VARCHAR),
+           'https://schema.org/name',
+           'v' || CAST((doc_id % 17 + doc_id % 29) % 3 AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 29 AS VARCHAR),
+           'https://schema.org/knows',
+           'e' || CAST((doc_id % 29 + 1) % 29 AS VARCHAR)
+    FROM documents))"""
+
+
+def q_kg_void_summary(spark, sf_dir):
+    """VoID dataset summary (operators/void_stats.py::void_summary;
+    W3C VoID note §4.3) — the one-row statistical self-description a
+    published dataset carries (the reference serves datasets,
+    src/graphs.rs:30-61; VoID is how the web describes them) and the
+    cardinality source a SPARQL planner estimates selectivity from.
+    Input carries duplicates on purpose: a graph is a SET, the operator
+    dedupes first. Multi-distinct compiles to ONE Expand +
+    partial-aggregation pass, never per-count rescans."""
+    from rdf_diff_store_spark.operators.void_stats import void_summary
+
+    return void_summary(_void_triples(spark, sf_dir))
+
+
+_ORACLE_R4["kg_void_summary"] = (
+    "WITH "
+    + _VOID_TRIPLES_CTE.strip()
+    + """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_distinct_subjects,
+       CAST(COUNT(DISTINCT pred) AS BIGINT) AS n_properties,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_distinct_objects,
+       CAST(COUNT(DISTINCT CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN obj END) AS BIGINT) AS n_classes,
+       CAST(COUNT(DISTINCT CASE WHEN pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' THEN subj END) AS BIGINT) AS n_entities
+FROM t"""
+)
+
+
+def q_kg_void_props(spark, sf_dir):
+    """void:propertyPartition (operators/void_stats.py::
+    property_partitions) — per-predicate triple / distinct-subject /
+    distinct-object counts, the predicate-selectivity table. Hot
+    predicates (rdf:type) are absorbed by partial aggregation."""
+    from rdf_diff_store_spark.operators.void_stats import property_partitions
+
+    return property_partitions(_void_triples(spark, sf_dir))
+
+
+_ORACLE_R4["kg_void_props"] = (
+    "WITH "
+    + _VOID_TRIPLES_CTE.strip()
+    + """
+SELECT pred,
+       CAST(COUNT(*) AS BIGINT) AS n_triples,
+       CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_distinct_subjects,
+       CAST(COUNT(DISTINCT obj) AS BIGINT) AS n_distinct_objects
+FROM t GROUP BY pred"""
+)
 
 
 def q_kg_fact_support(spark, sf_dir):
@@ -8445,6 +8542,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vocab_align": q_kg_vocab_align,
         "kg_web_ingest": q_kg_web_ingest,
         "kg_recrawl_diff": q_kg_recrawl_diff,
+        "kg_void_summary": q_kg_void_summary,
+        "kg_void_props": q_kg_void_props,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
