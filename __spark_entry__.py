@@ -8086,6 +8086,60 @@ t AS (
     FROM documents))"""
 
 
+def q_web_page_metadata(spark, sf_dir):
+    """Head-metadata extraction (functions/text.py::page_metadata) —
+    title, meta description (BOTH attribute orders rendered), and the
+    robots noindex admission gate, entirely whole-stage codegen: zero
+    Python, zero shuffles, the cheapest extraction pass at 10^12
+    pages. Every third page writes content-before-name order, every
+    fourth page is noindex (one of them 'none'), every fifth omits the
+    description; the oracle derives all four columns arithmetically."""
+    from rdf_diff_store_spark.functions.text import page_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    desc = (
+        F.when(d % 5 == 0, F.lit(""))
+        .when(
+            d % 3 == 0,
+            F.format_string('<meta content="summary %s" name="description">', ds),
+        )
+        .otherwise(
+            F.format_string('<meta name="description" content="summary %s">', ds)
+        )
+    )
+    robots = (
+        F.when(d % 12 == 0, F.lit('<meta name="robots" content="none">'))
+        .when(d % 4 == 0, F.lit('<meta name="ROBOTS" content="noindex, follow">'))
+        .otherwise(F.lit('<meta name="robots" content="index, follow">'))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://docs.example.org/"), ds).alias("url"),
+        F.concat(
+            F.lit("<html><head><title>  Doc\n"),
+            ds,
+            F.lit(" </title>"),
+            desc,
+            robots,
+            F.lit("</head><body><p>"),
+            F.col("text"),
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+    return page_metadata(pages)
+
+
+_ORACLE_R4["web_page_metadata"] = """
+SELECT 'https://docs.example.org/' || CAST(doc_id AS VARCHAR) AS url,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CASE WHEN doc_id % 5 = 0 THEN NULL
+            ELSE 'summary ' || CAST(doc_id AS VARCHAR) END AS description,
+       doc_id % 4 = 0 AS noindex
+FROM documents
+"""
+
+
 def q_kg_void_summary(spark, sf_dir):
     """VoID dataset summary (operators/void_stats.py::void_summary;
     W3C VoID note §4.3) — the one-row statistical self-description a
@@ -8542,6 +8596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_vocab_align": q_kg_vocab_align,
         "kg_web_ingest": q_kg_web_ingest,
         "kg_recrawl_diff": q_kg_recrawl_diff,
+        "web_page_metadata": q_web_page_metadata,
         "kg_void_summary": q_kg_void_summary,
         "kg_void_props": q_kg_void_props,
         # -- re-verification rows for code paths r04 touched: all six

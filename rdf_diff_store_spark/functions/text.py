@@ -751,3 +751,67 @@ def extract_sitemap_urls(xml: "Column") -> "Column":
     # NOT F.transform(locs, F.trim): trim's optional second parameter
     # (the trim-character set) would receive transform's index argument.
     return F.transform(locs, lambda c: F.trim(c))
+
+
+def extract_title(html: "Column") -> "Column":
+    """The document ``<title>`` text, whitespace-collapsed (NULL when
+    absent or empty) — the head-metadata channel every search/curation
+    pipeline reads first. Pure whole-stage codegen (same design rule
+    as `extract_links`): dotall regexp + collapse, no Python."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    raw = F.regexp_extract(
+        html.cast("string"), r"(?is)<title[^>]*>(.*?)</title>", 1
+    )
+    return F.nullif(F.trim(F.regexp_replace(raw, r"\s+", " ")), F.lit(""))
+
+
+def extract_meta_content(html: "Column", name: str) -> "Column":
+    """content of ``<meta name="NAME" content="...">`` (NULL when
+    absent) — description, keywords, robots, generator… Attribute
+    order is free in html, so two JVM regexps cover name-then-content
+    and content-then-name, case-insensitive on the name (publishers
+    write Description/ROBOTS freely); first match wins."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    s = html.cast("string")
+    a = F.regexp_extract(
+        s, f'(?is)<meta[^>]*name\\s*=\\s*["\']{name}["\'][^>]*content\\s*=\\s*["\']([^"\']*)', 1
+    )
+    b = F.regexp_extract(
+        s, f'(?is)<meta[^>]*content\\s*=\\s*["\']([^"\']*)["\'][^>]*name\\s*=\\s*["\']{name}["\']', 1
+    )
+    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
+
+
+def robots_noindex(html: "Column") -> "Column":
+    """TRUE when a robots meta directive contains ``noindex`` or
+    ``none`` — the page-level exclusion gate a curation pipeline must
+    honor before a page's content enters any corpus (the in-page
+    counterpart of `operators/crawl.py::robots_filter`'s fetch gate).
+    Missing/other directives → FALSE, never NULL (a gate column)."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    directive = F.lower(F.coalesce(extract_meta_content(html, "robots"), F.lit("")))
+    return directive.rlike(r"(^|[\s,])(noindex|none)([\s,]|$)")
+
+
+def page_metadata(
+    pages: "DataFrame",
+    url_col: str = "url",
+    html_col: str = "html",
+) -> "DataFrame":
+    """(url, title, description, noindex) per page — the head-metadata
+    record feeding search indexing and corpus admission. ENTIRELY
+    whole-stage codegen: zero Python, zero shuffles, column-pruned to
+    (url, html) at the scan; at 10^12 pages this is the cheapest
+    extraction pass in the repo."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    h = F.col(html_col)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        extract_title(h).alias("title"),
+        extract_meta_content(h, "description").alias("description"),
+        robots_noindex(h).alias("noindex"),
+    )

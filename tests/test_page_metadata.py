@@ -1,0 +1,86 @@
+"""Head-metadata extraction (functions/text.py::page_metadata and
+friends): pure whole-stage-codegen title / meta / robots-gate columns."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.functions.text import (
+    extract_meta_content,
+    extract_title,
+    page_metadata,
+    robots_noindex,
+)
+
+
+def _one(spark, html, col):
+    return (
+        spark.createDataFrame([(html,)], "html string")
+        .select(col(F.col("html")).alias("v"))
+        .collect()[0]["v"]
+    )
+
+
+class TestTitle:
+    def test_collapse_and_dotall(self, spark):
+        assert (
+            _one(spark, "<html><head><title>\n  A   B\n</title></head>", extract_title)
+            == "A B"
+        )
+
+    def test_absent_and_empty_are_null(self, spark):
+        assert _one(spark, "<html><body>x</body></html>", extract_title) is None
+        assert _one(spark, "<title>  </title>", extract_title) is None
+
+
+class TestMetaContent:
+    def test_both_attribute_orders_and_case(self, spark):
+        fn = lambda c: extract_meta_content(c, "description")  # noqa: E731
+        a = '<meta name="description" content="first desc">'
+        b = '<meta content="second desc" name="Description">'
+        assert _one(spark, a, fn) == "first desc"
+        assert _one(spark, b, fn) == "second desc"
+        assert _one(spark, a + b, fn) == "first desc"  # first match wins
+        assert _one(spark, "<meta name='keywords' content='x'>", fn) is None
+
+
+class TestRobotsNoindex:
+    def test_directives(self, spark):
+        fn = robots_noindex
+        assert _one(spark, '<meta name="robots" content="noindex, follow">', fn)
+        assert _one(spark, '<meta name="ROBOTS" content="NONE">', fn)
+        assert not _one(spark, '<meta name="robots" content="index, nofollow">', fn)
+        # substring must not match: 'noindexing' is not a directive
+        assert not _one(spark, '<meta name="robots" content="noindexing">', fn)
+        assert not _one(spark, "<html></html>", fn)  # missing → FALSE, not NULL
+
+
+class TestPageMetadata:
+    def test_frame_and_plan(self, spark):
+        pages = spark.createDataFrame(
+            [
+                (
+                    "u1",
+                    "<html><head><title>T1</title>"
+                    '<meta name="description" content="d1">'
+                    '<meta name="robots" content="noindex"></head></html>',
+                ),
+                ("u2", "<html><head></head><body>plain</body></html>"),
+            ],
+            "url string, html string",
+        )
+        df = page_metadata(pages)
+        rows = {r["url"]: r for r in df.collect()}
+        assert (rows["u1"]["title"], rows["u1"]["description"], rows["u1"]["noindex"]) == (
+            "T1",
+            "d1",
+            True,
+        )
+        assert (rows["u2"]["title"], rows["u2"]["description"], rows["u2"]["noindex"]) == (
+            None,
+            None,
+            False,
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "InPandas" not in plan
