@@ -8086,6 +8086,69 @@ t AS (
     FROM documents))"""
 
 
+def q_web_feed_entries(spark, sf_dir):
+    """RSS/Atom feed extraction (functions/text.py::feed_entries) —
+    the crawl-discovery channel next to sitemaps: feeds announce new
+    urls WITH timestamps, so the recrawl scheduler reads them first.
+    Every third feed is Atom (title + link@href + updated), the rest
+    RSS 2.0 (title element text + pubDate) with CDATA-wrapped titles;
+    entirely whole-stage codegen (nested regexp transform over the
+    block array), zero Python, zero shuffles. The oracle rebuilds
+    every entry arithmetically."""
+    from rdf_diff_store_spark.functions.text import feed_entries
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    rss = F.format_string(
+        "<rss><channel><title>chan</title>"
+        "<item><title><![CDATA[post %s]]></title>"
+        "<link>https://x.org/%s/1</link>"
+        "<pubDate>day %s</pubDate></item>"
+        "<item><title>second %s</title><link>https://x.org/%s/2</link></item>"
+        "</channel></rss>",
+        ds,
+        ds,
+        F.pmod(d, F.lit(28)).cast("string"),
+        ds,
+        ds,
+    )
+    atom = F.format_string(
+        '<feed><title>chan</title><entry><title>a %s</title>'
+        '<link rel="alternate" href="https://y.org/%s"/>'
+        "<updated>2024-02-%s</updated></entry></feed>",
+        ds,
+        ds,
+        F.lpad((F.pmod(d, F.lit(28)) + 1).cast("string"), 2, "0"),
+    )
+    feeds = docs.select(
+        F.concat(F.lit("https://feeds.example.org/"), ds).alias("feed_url"),
+        F.when(d % 3 == 0, atom).otherwise(rss).alias("xml"),
+    )
+    return feed_entries(feeds)
+
+
+_ORACLE_R4["web_feed_entries"] = """
+WITH p AS (
+  SELECT 'https://feeds.example.org/' || CAST(doc_id AS VARCHAR) AS feed_url,
+         doc_id FROM documents)
+SELECT feed_url, 'a ' || CAST(doc_id AS VARCHAR) AS title,
+       'https://y.org/' || CAST(doc_id AS VARCHAR) AS link,
+       '2024-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS published
+FROM p WHERE doc_id % 3 = 0
+UNION ALL
+SELECT feed_url, 'post ' || CAST(doc_id AS VARCHAR),
+       'https://x.org/' || CAST(doc_id AS VARCHAR) || '/1',
+       'day ' || CAST(doc_id % 28 AS VARCHAR)
+FROM p WHERE doc_id % 3 <> 0
+UNION ALL
+SELECT feed_url, 'second ' || CAST(doc_id AS VARCHAR),
+       'https://x.org/' || CAST(doc_id AS VARCHAR) || '/2',
+       CAST(NULL AS VARCHAR)
+FROM p WHERE doc_id % 3 <> 0
+"""
+
+
 def q_web_page_metadata(spark, sf_dir):
     """Head-metadata extraction (functions/text.py::page_metadata) —
     title, meta description (BOTH attribute orders rendered), and the
@@ -8597,6 +8660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_web_ingest": q_kg_web_ingest,
         "kg_recrawl_diff": q_kg_recrawl_diff,
         "web_page_metadata": q_web_page_metadata,
+        "web_feed_entries": q_web_feed_entries,
         "kg_void_summary": q_kg_void_summary,
         "kg_void_props": q_kg_void_props,
         # -- re-verification rows for code paths r04 touched: all six

@@ -815,3 +815,59 @@ def page_metadata(
         extract_meta_content(h, "description").alias("description"),
         robots_noindex(h).alias("noindex"),
     )
+
+
+def _xml_tag_text(block: "Column", tag: str) -> "Column":
+    """Text of the first <tag>…</tag> inside an XML block, CDATA
+    wrapper stripped, whitespace-collapsed; NULL when absent/empty.
+    Engine-portable dotall regexps, no XML parser needed for the
+    line-of-business feed fields."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    raw = F.regexp_extract(block, f"(?is)<{tag}[^>]*>(.*?)</{tag}>", 1)
+    raw = F.regexp_replace(raw, r"(?s)^\s*<!\[CDATA\[(.*)\]\]>\s*$", "$1")
+    return F.nullif(F.trim(F.regexp_replace(raw, r"\s+", " ")), F.lit(""))
+
+
+def feed_entries(
+    feeds: "DataFrame",
+    url_col: str = "feed_url",
+    xml_col: str = "xml",
+) -> "DataFrame":
+    """(feed_url, title, link, published) per entry of an RSS 2.0 or
+    Atom feed — the crawl-discovery channel next to sitemaps
+    (`extract_sitemap_urls`): feeds announce NEW urls with timestamps,
+    so a recrawl scheduler reads them before anything else.
+
+    RSS ``<item>`` blocks yield title / link (element text) / pubDate;
+    Atom ``<entry>`` blocks yield title / link@href (the attribute
+    form) / updated. Both formats handled in one pass, CDATA unwrapped,
+    document order preserved. ENTIRELY whole-stage codegen — block
+    slicing and field extraction are nested JVM regexps over a
+    transform lambda; zero Python, zero shuffles."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    xml = F.col(xml_col).cast("string")
+    blocks = F.concat(
+        F.regexp_extract_all(xml, F.lit(r"(?is)<item[\s>].*?</item>"), 0),
+        F.regexp_extract_all(xml, F.lit(r"(?is)<entry[\s>].*?</entry>"), 0),
+    )
+
+    def entry_of(b: "Column") -> "Column":
+        atom_href = F.nullif(
+            F.regexp_extract(b, r'(?is)<link[^>]*href\s*=\s*["\']([^"\']*)', 1),
+            F.lit(""),
+        )
+        return F.struct(
+            _xml_tag_text(b, "title").alias("title"),
+            # RSS link element text wins; Atom link@href as fallback
+            F.coalesce(_xml_tag_text(b, "link"), atom_href).alias("link"),
+            F.coalesce(
+                _xml_tag_text(b, "pubDate"), _xml_tag_text(b, "updated")
+            ).alias("published"),
+        )
+
+    return feeds.select(
+        F.col(url_col).alias("feed_url"),
+        F.explode(F.transform(blocks, entry_of)).alias("e"),
+    ).select("feed_url", "e.title", "e.link", "e.published")

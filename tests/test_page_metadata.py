@@ -84,3 +84,55 @@ class TestPageMetadata:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "Python" not in plan and "InPandas" not in plan
+
+
+class TestFeedEntries:
+    RSS = (
+        "<rss><channel><title>chan</title>"
+        "<item><title><![CDATA[First  post]]></title>"
+        "<link>https://x.org/1</link>"
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>"
+        "<item><title>Second</title><link>https://x.org/2</link></item>"
+        "</channel></rss>"
+    )
+    ATOM = (
+        '<feed xmlns="http://www.w3.org/2005/Atom">'
+        "<title>chan</title>"
+        "<entry><title>A1</title>"
+        '<link rel="alternate" href="https://y.org/a1"/>'
+        "<updated>2024-02-01T00:00:00Z</updated></entry>"
+        "</feed>"
+    )
+
+    def _feeds(self, spark, rows):
+        from rdf_diff_store_spark.functions.text import feed_entries
+
+        return feed_entries(
+            spark.createDataFrame(rows, "feed_url string, xml string")
+        )
+
+    def test_rss_items(self, spark):
+        rows = self._feeds(spark, [("f1", self.RSS)]).collect()
+        assert [tuple(r) for r in rows] == [
+            ("f1", "First post", "https://x.org/1", "Mon, 01 Jan 2024 00:00:00 GMT"),
+            ("f1", "Second", "https://x.org/2", None),
+        ]
+
+    def test_atom_entries_and_channel_title_not_leaked(self, spark):
+        rows = self._feeds(spark, [("f2", self.ATOM)]).collect()
+        assert [tuple(r) for r in rows] == [
+            ("f2", "A1", "https://y.org/a1", "2024-02-01T00:00:00Z")
+        ]
+
+    def test_mixed_and_empty(self, spark):
+        rows = self._feeds(
+            spark, [("f1", self.RSS), ("f2", self.ATOM), ("f3", "<rss/>")]
+        ).collect()
+        assert len(rows) == 3
+        assert not any(r["feed_url"] == "f3" for r in rows)
+
+    def test_jvm_only_plan(self, spark):
+        df = self._feeds(spark, [("f1", self.RSS)])
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan and "InPandas" not in plan
