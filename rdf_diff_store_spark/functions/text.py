@@ -775,13 +775,18 @@ def extract_meta_content(html: "Column", name: str) -> "Column":
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     s = html.cast("string")
-    a = F.regexp_extract(
-        s, f'(?is)<meta[^>]*name\\s*=\\s*["\']{name}["\'][^>]*content\\s*=\\s*["\']([^"\']*)', 1
+    # the content capture must exclude only ITS OWN delimiter — a
+    # [^"']* class would truncate "John's homepage" at the apostrophe —
+    # so each attribute order gets a double- and a single-quoted form
+    pats = [
+        f'(?is)<meta[^>]*name\\s*=\\s*["\']{name}["\'][^>]*content\\s*=\\s*"([^"]*)"',
+        f"(?is)<meta[^>]*name\\s*=\\s*[\"']{name}[\"'][^>]*content\\s*=\\s*'([^']*)'",
+        f'(?is)<meta[^>]*content\\s*=\\s*"([^"]*)"[^>]*name\\s*=\\s*["\']{name}["\']',
+        f"(?is)<meta[^>]*content\\s*=\\s*'([^']*)'[^>]*name\\s*=\\s*[\"']{name}[\"']",
+    ]
+    return F.coalesce(
+        *[F.nullif(F.regexp_extract(s, pat, 1), F.lit("")) for pat in pats]
     )
-    b = F.regexp_extract(
-        s, f'(?is)<meta[^>]*content\\s*=\\s*["\']([^"\']*)["\'][^>]*name\\s*=\\s*["\']{name}["\']', 1
-    )
-    return F.coalesce(F.nullif(a, F.lit("")), F.nullif(b, F.lit("")))
 
 
 def robots_noindex(html: "Column") -> "Column":
@@ -847,6 +852,9 @@ def feed_entries(
     transform lambda; zero Python, zero shuffles."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
+    spark = feeds.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism * 2
+    feeds = feeds.repartition(n_parts)  # AQE over-coalesces text frames
     xml = F.col(xml_col).cast("string")
     blocks = F.concat(
         F.regexp_extract_all(xml, F.lit(r"(?is)<item[\s>].*?</item>"), 0),
@@ -854,9 +862,16 @@ def feed_entries(
     )
 
     def entry_of(b: "Column") -> "Column":
-        atom_href = F.nullif(
-            F.regexp_extract(b, r'(?is)<link[^>]*href\s*=\s*["\']([^"\']*)', 1),
-            F.lit(""),
+        # Atom entries carry several <link> forms (self / enclosure /
+        # alternate); the ANNOUNCED page is rel="alternate" — prefer it
+        # in both attribute orders, fall back to the first link href
+        def _x(pat):
+            return F.nullif(F.regexp_extract(b, pat, 1), F.lit(""))
+
+        atom_href = F.coalesce(
+            _x(r'(?is)<link[^>]*rel\s*=\s*["\']alternate["\'][^>]*href\s*=\s*["\']([^"\']*)'),
+            _x(r'(?is)<link[^>]*href\s*=\s*["\']([^"\']*)["\'][^>]*rel\s*=\s*["\']alternate["\']'),
+            _x(r'(?is)<link[^>]*href\s*=\s*["\']([^"\']*)'),
         )
         return F.struct(
             _xml_tag_text(b, "title").alias("title"),

@@ -131,11 +131,16 @@ def resolve_conflicts(
     c = claims.select(
         F.col(source_col).alias("source"), *_FACT_COLS
     ).distinct()
+    # LEFT join: a source absent from the trust frame (e.g. trust
+    # computed on an earlier crawl) contributes 0 trust but still
+    # counts as a source — its facts must not vanish from the output
     support = (
-        c.join(trust, "source")
+        c.join(trust, "source", "left")
         .groupBy(*_FACT_COLS)
         .agg(
-            F.sum("trust_micro").alias("support_micro"),
+            F.sum(F.coalesce(F.col("trust_micro"), F.lit(0).cast("bigint"))).alias(
+                "support_micro"
+            ),
             F.count(F.lit(1)).alias("n_sources"),
         )
     )

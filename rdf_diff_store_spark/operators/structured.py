@@ -164,7 +164,12 @@ def _lex(v) -> tuple:
         return (v, XSD_STRING)
     if isinstance(v, float):
         return (repr(v), XSD_DOUBLE)
-    return (str(v), XSD_INTEGER)
+    if isinstance(v, int):
+        return (str(v), XSD_INTEGER)
+    # non-scalar reaching a literal position (malformed JSON-LD like
+    # {"@value": {...}}): keep the data loud as a plain string, never
+    # a mis-typed numeric literal
+    return (str(v), XSD_STRING)
 
 
 def _emit_list(values, vocab: str, prefixes: dict, out: list, bn: list) -> str:
@@ -306,7 +311,7 @@ def extract_jsonld(
     html_str = F.col(html_col).cast("string")
     src = (
         pages.select(F.col(url_col).alias("url"), html_str.alias("_html"))
-        .filter(F.col("_html").contains("application/ld+json"))
+        .filter(F.lower(F.col("_html")).contains("application/ld+json"))
         .select("url", jsonld_blocks(F.col("_html")).alias("_blocks"))
         .filter(F.size("_blocks") > 0)
     )
@@ -437,6 +442,7 @@ class _MicrodataParser(HTMLParser):
             preds = [self._expand(p, cur[1]) for p in props]
             val: str | None = None
             iri = False
+            machine = False
             dt: str | None = XSD_STRING
             if tag == "meta":
                 val = a.get("content") or ""
@@ -445,13 +451,17 @@ class _MicrodataParser(HTMLParser):
             elif tag == "time" and a.get("datetime"):
                 val = a["datetime"]
                 dt = _sniff_temporal(val)
+                machine = True  # time values are never language-tagged
             elif tag == "data" and a.get("value"):
                 val = a["value"]
             if val is not None:
                 if iri:
                     term = IRI
-                elif dt != XSD_STRING:
-                    term = (dt, None)  # typed temporal: no language
+                elif dt != XSD_STRING or machine:
+                    # typed temporal — or a time value whose lexical
+                    # form didn't sniff (durations): machine values are
+                    # never language-tagged (microdata-to-RDF §4.3)
+                    term = (dt, None)
                 elif elang:
                     term = (None, elang)
                 else:
@@ -705,7 +715,8 @@ def extract_rdfa(
     must appear), ONE Arrow hop, map-only."""
     html_str = F.col(html_col).cast("string")
     src = pages.select(F.col(url_col).alias("url"), html_str.alias("_html")).filter(
-        F.col("_html").contains("property=") | F.col("_html").contains("typeof=")
+        F.lower(F.col("_html")).contains("property=")
+        | F.lower(F.col("_html")).contains("typeof=")
     )
     spark = pages.sparkSession
     n_parts = parallelism or spark.sparkContext.defaultParallelism * 2
@@ -734,7 +745,7 @@ def extract_microdata(
     Arrow hop, map-only."""
     html_str = F.col(html_col).cast("string")
     src = pages.select(F.col(url_col).alias("url"), html_str.alias("_html")).filter(
-        F.col("_html").contains("itemscope")
+        F.lower(F.col("_html")).contains("itemscope")
     )
     spark = pages.sparkSession
     n_parts = parallelism or spark.sparkContext.defaultParallelism * 2

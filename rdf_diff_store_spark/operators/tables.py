@@ -104,7 +104,10 @@ class _TableParser(HTMLParser):
     def _close_table(self) -> None:
         t = self._tables.pop()
         self._close_row(t)
-        rows = t["rows"]
+        # spacer rows (<tr></tr>) have no relational existence: drop
+        # them BEFORE header detection or a leading empty row would
+        # vacuously pass the all-th test and shift every data row
+        rows = [r for r in t["rows"] if r]
         if not rows:
             return
         # header = first row iff ALL its cells are <th>
@@ -203,7 +206,7 @@ def extract_table_cells(
     over-coalesces compact text frames), ONE Arrow hop, map-only."""
     html_str = F.col(html_col).cast("string")
     src = pages.select(F.col(url_col).alias("url"), html_str.alias("_html")).filter(
-        F.col("_html").contains("<table")
+        F.lower(F.col("_html")).contains("<table")
     )
     spark = pages.sparkSession
     n_parts = parallelism or spark.sparkContext.defaultParallelism * 2

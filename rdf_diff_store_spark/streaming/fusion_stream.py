@@ -50,11 +50,14 @@ class StreamingFactSupport:
         self._state_path = os.path.join(work_dir, "claim_state")
 
     def claims(self) -> DataFrame:
-        """The deduped (source, subj, pred, obj) state."""
-        try:
-            return self.spark.read.parquet(self._state_path)
-        except Exception:  # noqa: BLE001 — not initialized yet
+        """The deduped (source, subj, pred, obj) state. Only a
+        MISSING state directory means "not initialized" — any other
+        read failure (corrupt file, permissions) must propagate, or a
+        transient fault would silently zero the support counts and
+        make replays re-append whole batches."""
+        if not os.path.isdir(self._state_path):
             return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.parquet(self._state_path)
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # localCheckpoint barrier: materialize the novel pairs BEFORE

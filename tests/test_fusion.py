@@ -125,3 +125,20 @@ class TestResolveConflicts:
         for line in plan.splitlines():
             if "Window [" in line:
                 assert line.count("], [") == 2  # fns, PARTITION, order
+
+
+def test_resolve_conflicts_missing_trust_source_counts_zero(spark):
+    # trust frame from an earlier crawl lacks source C: C's facts must
+    # stay in the output with support 0, not vanish
+    claims = _claims(
+        spark,
+        [("A", "e1", "p", "x"), ("C", "e1", "p", "y"), ("C", "e9", "p", "z")],
+    )
+    trust = spark.createDataFrame(
+        [("A", 1_000_000)], "source string, trust_micro long"
+    )
+    out = {(r["subj"], r["obj"]): r for r in resolve_conflicts(claims, trust).collect()}
+    assert out[("e1", "x")]["support_micro"] == 1_000_000
+    assert ("e9", "z") in out  # fact with ONLY unknown sources survives
+    assert out[("e9", "z")]["support_micro"] == 0
+    assert out[("e9", "z")]["n_sources"] == 1

@@ -133,6 +133,19 @@ class TestFeedEntries:
 
     def test_jvm_only_plan(self, spark):
         df = self._feeds(spark, [("f1", self.RSS)])
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan
+        plan = df._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        # the only exchange is the explicit parse-parallelism repartition
+        assert "Exchange hashpartitioning" not in plan
         assert "Python" not in plan and "InPandas" not in plan
+
+    def test_atom_rel_alternate_preferred(self, spark):
+        entry = (
+            "<feed><entry><title>E</title>"
+            '<link rel="self" href="https://h/e.atom"/>'
+            '<link href="https://h/posts/1" rel="alternate"/>'
+            "</entry></feed>"
+        )
+        rows = self._feeds(spark, [("f", entry)]).collect()
+        assert rows[0]["link"] == "https://h/posts/1"

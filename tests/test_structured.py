@@ -578,3 +578,25 @@ class TestLanguageTags:
             '<div itemscope><span itemprop="name">x</span></div>'
         )
         assert t == [("_:md0", "https://schema.org/name", "x", XSD_STRING, None)]
+
+
+class TestReviewFixes:
+    def test_value_wrapper_nonscalar_is_string_not_integer(self):
+        t = jsonld_triples_of_page(
+            ['{"@id":"https://x.org/1","p":{"@value":[1,2]}}']
+        )
+        assert t == [("https://x.org/1", "https://schema.org/p", "[1, 2]", S, None)]
+
+    def test_time_duration_never_language_tagged(self):
+        t = microdata_triples_of_page(
+            '<div itemscope lang="en">'
+            '<time itemprop="duration" datetime="PT2H30M">2.5h</time></div>'
+        )
+        assert t == [
+            ("_:md0", "https://schema.org/duration", "PT2H30M", XSD_STRING, None)
+        ]
+
+    def test_uppercase_prefilters(self, spark):
+        html_md = '<DIV ITEMSCOPE><SPAN ITEMPROP="name">x</SPAN></DIV>'
+        rows = extract_microdata(_pages(spark, [("u", html_md)])).collect()
+        assert len(rows) == 1 and rows[0]["obj"] == "x"

@@ -202,3 +202,19 @@ class TestCellsToTriples:
         )
         assert "Exchange" not in plan
         assert "Python" not in plan and "InPandas" not in plan
+
+
+class TestReviewFixes:
+    def test_uppercase_markup_passes_prefilter(self, spark):
+        pages = _pages(
+            spark,
+            [("u1", "<HTML><BODY><TABLE><TR><TD>42</TD></TR></TABLE></BODY></HTML>")],
+        )
+        rows = extract_table_cells(pages).collect()
+        assert [tuple(r) for r in rows] == [("u1", 0, 0, 0, "col0", "42")]
+
+    def test_leading_spacer_row_does_not_eat_header(self):
+        c = table_cells_of_page(
+            "<table><tr></tr><tr><th>Name</th></tr><tr><td>ada</td></tr></table>"
+        )
+        assert c == [(0, 0, 0, "Name", "ada")]
