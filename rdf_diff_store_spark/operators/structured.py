@@ -231,6 +231,18 @@ def _flatten_node(node: dict, vocab: str, prefixes: dict, out: list, bn: list) -
     for t in types if isinstance(types, list) else ([types] if types else []):
         if isinstance(t, str):
             out.append((subj, RDF_TYPE, _expand_term(t, vocab, prefixes), *IRI))
+    rev = node.get("@reverse")
+    if isinstance(rev, dict):
+        # JSON-LD §4.8 reverse properties: {"@reverse": {p: [n…]}}
+        # emits (n, p, THIS node) — the child points AT us
+        for rkey, rval in rev.items():
+            rpred = _expand_term(rkey, vocab, prefixes)
+            for ritem in rval if isinstance(rval, list) else [rval]:
+                if isinstance(ritem, dict):
+                    rsubj = _flatten_node(ritem, vocab, prefixes, out, bn)
+                    out.append((rsubj, rpred, subj, *IRI))
+                elif isinstance(ritem, str) and ritem:
+                    out.append((ritem, rpred, subj, *IRI))
     for key, val in node.items():
         if key.startswith("@"):
             continue

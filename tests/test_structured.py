@@ -600,3 +600,36 @@ class TestReviewFixes:
         html_md = '<DIV ITEMSCOPE><SPAN ITEMPROP="name">x</SPAN></DIV>'
         rows = extract_microdata(_pages(spark, [("u", html_md)])).collect()
         assert len(rows) == 1 and rows[0]["obj"] == "x"
+
+
+class TestJsonldReverse:
+    """JSON-LD §4.8 @reverse: the referenced nodes point AT this one."""
+
+    def test_reverse_node_and_iri(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@context":"https://schema.org","@id":"https://x.org/bob",'
+                '"@reverse":{"knows":[{"@id":"https://x.org/alice"},'
+                '{"@type":"Person","name":"carol"}]}}'
+            ]
+        )
+        assert (
+            "https://x.org/alice",
+            "https://schema.org/knows",
+            "https://x.org/bob",
+            *NOIRI,
+        ) in t
+        carol = next(x[0] for x in t if x[1].endswith("name"))
+        assert (carol, "https://schema.org/knows", "https://x.org/bob", *NOIRI) in t
+        assert (carol, RDF_TYPE, "https://schema.org/Person", *NOIRI) in t
+
+    def test_reverse_string_shorthand(self):
+        t = jsonld_triples_of_page(
+            [
+                '{"@id":"https://x.org/1",'
+                '"@reverse":{"https://schema.org/about":"https://x.org/page"}}'
+            ]
+        )
+        assert t == [
+            ("https://x.org/page", "https://schema.org/about", "https://x.org/1", None, None)
+        ]
