@@ -8253,6 +8253,113 @@ FROM t GROUP BY pred"""
 )
 
 
+def q_kg_transe_round(spark, sf_dir):
+    """KG-embedding training (operators/embed.py — full-batch integer
+    TransE, Bordes et al. 2013): one training round over a 29-entity /
+    2-relation closed-form KG (a knows-ring and a likes-ring), dim 4,
+    md5 init, md5-picked corrupt tails, margin hinge, division-free
+    multiply-add updates, sign-safe div-by-max renorm. Output = BOTH
+    parameter tables ((kind, id, d, v) exploded rows — the parameter-
+    server sharding made relational). The oracle unrolls the entire
+    round in scalar SQL: init, negative pick, per-dim difference,
+    hinge activation, gradient sums, update, renorm — drift in any
+    stage breaks bit-exactness. The same update rule is additionally
+    pinned against an independent pure-Python reference for TWO rounds
+    in tests/test_embed.py."""
+    from rdf_diff_store_spark.operators.embed import transe_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = lambda expr: F.concat(F.lit("e"), expr.cast("string"))  # noqa: E731
+    knows = docs.select(
+        e(d % 29).alias("h"), F.lit("knows").alias("r"), e((d % 29 + 1) % 29).alias("t")
+    )
+    likes = docs.select(
+        e(d % 29).alias("h"),
+        F.lit("likes").alias("r"),
+        e(((d % 29) * 7 + 3) % 29).alias("t"),
+    )
+    ent, rel = transe_train(
+        knows.unionByName(likes),
+        dim=4,
+        iterations=1,
+        margin=1_000_000,
+        step=1,
+        n_neg_candidates=8,
+    )
+    out = ent.select(F.lit("ent").alias("kind"), "id", "d", "v").unionByName(
+        rel.select(F.lit("rel").alias("kind"), "id", "d", "v")
+    )
+    return out.select("kind", "id", F.col("d").cast("long").alias("d"), "v")
+
+
+_ORACLE_R4["kg_transe_round"] = """
+WITH tri AS (
+  SELECT DISTINCT 'e' || CAST(doc_id % 29 AS VARCHAR) AS h, 'knows' AS r,
+         'e' || CAST((doc_id % 29 + 1) % 29 AS VARCHAR) AS t
+  FROM documents
+  UNION ALL
+  SELECT DISTINCT 'e' || CAST(doc_id % 29 AS VARCHAR), 'likes',
+         'e' || CAST(((doc_id % 29) * 7 + 3) % 29 AS VARCHAR)
+  FROM documents),
+ents AS (SELECT h AS id FROM tri UNION SELECT t FROM tri),
+rels AS (SELECT DISTINCT r AS id FROM tri),
+e0 AS (
+  SELECT id, CAST(r4.range AS BIGINT) AS d,
+         (('0x' || substr(md5('ent:' || id || ':' || CAST(r4.range AS VARCHAR)), 1, 13))::BIGINT % 2001) - 1000 AS v
+  FROM ents, range(4) r4),
+r0 AS (
+  SELECT id, CAST(r4.range AS BIGINT) AS d,
+         (('0x' || substr(md5('rel:' || id || ':' || CAST(r4.range AS VARCHAR)), 1, 13))::BIGINT % 2001) - 1000 AS v
+  FROM rels, range(4) r4),
+cand AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY id) - 1 AS idx
+  FROM (SELECT id FROM ents ORDER BY id LIMIT 8)),
+trin AS (
+  SELECT tri.h, tri.r, tri.t, c.id AS t_neg
+  FROM tri JOIN cand c
+    ON c.idx = ('0x' || substr(md5('neg|' || h || '|' || r || '|' || t), 1, 13))::BIGINT % 8),
+g AS (
+  SELECT trin.h, trin.r, trin.t, trin.t_neg, eh.d,
+         eh.v + er.v - et.v  AS g,
+         eh.v + er.v - etn.v AS g2
+  FROM trin
+  JOIN e0 eh  ON eh.id  = trin.h
+  JOIN r0 er  ON er.id  = trin.r     AND er.d  = eh.d
+  JOIN e0 et  ON et.id  = trin.t     AND et.d  = eh.d
+  JOIN e0 etn ON etn.id = trin.t_neg AND etn.d = eh.d),
+act AS (
+  SELECT h, r, t, t_neg FROM g GROUP BY h, r, t, t_neg
+  HAVING SUM(g*g) - SUM(g2*g2) + 1000000 > 0),
+ga AS (SELECT g.* FROM g JOIN act USING (h, r, t, t_neg)),
+egr AS (
+  SELECT id, d, CAST(SUM(gr) AS BIGINT) AS grad FROM (
+    SELECT h AS id, d, g - g2 AS gr FROM ga
+    UNION ALL SELECT t, d, -g FROM ga
+    UNION ALL SELECT t_neg, d, g2 FROM ga)
+  GROUP BY id, d),
+rgr AS (
+  SELECT r AS id, d, CAST(SUM(g - g2) AS BIGINT) AS grad FROM ga GROUP BY r, d),
+eupd AS (
+  SELECT e0.id, e0.d, e0.v - 2 * COALESCE(grad, 0) AS v
+  FROM e0 LEFT JOIN egr USING (id, d)),
+rupd AS (
+  SELECT r0.id, r0.d, r0.v - 2 * COALESCE(grad, 0) AS v
+  FROM r0 LEFT JOIN rgr USING (id, d)),
+es AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(v)) // 1000000) AS s FROM eupd),
+rs AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(v)) // 1000000) AS s FROM rupd)
+SELECT 'ent' AS kind, id, d,
+       CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM es))
+                 ELSE v // (SELECT s FROM es) END AS BIGINT) AS v
+FROM eupd
+UNION ALL
+SELECT 'rel', id, d,
+       CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM rs))
+                 ELSE v // (SELECT s FROM rs) END AS BIGINT)
+FROM rupd
+"""
+
+
 def q_kg_fact_support(spark, sf_dir):
     """Provenance rollup (operators/fusion.py::fact_support) — distinct
     sources and claim occurrences per asserted fact, the weight input
@@ -8662,6 +8769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_page_metadata": q_web_page_metadata,
         "web_feed_entries": q_web_feed_entries,
         "kg_void_summary": q_kg_void_summary,
+        "kg_transe_round": q_kg_transe_round,
         "kg_void_props": q_kg_void_props,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
