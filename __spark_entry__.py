@@ -8293,7 +8293,7 @@ def q_kg_transe_round(spark, sf_dir):
     return out.select("kind", "id", F.col("d").cast("long").alias("d"), "v")
 
 
-_ORACLE_R4["kg_transe_round"] = """
+_TRANSE_CTE = """
 WITH tri AS (
   SELECT DISTINCT 'e' || CAST(doc_id % 29 AS VARCHAR) AS h, 'knows' AS r,
          'e' || CAST((doc_id % 29 + 1) % 29 AS VARCHAR) AS t
@@ -8347,17 +8347,84 @@ rupd AS (
   SELECT r0.id, r0.d, r0.v - 2 * COALESCE(grad, 0) AS v
   FROM r0 LEFT JOIN rgr USING (id, d)),
 es AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(v)) // 1000000) AS s FROM eupd),
-rs AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(v)) // 1000000) AS s FROM rupd)
-SELECT 'ent' AS kind, id, d,
-       CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM es))
-                 ELSE v // (SELECT s FROM es) END AS BIGINT) AS v
-FROM eupd
+rs AS (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(v)) // 1000000) AS s FROM rupd),
+efin AS (
+  SELECT id, d, CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM es))
+                          ELSE v // (SELECT s FROM es) END AS BIGINT) AS v
+  FROM eupd),
+rfin AS (
+  SELECT id, d, CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM rs))
+                          ELSE v // (SELECT s FROM rs) END AS BIGINT) AS v
+  FROM rupd)"""
+
+_ORACLE_R4["kg_transe_round"] = (
+    _TRANSE_CTE
+    + """
+SELECT 'ent' AS kind, id, d, v FROM efin
 UNION ALL
-SELECT 'rel', id, d,
-       CAST(CASE WHEN v < 0 THEN -((-v) // (SELECT s FROM rs))
-                 ELSE v // (SELECT s FROM rs) END AS BIGINT)
-FROM rupd
+SELECT 'rel', id, d, v FROM rfin
 """
+)
+
+
+def q_kg_link_prediction(spark, sf_dir):
+    """Tail prediction over the trained embeddings (operators/
+    embed.py::link_prediction) — the thing KG embeddings are FOR:
+    for every distinct (h, r) of the knows/likes KG, rank the 8
+    candidate tails by ‖h+r−t‖² after one training round and keep the
+    top 3 (ties to the lexicographically smallest tail). Candidates
+    ride a broadcast; the ranking window partitions by (h, r). The
+    oracle extends the unrolled training-round CTE with the same
+    cross-score + ROW_NUMBER ranking, so the ENTIRE chain — training
+    round included — must match bit-for-bit."""
+    from rdf_diff_store_spark.operators.embed import (
+        link_prediction,
+        transe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = lambda expr: F.concat(F.lit("e"), expr.cast("string"))  # noqa: E731
+    tri = docs.select(
+        e(d % 29).alias("h"), F.lit("knows").alias("r"), e((d % 29 + 1) % 29).alias("t")
+    ).unionByName(
+        docs.select(
+            e(d % 29).alias("h"),
+            F.lit("likes").alias("r"),
+            e(((d % 29) * 7 + 3) % 29).alias("t"),
+        )
+    )
+    ent, rel = transe_train(
+        tri, dim=4, iterations=1, margin=1_000_000, step=1, n_neg_candidates=8
+    )
+    ents = tri.select(F.col("h").alias("id")).unionByName(
+        tri.select(F.col("t").alias("id"))
+    )
+    cands = ents.distinct().orderBy("id").limit(8)
+    return link_prediction(tri.select("h", "r"), cands, ent, rel, k=3)
+
+
+_ORACLE_R4["kg_link_prediction"] = (
+    _TRANSE_CTE
+    + """,
+pairs AS (SELECT DISTINCT h, r FROM tri),
+candt AS (SELECT p.h, p.r, c.id AS t FROM pairs p, cand c),
+sc AS (
+  SELECT c.h, c.r, c.t,
+         CAST(SUM((eh.v + er.v - et.v) * (eh.v + er.v - et.v)) AS BIGINT) AS score
+  FROM candt c
+  JOIN efin eh ON eh.id = c.h
+  JOIN rfin er ON er.id = c.r AND er.d = eh.d
+  JOIN efin et ON et.id = c.t AND et.d = eh.d
+  GROUP BY c.h, c.r, c.t),
+rk AS (
+  SELECT h, r, t, score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY h, r
+                                 ORDER BY score ASC, t ASC) AS INT) AS rank
+  FROM sc)
+SELECT h, r, t, score, rank FROM rk WHERE rank <= 3
+"""
+)
 
 
 def q_kg_fact_support(spark, sf_dir):
@@ -8770,6 +8837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_feed_entries": q_web_feed_entries,
         "kg_void_summary": q_kg_void_summary,
         "kg_transe_round": q_kg_transe_round,
+        "kg_link_prediction": q_kg_link_prediction,
         "kg_void_props": q_kg_void_props,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two

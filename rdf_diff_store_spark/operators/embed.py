@@ -221,3 +221,35 @@ def transe_scores(
             ).alias("score")
         )
     )
+
+
+def link_prediction(
+    pairs: DataFrame,
+    candidates: DataFrame,
+    ent: DataFrame,
+    rel: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """Tail prediction (h, r, ?) — the thing the embeddings are FOR:
+    score every candidate tail for each query pair, keep the k most
+    plausible (smallest ‖h+r−t‖², ties to the lexicographically
+    smallest tail — deterministic in any engine).
+
+    ``candidates`` is a (id) frame of PERMITTED tails, broadcast — at
+    web scale nobody scores 10^9 entities per query; the candidate set
+    comes from a type filter (void class partitions) or an ANN
+    preselection over the entity vectors (operators/similarity.py),
+    both already in the repo. The ranking window partitions by (h, r)
+    — top-k per query, never a global sort."""
+    from pyspark.sql import Window
+
+    cand = pairs.select("h", "r").distinct().join(
+        F.broadcast(candidates.select(F.col("id").alias("t")).distinct())
+    )
+    scored = transe_scores(cand, ent, rel)
+    w = Window.partitionBy("h", "r").orderBy(F.col("score").asc(), F.col("t").asc())
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .withColumnRenamed("_rk", "rank")
+    )

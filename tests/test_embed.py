@@ -139,3 +139,53 @@ class TestTrain:
         )
         r = transe_scores(tri, ent, rel).collect()[0]
         assert r["score"] == (3 + 2 - 1) ** 2 + (0 + 1 - 5) ** 2
+
+
+class TestLinkPrediction:
+    def test_true_tail_ranks_first_on_separable_geometry(self, spark):
+        from rdf_diff_store_spark.operators.embed import link_prediction
+
+        # hand-built embeddings where b = a + p exactly: (a, p, ?) must
+        # rank b first with score 0
+        ent = spark.createDataFrame(
+            [("a", 0, 10), ("a", 1, 0), ("b", 0, 12), ("b", 1, 5),
+             ("c", 0, 0), ("c", 1, 0)],
+            "id string, d int, v long",
+        )
+        rel = spark.createDataFrame(
+            [("p", 0, 2), ("p", 1, 5)], "id string, d int, v long"
+        )
+        pairs = spark.createDataFrame([("a", "p")], "h string, r string")
+        cands = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+        out = link_prediction(pairs, cands, ent, rel, k=2).collect()
+        assert [(r["t"], r["rank"], r["score"]) for r in out] == [
+            ("b", 1, 0),
+            ("a", 2, 29),  # (10+2-10)^2 + (0+5-0)^2
+        ]
+
+    def test_window_is_partitioned_and_deterministic(self, spark):
+        from rdf_diff_store_spark.operators.embed import link_prediction
+
+        tri = _tri(spark)
+        ent, rel = transe_train(tri, dim=4, iterations=1)
+        pairs = tri.select("h", "r")
+        cands = tri.select(F.col("t").alias("id"))
+        a = sorted(map(tuple, link_prediction(pairs, cands, ent, rel).collect()))
+        b = sorted(
+            map(
+                tuple,
+                link_prediction(
+                    pairs.repartition(7), cands, ent, rel
+                ).collect(),
+            )
+        )
+        assert a == b
+        plan = (
+            link_prediction(pairs, cands, ent, rel)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.splitlines():
+            if "Window [" in line:
+                assert line.count("], [") == 2
