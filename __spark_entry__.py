@@ -8427,6 +8427,26 @@ SELECT h, r, t, score, rank FROM rk WHERE rank <= 3
 )
 
 
+def q_kg_void_classes(spark, sf_dir):
+    """void:classPartition (operators/void_stats.py::class_partitions)
+    — per-class distinct-instance counts, the class-cardinality side
+    of the VoID self-description (multi-typed entities count once per
+    class)."""
+    from rdf_diff_store_spark.operators.void_stats import class_partitions
+
+    return class_partitions(_void_triples(spark, sf_dir))
+
+
+_ORACLE_R4["kg_void_classes"] = (
+    "WITH "
+    + _VOID_TRIPLES_CTE.strip()
+    + """
+SELECT obj AS class_iri, CAST(COUNT(DISTINCT subj) AS BIGINT) AS n_entities
+FROM t WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+GROUP BY obj"""
+)
+
+
 def q_kg_fact_support(spark, sf_dir):
     """Provenance rollup (operators/fusion.py::fact_support) — distinct
     sources and claim occurrences per asserted fact, the weight input
@@ -8839,6 +8859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_round": q_kg_transe_round,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_void_props": q_kg_void_props,
+        "kg_void_classes": q_kg_void_classes,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
