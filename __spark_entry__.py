@@ -8447,6 +8447,50 @@ GROUP BY obj"""
 )
 
 
+def q_kg_fact_intervals(spark, sf_dir):
+    """Temporal fact validity (operators/fusion.py::fact_intervals) —
+    the temporal-KG reading of recrawl observations: maximal sighting
+    runs with ≤3-day gaps become validity intervals, longer silences
+    close them (session-gap algebra on facts). Observations derive
+    from `events` as (user, did, event_type) sightings; timestamps
+    leave as epoch-seconds BIGINT via the timezone-proof NTZ
+    timestamp_diff (never a session-TZ cast). One window + one agg
+    SHARING a single fact-key hash partitioning."""
+    from rdf_diff_store_spark.operators.fusion import fact_intervals
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("subj"),
+        F.lit("did").alias("pred"),
+        F.col("event_type").alias("obj"),
+        F.col("ts"),
+    )
+    return fact_intervals(obs, gap_seconds=3 * 86400)
+
+
+_ORACLE_R4["kg_fact_intervals"] = """
+WITH o AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS subj, 'did' AS pred,
+         event_type AS obj, epoch_us(ts) // 1000000 AS s
+  FROM events),
+f AS (
+  SELECT subj, pred, obj, s,
+         CASE WHEN s - LAG(s) OVER (PARTITION BY subj, pred, obj ORDER BY s)
+                   > 259200 THEN 1 ELSE 0 END AS new_run
+  FROM o),
+r AS (
+  SELECT subj, pred, obj, s,
+         SUM(new_run) OVER (PARTITION BY subj, pred, obj ORDER BY s
+                            ROWS UNBOUNDED PRECEDING) AS run
+  FROM f)
+SELECT subj, pred, obj,
+       CAST(MIN(s) AS BIGINT) AS valid_from_s,
+       CAST(MAX(s) AS BIGINT) AS valid_to_s,
+       CAST(COUNT(*) AS BIGINT) AS n_obs
+FROM r GROUP BY subj, pred, obj, run
+"""
+
+
 def q_kg_fact_support(spark, sf_dir):
     """Provenance rollup (operators/fusion.py::fact_support) — distinct
     sources and claim occurrences per asserted fact, the weight input
@@ -8858,6 +8902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_summary": q_kg_void_summary,
         "kg_transe_round": q_kg_transe_round,
         "kg_link_prediction": q_kg_link_prediction,
+        "kg_fact_intervals": q_kg_fact_intervals,
         "kg_void_props": q_kg_void_props,
         "kg_void_classes": q_kg_void_classes,
         # -- re-verification rows for code paths r04 touched: all six

@@ -152,3 +152,52 @@ def resolve_conflicts(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def fact_intervals(
+    observations: DataFrame,
+    gap_seconds: int,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal fact validity from crawl observations — the temporal-KG
+    reading of the diff store's data: a fact (subj, pred, obj) seen on
+    crawls t₁…tₖ is VALID over each maximal run of sightings whose
+    consecutive gaps stay ≤ ``gap_seconds``; a longer silence closes
+    the interval (the page stopped asserting it) and a later sighting
+    opens a new one (the fact came back). Classic session-gap algebra
+    lifted onto facts.
+
+    Input: (subj, pred, obj, ts) with NTZ timestamps. Output one row
+    per validity interval: (subj, pred, obj, valid_from_s, valid_to_s,
+    n_obs) — epoch SECONDS as BIGINT (the timezone-proof lexical:
+    timestamp_diff against an NTZ epoch literal, never a session-TZ
+    cast — CLAUDE.md).
+
+    Scale: one window + one aggregation, both partitioned by the fact
+    key and SHARING that hash partitioning (one Exchange total, the
+    change_rate precedent); hot facts sort only their own sightings.
+    """
+    from pyspark.sql import Window
+
+    epoch = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    secs = F.timestamp_diff(
+        "SECOND", epoch, F.col(ts_col).cast("timestamp_ntz")
+    )
+    obs = observations.select(*_FACT_COLS, secs.alias("_s"))
+    w = Window.partitionBy(*_FACT_COLS).orderBy("_s")
+    new_run = F.when(
+        F.col("_s") - F.lag("_s").over(w) > gap_seconds, 1
+    ).otherwise(0)
+    run_id = F.sum(new_run).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        obs.withColumn("_run", run_id)
+        .groupBy(*_FACT_COLS, "_run")
+        .agg(
+            F.min("_s").alias("valid_from_s"),
+            F.max("_s").alias("valid_to_s"),
+            F.count(F.lit(1)).alias("n_obs"),
+        )
+        .drop("_run")
+    )

@@ -142,3 +142,59 @@ def test_resolve_conflicts_missing_trust_source_counts_zero(spark):
     assert ("e9", "z") in out  # fact with ONLY unknown sources survives
     assert out[("e9", "z")]["support_micro"] == 0
     assert out[("e9", "z")]["n_sources"] == 1
+
+
+class TestFactIntervals:
+    def test_gap_splits_runs(self, spark):
+        import datetime as dt
+
+        from rdf_diff_store_spark.operators.fusion import fact_intervals
+
+        t = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+        obs = spark.createDataFrame(
+            [
+                ("e1", "p", "x", t("2024-01-01 00:00:00")),
+                ("e1", "p", "x", t("2024-01-02 00:00:00")),  # 1d gap: same run
+                ("e1", "p", "x", t("2024-01-10 00:00:00")),  # 8d gap: NEW run
+                ("e2", "p", "y", t("2024-01-05 00:00:00")),  # other fact
+            ],
+            "subj string, pred string, obj string, ts timestamp",
+        )
+        out = sorted(
+            map(tuple, fact_intervals(obs, gap_seconds=3 * 86400).collect())
+        )
+        d0 = int(t("2024-01-01 00:00:00").timestamp() // 1)  # tz-naive local…
+        # compute expected epochs portably from the known NTZ lexicals
+        import calendar
+
+        def ep(s):
+            return calendar.timegm(t(s).timetuple())
+
+        assert out == sorted(
+            [
+                ("e1", "p", "x", ep("2024-01-01 00:00:00"), ep("2024-01-02 00:00:00"), 2),
+                ("e1", "p", "x", ep("2024-01-10 00:00:00"), ep("2024-01-10 00:00:00"), 1),
+                ("e2", "p", "y", ep("2024-01-05 00:00:00"), ep("2024-01-05 00:00:00"), 1),
+            ]
+        )
+        assert d0  # silence lint on the unused local
+
+    def test_one_exchange_total(self, spark):
+        import datetime as dt
+
+        from rdf_diff_store_spark.operators.fusion import fact_intervals
+
+        obs = spark.createDataFrame(
+            [("e1", "p", "x", dt.datetime(2024, 1, 1))],
+            "subj string, pred string, obj string, ts timestamp",
+        )
+        import re
+
+        plan = (
+            fact_intervals(obs, 3600)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
