@@ -8491,6 +8491,80 @@ FROM r GROUP BY subj, pred, obj, run
 """
 
 
+def q_kg_type_inference(spark, sf_dir):
+    """SDType type inference (operators/type_inference.py; Paulheim &
+    Bizer ISWC 2013) — weighted-vote typing of the untyped long tail:
+    integer confidence weights (micro-units, non-negative div — the
+    one division regime Spark and DuckDB agree on) learned from the
+    typed population, broadcast to the scoring join, deterministic
+    per-entity argmax. 29 typed entities over 4 classes and 5
+    predicates, 11 untyped entities; the oracle re-runs the whole
+    pipeline — weight learning included — in SQL."""
+    from rdf_diff_store_spark.operators.type_inference import infer_types
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    e = F.concat(F.lit("e"), (d % 29).cast("string"))
+    u = F.concat(F.lit("u"), (d % 11).cast("string"))
+    p = F.concat(F.lit("p"), (d % 5).cast("string"))
+    rt = F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type")
+    tri = (
+        docs.select(
+            e.alias("subj"),
+            rt.alias("pred"),
+            F.concat(F.lit("C"), (d % 29 % 4).cast("string")).alias("obj"),
+        )
+        .unionByName(docs.select(e.alias("subj"), p.alias("pred"), F.lit("x").alias("obj")))
+        .unionByName(docs.select(u.alias("subj"), p.alias("pred"), F.lit("y").alias("obj")))
+    )
+    return infer_types(tri)
+
+
+_ORACLE_R4["kg_type_inference"] = """
+WITH tri AS (
+  SELECT DISTINCT 'e' || CAST(doc_id % 29 AS VARCHAR) AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'C' || CAST(doc_id % 29 % 4 AS VARCHAR) AS obj
+  FROM documents
+  UNION
+  SELECT DISTINCT 'e' || CAST(doc_id % 29 AS VARCHAR),
+         'p' || CAST(doc_id % 5 AS VARCHAR), 'x'
+  FROM documents
+  UNION
+  SELECT DISTINCT 'u' || CAST(doc_id % 11 AS VARCHAR),
+         'p' || CAST(doc_id % 5 AS VARCHAR), 'y'
+  FROM documents),
+typed AS (
+  SELECT DISTINCT subj, obj AS cls FROM tri
+  WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+pr AS (
+  SELECT DISTINCT subj, pred FROM tri
+  WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+n_p AS (SELECT pred, COUNT(DISTINCT subj) AS n_p FROM pr GROUP BY pred),
+n_pc AS (
+  SELECT pred, cls, COUNT(DISTINCT pr.subj) AS n_support
+  FROM pr JOIN typed USING (subj) GROUP BY pred, cls),
+w AS (
+  SELECT pred, cls, CAST((1000000 * n_support) // n_p AS BIGINT) AS w_micro
+  FROM n_pc JOIN n_p USING (pred)),
+untyped AS (
+  SELECT pr.subj, pr.pred FROM pr
+  WHERE pr.subj NOT IN (SELECT subj FROM typed)),
+scores AS (
+  SELECT subj, cls,
+         CAST(SUM(w_micro) AS BIGINT) AS score_micro,
+         CAST(COUNT(*) AS BIGINT) AS n_evidence
+  FROM untyped JOIN w USING (pred) GROUP BY subj, cls),
+rk AS (
+  SELECT subj, cls, score_micro, n_evidence,
+         ROW_NUMBER() OVER (PARTITION BY subj
+                            ORDER BY score_micro DESC, cls ASC) AS rn
+  FROM scores)
+SELECT subj, cls AS inferred_type, score_micro, n_evidence
+FROM rk WHERE rn = 1
+"""
+
+
 def q_kg_fact_support(spark, sf_dir):
     """Provenance rollup (operators/fusion.py::fact_support) — distinct
     sources and claim occurrences per asserted fact, the weight input
@@ -8903,6 +8977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_transe_round": q_kg_transe_round,
         "kg_link_prediction": q_kg_link_prediction,
         "kg_fact_intervals": q_kg_fact_intervals,
+        "kg_type_inference": q_kg_type_inference,
         "kg_void_props": q_kg_void_props,
         "kg_void_classes": q_kg_void_classes,
         # -- re-verification rows for code paths r04 touched: all six
