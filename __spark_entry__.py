@@ -3573,6 +3573,24 @@ def q_entity_link_scores(spark, sf_dir):
     return entity_link_scores(docs, cands, max_lev=2)
 
 
+def q_entity_link_blocked(spark, sf_dir):
+    """Entity linking WITHOUT the dictionary broadcast: candidate
+    pairs minted by an equi-join on FastSS deletion-neighborhood
+    variants (exact recall for the levenshtein<=2 band), scored once
+    per distinct mention, winners fanned back to documents — the
+    10^8-alias scale path. Output is bit-identical to
+    entity_link_scores (same oracle SQL).
+    pipeline/linking.py::entity_link_blocked."""
+    from rdf_diff_store_spark.pipeline.linking import (
+        candidate_dictionary,
+        entity_link_blocked,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = candidate_dictionary(docs, top_n=50)
+    return entity_link_blocked(docs, cands, max_lev=2)
+
+
 T_UPDATE = "2024-06-01 00:00:00"
 
 
@@ -4177,6 +4195,10 @@ FROM (
 ) WHERE rn = 1
 """,
 }
+
+# the blocked (non-broadcast) linking path must produce the IDENTICAL
+# result frame — one oracle pins both implementations to each other
+_ORACLE_R4["entity_link_blocked"] = _ORACLE_R4["entity_link_scores"]
 
 _ORACLE_R4["sparql_text_typed_temporal"] = """
 SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS o,
@@ -8980,6 +9002,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_type_inference": q_kg_type_inference,
         "kg_void_props": q_kg_void_props,
         "kg_void_classes": q_kg_void_classes,
+        # -- session-17 additions (scale-path linking) ----------------
+        "entity_link_blocked": q_entity_link_blocked,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -46,6 +46,7 @@ def __getattr__(name):
         "execute": ("rdf_diff_store_spark.plans.sparql_update", "execute"),
         "build_kg": ("rdf_diff_store_spark.pipeline.kg", "build_kg"),
         "entity_link_scores": ("rdf_diff_store_spark.pipeline.linking", "entity_link_scores"),
+        "entity_link_blocked": ("rdf_diff_store_spark.pipeline.linking", "entity_link_blocked"),
         "candidate_dictionary": ("rdf_diff_store_spark.pipeline.linking", "candidate_dictionary"),
     }
     if name in lazy:

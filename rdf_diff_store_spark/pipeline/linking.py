@@ -88,6 +88,12 @@ def entity_link_scores(
         )
         .filter(F.col("mention").rlike(ALIAS_RE))
         .distinct()
+        # AQE sizes the distinct output by BYTES and coalesces a compact
+        # mention frame to ~1-2 partitions — but each row then pays
+        # |dict| levenshtein calls in the nested-loop band join below
+        # (the shingle_frame lesson: repartition before CPU-heavy
+        # per-row work). Same-key hash partitioning keeps determinism.
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "mention")
     )
     lev = F.levenshtein(F.col("mention"), F.col("alias"))
     scored = (
@@ -123,4 +129,146 @@ def entity_link_scores(
             F.round(F.col("w.score"), 4).alias("score"),
             "n_candidates",
         )
+    )
+
+
+def deletion_variants(col, max_del: int = 2):
+    """All strings reachable from ``col`` by deleting up to ``max_del``
+    characters (the FastSS deletion neighborhood, Bocek et al. 2007):
+    ``ed(a, b) <= k`` implies the k-deletion neighborhoods of a and b
+    intersect (delete the mismatched position of each side for every
+    edit in an optimal alignment), so an equi-join on variants has
+    100% recall for a levenshtein band — over-generated pairs are
+    removed by a verify filter.
+
+    Pure JVM array expression: ONE nested transform over position
+    sequences (never one lambda per position — the Janino-compile
+    lesson from MinHash), whole-stage-codegen friendly, duplicate
+    variants of repeated characters removed with array_distinct.
+    Supports max_del in {1, 2} — a 2-deletion neighborhood of an
+    n-char token is O(n^2/2) variants (~120 at n=15), the documented
+    scale envelope for max_lev=2 band joins."""
+    if max_del not in (1, 2):
+        raise ValueError(f"deletion_variants supports max_del 1 or 2, got {max_del}")
+    s = col
+    n = F.length(s)
+    empty = F.array().cast("array<string>")
+    # delete the 0-based position i: prefix s[1..i] ++ suffix s[i+2..]
+    d1 = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat(s.substr(F.lit(1), i), s.substr(i + 2, n)),
+        ),
+    ).otherwise(empty)
+    parts = [F.array(s), d1]
+    if max_del >= 2:
+        # delete 0-based positions i < j in one pass
+        d2 = F.when(
+            n >= 2,
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(0), n - 2),
+                    lambda i: F.transform(
+                        F.sequence(i + 1, n - 1),
+                        lambda j: F.concat(
+                            s.substr(F.lit(1), i),
+                            s.substr(i + 2, j - i - 1),
+                            s.substr(j + 2, n),
+                        ),
+                    ),
+                )
+            ),
+        ).otherwise(empty)
+        parts.append(d2)
+    return F.array_distinct(F.concat(*parts))
+
+
+def entity_link_blocked(
+    docs: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_lev: int = 2,
+) -> DataFrame:
+    """`entity_link_scores` for dictionaries too big to broadcast:
+    bit-identical output, no BroadcastNestedLoopJoin anywhere in the
+    plan (audit-asserted).
+
+    The broadcast variant's mention x candidate match is a broadcast
+    nested loop — O(corpus_mentions x |dict|) levenshtein calls and a
+    full-dictionary broadcast, both of which die at a 10^8-alias web
+    dictionary. This path scales every term independently:
+
+    * candidate pairs are minted by an EQUI-join on FastSS deletion
+      variants (`deletion_variants`) — exact recall for the
+      levenshtein band, work proportional to variant collisions, and
+      the shuffle carries only short strings (the id-only-pair-dedup
+      lesson from similarity.lsh_topk applies: nothing wide rides the
+      pair exchange);
+    * scoring runs per DISTINCT mention string, not per (doc,
+      mention) — the score formula has no doc term, so the Arrow UDF
+      hop and the top-1 aggregation touch |mentions| x band rows,
+      after which one equi-join fans winners back out to documents;
+    * the dictionary is only ever touched by equi-joins on
+      (variant, alias) — it can live in a 10^8-row table.
+
+    North-star stage 2b at scale; same spec note as
+    `entity_link_scores` (the reference stores, never links —
+    /root/reference/src/graphs.rs:17-61)."""
+    doc_mentions = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("mention"),
+        )
+        .filter(F.col("mention").rlike(ALIAS_RE))
+        .distinct()
+    )
+    ment = (
+        doc_mentions.select("mention")
+        .distinct()
+        # same AQE-coalesce guard as the broadcast variant: the O(n^2/2)
+        # variant expansion below is the CPU-heavy per-row stage
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "mention")
+    )
+    mvar = ment.select(
+        "mention", F.explode(deletion_variants(F.col("mention"), max_lev)).alias("v")
+    )
+    cvar = candidates.select(
+        "alias", F.explode(deletion_variants(F.col("alias"), max_lev)).alias("v")
+    )
+    pairs = (
+        mvar.join(cvar, "v")
+        .select("mention", "alias")
+        .distinct()  # strings-only exchange: no freq/score payload rides it
+        .filter(F.levenshtein("mention", "alias") <= F.lit(max_lev))
+    )
+    matched = pairs.join(candidates, "alias")
+    lev = F.levenshtein(F.col("mention"), F.col("alias"))
+    scored = matched.withColumn(
+        "score",
+        link_score(
+            lev.cast("long"),
+            F.length("mention").cast("long"),
+            F.length("alias").cast("long"),
+            F.col("alias_freq").cast("long"),
+            F.col("max_freq").cast("long"),
+        ),
+    )
+    # per-MENTION winner (one projection: ProjectCollapse cannot
+    # duplicate the Arrow score expression — same guard as the
+    # broadcast variant), then fan out to documents
+    packed = scored.select("mention", F.struct(F.col("score"), F.col("alias")).alias("w0"))
+    winners = (
+        packed.groupBy("mention")
+        .agg(F.max("w0").alias("w"), F.count("*").alias("n_candidates"))
+        .select(
+            "mention",
+            F.col("w.alias").alias("entity"),
+            F.round(F.col("w.score"), 4).alias("score"),
+            "n_candidates",
+        )
+    )
+    return doc_mentions.join(winners, "mention").select(
+        "doc_id", "mention", "entity", "score", "n_candidates"
     )

@@ -624,6 +624,31 @@ def main() -> None:
             )
         )
 
+    # 35. blocked entity linking never nested-loops or broadcasts the
+    # dictionary: pair minting is an equi-join on deletion variants.
+    # A literal candidates frame isolates the LINKING plan (the
+    # dictionary builder's 1-row max crossJoin is a legitimate NLJ).
+    from rdf_diff_store_spark.pipeline.linking import (
+        entity_link_blocked,
+        entity_link_scores,
+    )
+
+    docs_lit = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands_lit = spark.createDataFrame(
+        [("alpha", 5, 5), ("bravo", 3, 5)], "alias string, alias_freq long, max_freq long"
+    )
+    p_bl = plan_of(entity_link_blocked(docs_lit, cands_lit))
+    p_br = plan_of(entity_link_scores(docs_lit, cands_lit))
+    checks.append(
+        (
+            "blocked linking: equi-join pair minting, no nested loop",
+            "BroadcastNestedLoopJoin" not in p_bl
+            and "CartesianProduct" not in p_bl
+            and "BroadcastNestedLoopJoin" in p_br,  # the contrast: broadcast variant IS the NLJ
+            "deletion-variant equi-join vs broadcast NLJ",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")

@@ -80,3 +80,64 @@ class TestLinking:
         for r in out.collect():
             assert r.entity in aliases
             assert 0.0 < r.score <= 1.2
+
+
+class TestBlockedLinking:
+    """entity_link_blocked: the non-broadcast scale path must be
+    bit-identical to the broadcast nested-loop variant (FastSS
+    deletion-neighborhood blocking has exact recall for the band)."""
+
+    def test_deletion_variants_match_itertools_reference(self, spark):
+        import itertools
+
+        from rdf_diff_store_spark.pipeline.linking import deletion_variants
+
+        def py_variants(s, k):
+            out = {s}
+            for d in range(1, k + 1):
+                for pos in itertools.combinations(range(len(s)), d):
+                    out.add("".join(c for i, c in enumerate(s) if i not in pos))
+            return out
+
+        words = ["hello", "ab", "a", "alphabet", "aaaaa", "xy"]
+        df = spark.createDataFrame([(w,) for w in words], "s string")
+        for k in (1, 2):
+            rows = df.select("s", deletion_variants(F.col("s"), k).alias("v")).collect()
+            for r in rows:
+                assert set(r.v) == py_variants(r.s, k), (r.s, k)
+                # array_distinct applied: no duplicate variants
+                assert len(r.v) == len(set(r.v))
+
+    def test_blocked_equals_broadcast(self, docs):
+        from rdf_diff_store_spark.pipeline.linking import entity_link_blocked
+
+        cands = candidate_dictionary(docs, top_n=3)
+        a = sorted(map(tuple, entity_link_scores(docs, cands, max_lev=2).collect()))
+        b = sorted(map(tuple, entity_link_blocked(docs, cands, max_lev=2).collect()))
+        assert a == b and len(a) > 0
+
+    def test_position_zero_substitution_found(self, spark):
+        """Prefix blocking would miss an edit at position 0; the
+        deletion neighborhood catches it ('xharlie' -> 'charlie')."""
+        from rdf_diff_store_spark.pipeline.linking import entity_link_blocked
+
+        docs = spark.createDataFrame(
+            [(1, "charlie charlie charlie xharlie")], "doc_id long, text string"
+        )
+        cands = candidate_dictionary(docs, top_n=1)  # charlie only
+        rows = {r.mention: r for r in entity_link_blocked(docs, cands).collect()}
+        assert rows["xharlie"].entity == "charlie"
+
+    def test_shared_variant_beyond_band_filtered(self, spark):
+        """'aabbb' and 'bbbcc' share the 2-deletion variant 'bbb' but
+        sit at levenshtein 4 — the pair is minted by the block join
+        and must be removed by the verify filter."""
+        from rdf_diff_store_spark.pipeline.linking import entity_link_blocked
+
+        docs = spark.createDataFrame(
+            [(1, "bbbcc aabbb aabbb")], "doc_id long, text string"
+        )
+        cands = candidate_dictionary(docs, top_n=1)  # aabbb (freq 2)
+        rows = {r.mention: r for r in entity_link_blocked(docs, cands).collect()}
+        assert "bbbcc" not in rows  # beyond the band
+        assert rows["aabbb"].entity == "aabbb"  # exact self-link survives
