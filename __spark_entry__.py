@@ -8853,6 +8853,130 @@ UNION ALL SELECT url, '_:md0', 'https://schema.org/availability',
 """
 
 
+def _cs_triples(spark, sf_dir):
+    """Closed-form triple set with VARIED per-subject predicate sets
+    (37 entities; name/knows/url presence keyed off the SUBJECT id so
+    characteristic sets differ between subjects): the star-shape
+    statistics fixture."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    s = d % 37
+    e = F.concat(F.lit("e"), s.cast("string"))
+    types = docs.select(
+        e.alias("subj"),
+        F.lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#type").alias("pred"),
+        F.concat(F.lit("https://schema.org/C"), (s % 4).cast("string")).alias("obj"),
+    )
+    names = docs.filter(s % 3 != 0).select(
+        e.alias("subj"),
+        F.lit("https://schema.org/name").alias("pred"),
+        F.concat(F.lit("v"), (d % 5).cast("string")).alias("obj"),
+    )
+    knows = docs.filter(s % 2 == 0).select(
+        e.alias("subj"),
+        F.lit("https://schema.org/knows").alias("pred"),
+        F.concat(F.lit("e"), ((s + 1) % 37).cast("string")).alias("obj"),
+    )
+    home = docs.filter(s % 5 == 0).select(
+        e.alias("subj"),
+        F.lit("https://schema.org/url").alias("pred"),
+        F.concat(F.lit("https://h/"), s.cast("string")).alias("obj"),
+    )
+    return types.unionByName(names).unionByName(knows).unionByName(home)
+
+
+_CS_TRIPLES_CTE = """
+t AS (
+  SELECT DISTINCT subj, pred, obj FROM (
+    SELECT 'e' || CAST(doc_id % 37 AS VARCHAR) AS subj,
+           'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+           'https://schema.org/C' || CAST(doc_id % 37 % 4 AS VARCHAR) AS obj
+    FROM documents
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 37 AS VARCHAR),
+           'https://schema.org/name',
+           'v' || CAST(doc_id % 5 AS VARCHAR)
+    FROM documents WHERE doc_id % 37 % 3 <> 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 37 AS VARCHAR),
+           'https://schema.org/knows',
+           'e' || CAST((doc_id % 37 + 1) % 37 AS VARCHAR)
+    FROM documents WHERE doc_id % 37 % 2 = 0
+    UNION ALL
+    SELECT 'e' || CAST(doc_id % 37 AS VARCHAR),
+           'https://schema.org/url',
+           'https://h/' || CAST(doc_id % 37 AS VARCHAR)
+    FROM documents WHERE doc_id % 37 % 5 = 0
+  )
+)"""
+
+
+def q_kg_char_sets(spark, sf_dir):
+    """Characteristic sets (operators/void_stats.py::
+    characteristic_sets; Neumann & Moerkotte ICDE 2011) — subjects
+    partitioned by the exact predicate SET they carry, with subject
+    and triple counts per set: the star-join cardinality statistic a
+    SPARQL planner multiplies BGP estimates from (the one-predicate
+    VoID marginals can't capture predicate co-occurrence). ONE
+    subject-hash shuffle builds per-subject sets; the rollup is tiny
+    by the paper's empirical law (10^9 triples → ~10^3 distinct sets).
+    Fixture varies presence of name/knows/url by subject id, so 37
+    subjects spread over several distinct sets; multiple docs per
+    subject contribute distinct name values (multiplicity > 1)."""
+    from rdf_diff_store_spark.operators.void_stats import characteristic_sets
+
+    return characteristic_sets(_cs_triples(spark, sf_dir))
+
+
+_ORACLE_R4["kg_char_sets"] = (
+    "WITH "
+    + _CS_TRIPLES_CTE.strip()
+    + """,
+sp AS (SELECT subj, pred FROM t GROUP BY subj, pred),
+cs AS (SELECT subj, string_agg(pred, ' ' ORDER BY pred) AS cs_props
+       FROM sp GROUP BY subj),
+nt AS (SELECT subj, COUNT(*) AS n FROM t GROUP BY subj)
+SELECT cs.cs_props,
+       CAST(COUNT(*) AS BIGINT) AS n_subjects,
+       CAST(SUM(nt.n) AS BIGINT) AS n_triples
+FROM cs JOIN nt USING (subj)
+GROUP BY cs.cs_props"""
+)
+
+
+def q_kg_summary_graph(spark, sf_dir):
+    """Class-quotient summary graph (operators/void_stats.py::
+    summary_graph; DataGuides / ABSTAT lineage) — every entity
+    collapses into its rdf:type class; output = (src_class, pred,
+    dst_class) edges with edge / distinct-entity counts. The
+    schema-shaped exploration map of an instance-shaped KG and the
+    path-selectivity planner statistic. Type map is |entities|-sized →
+    plain hash-shuffle joins at web scale (AQE may broadcast at small
+    SF); output is |classes|²-bounded per predicate. Literal objects
+    (untyped) drop by the inner join — VoID partition material, not
+    class-graph material."""
+    from rdf_diff_store_spark.operators.void_stats import summary_graph
+
+    return summary_graph(_void_triples(spark, sf_dir))
+
+
+_ORACLE_R4["kg_summary_graph"] = (
+    "WITH "
+    + _VOID_TRIPLES_CTE.strip()
+    + """,
+ty AS (SELECT subj AS node, obj AS cls FROM t
+       WHERE pred = 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type'),
+e AS (SELECT * FROM t
+      WHERE pred <> 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type')
+SELECT s.cls AS src_class, e.pred, o.cls AS dst_class,
+       CAST(COUNT(*) AS BIGINT) AS n_edges,
+       CAST(COUNT(DISTINCT e.subj) AS BIGINT) AS n_src_entities,
+       CAST(COUNT(DISTINCT e.obj) AS BIGINT) AS n_dst_entities
+FROM e JOIN ty s ON e.subj = s.node JOIN ty o ON e.obj = o.node
+GROUP BY s.cls, e.pred, o.cls"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9004,6 +9128,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_void_classes": q_kg_void_classes,
         # -- session-17 additions (scale-path linking) ----------------
         "entity_link_blocked": q_entity_link_blocked,
+        # -- session-18 additions (planner statistics / KG summaries) -
+        "kg_char_sets": q_kg_char_sets,
+        "kg_summary_graph": q_kg_summary_graph,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -74,3 +74,81 @@ def class_partitions(triples: DataFrame) -> DataFrame:
         .groupBy(F.col("obj").alias("class_iri"))
         .agg(F.countDistinct("subj").alias("n_entities"))
     )
+
+
+def characteristic_sets(triples: DataFrame) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, ICDE 2011 —
+    "Characteristic sets: Accurate cardinality estimation for RDF
+    queries with multiple joins"): partition subjects by the exact SET
+    of predicates they carry. Output one row per distinct predicate
+    set — ``cs_props`` (space-joined sorted predicate list; IRIs never
+    contain spaces), ``n_subjects`` (subjects whose predicate set is
+    exactly this), ``n_triples`` (total triples those subjects carry —
+    n_triples / n_subjects / |set| is the per-predicate multiplicity
+    a planner multiplies star-join estimates by).
+
+    This is the star-shaped-BGP cardinality statistic the VoID
+    property partitions (one-predicate marginals) cannot express: a
+    query ``?s :a ?x . ?s :b ?y`` is estimated from the sets that
+    contain BOTH predicates, not from independence assumptions.
+
+    Scale shape: ONE subject-hash shuffle builds the per-subject set
+    (collect_set is a partial-aggregating SET accumulator — bounded by
+    the vocabulary, not the subject's triple count), then the rollup
+    groups by the set string. The paper's empirical law is what makes
+    the second shuffle free: real web corpora of 10^9+ triples produce
+    only ~10^3-10^4 distinct characteristic sets, so the final
+    aggregate is map-side-combined into almost nothing. Extends the
+    reference's per-graph metadata surface (src/graphs.rs:30-61) with
+    the planner statistic its oxigraph backend keeps internally.
+    """
+    t = _as_set(triples)
+    per_subj = t.groupBy("subj").agg(
+        F.array_join(F.array_sort(F.collect_set("pred")), " ").alias("cs_props"),
+        F.count(F.lit(1)).alias("_nt"),
+    )
+    return per_subj.groupBy("cs_props").agg(
+        F.count(F.lit(1)).alias("n_subjects"),
+        F.sum("_nt").cast("long").alias("n_triples"),
+    )
+
+
+def summary_graph(triples: DataFrame) -> DataFrame:
+    """Class-level quotient summary graph (Goldman & Widom VLDB 1997
+    DataGuides lineage; the ABSTAT / LODSight exploration summary):
+    collapse every entity into its rdf:type class and count the edges
+    between classes — one row per (src_class, pred, dst_class) with
+    ``n_edges``, ``n_src_entities``, ``n_dst_entities``. The result is
+    the schema-shaped map of an instance-shaped graph: what a user
+    explores to learn which predicates connect which classes, and the
+    second planner statistic (path selectivity between typed ends).
+
+    Semantics: rdf:type edges are the quotient map, every other
+    entity-to-entity edge projects through it; multi-typed entities
+    contribute one summary edge per type combination (the standard
+    quotient-by-type convention); edges to literals / untyped nodes
+    drop (inner join) — they are VoID property-partition material, not
+    class-graph material.
+
+    Scale shape: the type map is |entities|-sized, so both projections
+    are plain subject-/object-hash shuffle joins (never broadcast at
+    web scale; AQE may still choose broadcast at small SF). The output
+    is |classes|²-bounded per predicate — tiny — so the final count
+    aggregates map-side. Hub classes (every entity is typed) are
+    exactly the rdf:type skew AQE skew-join splitting absorbs.
+    """
+    t = _as_set(triples)
+    types = t.filter(F.col("pred") == RDF_TYPE)
+    edges = t.filter(F.col("pred") != RDF_TYPE)
+    src_t = types.select(F.col("subj").alias("_sn"), F.col("obj").alias("src_class"))
+    dst_t = types.select(F.col("subj").alias("_dn"), F.col("obj").alias("dst_class"))
+    return (
+        edges.join(src_t, edges["subj"] == src_t["_sn"])
+        .join(dst_t, edges["obj"] == dst_t["_dn"])
+        .groupBy("src_class", "pred", "dst_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.countDistinct("subj").alias("n_src_entities"),
+            F.countDistinct("obj").alias("n_dst_entities"),
+        )
+    )

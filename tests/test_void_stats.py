@@ -51,3 +51,77 @@ def test_class_partitions(spark):
 
 def test_summary_types_are_long(spark):
     assert all(f.dataType.simpleString() == "bigint" for f in void_summary(_t(spark)).schema)
+
+
+def test_characteristic_sets(spark):
+    from rdf_diff_store_spark.operators.void_stats import characteristic_sets
+
+    rows = [
+        # e1: {a, b} with two b-values (multiplicity)
+        ("e1", "b", "x"),
+        ("e1", "a", "x"),
+        ("e1", "b", "y"),
+        ("e1", "b", "y"),  # duplicate row: a graph is a SET
+        # e2: {a, b} single each — same CS as e1
+        ("e2", "a", "x"),
+        ("e2", "b", "x"),
+        # e3: {a} alone — its own CS
+        ("e3", "a", "z"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    cs = {r["cs_props"]: r for r in characteristic_sets(t).collect()}
+    assert set(cs) == {"a b", "a"}  # sorted, space-joined
+    assert cs["a b"]["n_subjects"] == 2
+    assert cs["a b"]["n_triples"] == 5  # e1: a,b,b(dupe collapsed)=3; e2: 2
+    assert cs["a"]["n_subjects"] == 1
+    assert cs["a"]["n_triples"] == 1
+
+
+def test_summary_graph(spark):
+    from rdf_diff_store_spark.operators.void_stats import summary_graph
+
+    rows = [
+        ("e1", RDF_TYPE, "Person"),
+        ("e2", RDF_TYPE, "Person"),
+        ("e3", RDF_TYPE, "City"),
+        ("e1", "knows", "e2"),
+        ("e2", "knows", "e1"),
+        ("e1", "livesIn", "e3"),
+        ("e2", "livesIn", "e3"),
+        ("e2", "livesIn", "e3"),  # duplicate row collapses
+        ("e1", "name", "Alice"),  # literal object: drops (untyped)
+        ("x9", "knows", "e1"),  # untyped subject: drops
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    s = {(r["src_class"], r["pred"], r["dst_class"]): r for r in summary_graph(t).collect()}
+    assert set(s) == {("Person", "knows", "Person"), ("Person", "livesIn", "City")}
+    assert s[("Person", "knows", "Person")]["n_edges"] == 2
+    assert s[("Person", "knows", "Person")]["n_src_entities"] == 2
+    assert s[("Person", "livesIn", "City")]["n_edges"] == 2
+    assert s[("Person", "livesIn", "City")]["n_dst_entities"] == 1
+
+
+def test_summary_graph_multi_typed(spark):
+    from rdf_diff_store_spark.operators.void_stats import summary_graph
+
+    rows = [
+        ("e1", RDF_TYPE, "A"),
+        ("e1", RDF_TYPE, "B"),
+        ("e2", RDF_TYPE, "C"),
+        ("e1", "p", "e2"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = {(r["src_class"], r["dst_class"]) for r in summary_graph(t).collect()}
+    # one summary edge per type combination (quotient-by-type)
+    assert got == {("A", "C"), ("B", "C")}
+
+
+def test_characteristic_sets_rdf_type_included(spark):
+    from rdf_diff_store_spark.operators.void_stats import characteristic_sets
+
+    rows = [("e1", RDF_TYPE, "C1"), ("e1", "p", "x")]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    (r,) = characteristic_sets(t).collect()
+    # rdf:type participates in the set (the paper keeps it: type is
+    # the most selective star predicate)
+    assert r["cs_props"] == f"{RDF_TYPE} p"
