@@ -8977,6 +8977,42 @@ GROUP BY s.cls, e.pred, o.cls"""
 )
 
 
+def q_kg_dict_encode(spark, sf_dir):
+    """HDT-style dictionary encoding (operators/layout.py::
+    dict_encode; Fernández et al. JWS 2013) — the term dictionary with
+    md5-hash-assigned 60-bit BIGINT ids and subject/predicate/object
+    role flags. Hash ids need zero coordination: the 10^12-row fact
+    table never joins the dictionary to encode (each row hashes its
+    own terms — pytest pins the encode plan join- and shuffle-free),
+    and independently-encoded datasets union without re-mapping; the
+    birthday-bound cost is audited by `dict_collisions`. The encoded
+    (s_id, p_id, o_id) frame shrinks every downstream join/sort
+    shuffle ~5× vs IRI strings. Roundtrip decode ≡ input is
+    pytest-pinned; this query value-checks the id assignment and the
+    role algebra against DuckDB's identical md5 arithmetic."""
+    from rdf_diff_store_spark.operators.layout import dict_encode
+
+    dictionary, _ = dict_encode(_void_triples(spark, sf_dir))
+    return dictionary
+
+
+_ORACLE_R4["kg_dict_encode"] = (
+    "WITH "
+    + _VOID_TRIPLES_CTE.strip()
+    + """,
+roles AS (
+  SELECT subj AS term, 1 AS r FROM t
+  UNION ALL SELECT pred, 2 FROM t
+  UNION ALL SELECT obj, 4 FROM t)
+SELECT term,
+       ('0x' || substr(md5(term), 1, 15))::BIGINT AS term_id,
+       bool_or(r = 1) AS is_subj,
+       bool_or(r = 2) AS is_pred,
+       bool_or(r = 4) AS is_obj
+FROM roles GROUP BY term"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9131,6 +9167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-18 additions (planner statistics / KG summaries) -
         "kg_char_sets": q_kg_char_sets,
         "kg_summary_graph": q_kg_summary_graph,
+        "kg_dict_encode": q_kg_dict_encode,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

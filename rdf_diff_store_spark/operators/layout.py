@@ -86,3 +86,94 @@ def vertical_partitions(
         p: triples.filter(F.col(pred_col) == p).select(subj_col, obj_col)
         for p in preds
     }
+
+
+def term_id(col: F.Column | str) -> F.Column:
+    """Deterministic 60-bit BIGINT term id: the first 15 hex digits of
+    md5(term). Hash-assigned ids need ZERO coordination — every
+    executor computes its own ids locally, unlike ordinal ids
+    (HDT's sorted-dictionary ranks) which need a global sort or a
+    zipWithIndex barrier over 10^11 distinct terms. Engine-portable:
+    DuckDB reproduces it as ('0x' || substr(md5(t), 1, 15))::BIGINT.
+    Always non-negative (60 < 63 bits)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def dict_encode(
+    triples: DataFrame,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> tuple[DataFrame, DataFrame]:
+    """HDT-style dictionary-encoded triple layout (Fernández et al.,
+    "Binary RDF Representation for Publication and Exchange", JWS
+    2013): returns ``(dictionary, encoded)`` where ``dictionary`` =
+    one row per distinct term — (term, term_id, role bit flags
+    is_subj/is_pred/is_obj) — and ``encoded`` = (s_id, p_id, o_id)
+    BIGINT triples. Ints shrink the shuffle payload of every
+    downstream join/sort (8 bytes vs ~40-byte IRIs — the reason every
+    triple store encodes before indexing) and fixed-width columns
+    dictionary-compress in Parquet.
+
+    Ids are md5-hash-assigned (`term_id`), not ordinal: encoding is
+    embarrassingly parallel (the 10^12-row fact table never joins the
+    dictionary — each row hashes its own terms), and two
+    independently-encoded datasets can union without re-mapping.
+    The cost is the birthday bound: at 10^9 distinct terms over 2^60
+    the collision expectation is ~0.4 pairs, so production runs the
+    `dict_collisions` audit (group dictionary by id, flag count>1)
+    and widens to the full 32-hex key on a hit. The dictionary build
+    is ONE distinct over the role-tagged term union (Expand-style
+    3× row expansion, map-side combined).
+    """
+    s, p, o = F.col(subj_col), F.col(pred_col), F.col(obj_col)
+    terms = (
+        triples.select(s.alias("term"), F.lit(1).alias("r"))
+        .unionByName(triples.select(p.alias("term"), F.lit(2).alias("r")))
+        .unionByName(triples.select(o.alias("term"), F.lit(4).alias("r")))
+        .groupBy("term")
+        .agg(
+            F.max(F.col("r") == 1).alias("is_subj"),
+            F.max(F.col("r") == 2).alias("is_pred"),
+            F.max(F.col("r") == 4).alias("is_obj"),
+        )
+        .select("term", term_id("term").alias("term_id"), "is_subj", "is_pred", "is_obj")
+    )
+    encoded = triples.select(
+        term_id(subj_col).alias("s_id"),
+        term_id(pred_col).alias("p_id"),
+        term_id(obj_col).alias("o_id"),
+    )
+    return terms, encoded
+
+
+def dict_collisions(dictionary: DataFrame) -> DataFrame:
+    """Collision audit for `dict_encode`: term_ids claimed by more
+    than one distinct term. Empty frame = the 60-bit ids are injective
+    on this corpus (expected until ~10^9 distinct terms)."""
+    return (
+        dictionary.groupBy("term_id")
+        .agg(F.countDistinct("term").alias("n_terms"))
+        .filter(F.col("n_terms") > 1)
+    )
+
+
+def dict_decode(
+    encoded: DataFrame, dictionary: DataFrame
+) -> DataFrame:
+    """Inverse of `dict_encode`: three joins against the (term_id →
+    term) mapping recover (subj, pred, obj). The dictionary is the
+    SMALL side (terms ≪ triples — web KGs run ~10 triples per term) —
+    at dictionary sizes under the broadcast threshold all three joins
+    broadcast; beyond it they are id-hash shuffle joins over 8-byte
+    keys, the cheapest shuffle the corpus admits."""
+    d = dictionary.select("term_id", "term")
+    out = encoded
+    for id_col, name in (("s_id", "subj"), ("p_id", "pred"), ("o_id", "obj")):
+        out = (
+            out.join(d, out[id_col] == d["term_id"], "left")
+            .withColumnRenamed("term", name)
+            .drop("term_id")
+        )
+    return out.select("subj", "pred", "obj")

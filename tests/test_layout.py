@@ -56,3 +56,59 @@ def test_pivot_single_exchange(spark):
     import re
 
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+class TestDictEncode:
+    TRIPLES = [
+        ("e1", "name", "Alice"),
+        ("e1", "knows", "e2"),
+        ("e2", "name", "Bob"),
+        ("e2", "knows", "e1"),  # e1 is both subject and object
+    ]
+
+    def _t(self, spark):
+        return spark.createDataFrame(self.TRIPLES, "subj string, pred string, obj string")
+
+    def test_roundtrip(self, spark):
+        from rdf_diff_store_spark.operators.layout import dict_decode, dict_encode
+
+        d, enc = dict_encode(self._t(spark))
+        back = {tuple(r) for r in dict_decode(enc, d).collect()}
+        assert back == set(self.TRIPLES)
+
+    def test_dictionary_roles(self, spark):
+        from rdf_diff_store_spark.operators.layout import dict_encode
+
+        d, _ = dict_encode(self._t(spark))
+        rows = {r["term"]: r for r in d.collect()}
+        assert len(rows) == 6  # e1 e2 name knows Alice Bob — each once
+        assert rows["e1"]["is_subj"] and rows["e1"]["is_obj"] and not rows["e1"]["is_pred"]
+        assert rows["name"]["is_pred"] and not rows["name"]["is_subj"]
+        assert rows["Alice"]["is_obj"] and not rows["Alice"]["is_subj"]
+
+    def test_ids_are_md5_prefix(self, spark):
+        import hashlib
+
+        from rdf_diff_store_spark.operators.layout import dict_encode
+
+        d, enc = dict_encode(self._t(spark))
+        expect = int(hashlib.md5(b"e1").hexdigest()[:15], 16)
+        got = {r["term"]: r["term_id"] for r in d.collect()}
+        assert got["e1"] == expect
+        assert all(v >= 0 for v in got.values())
+        # encoded rows use the same ids without consulting the dictionary
+        s_ids = {r["s_id"] for r in enc.collect()}
+        assert expect in s_ids
+
+    def test_no_collisions_here(self, spark):
+        from rdf_diff_store_spark.operators.layout import dict_collisions, dict_encode
+
+        d, _ = dict_encode(self._t(spark))
+        assert dict_collisions(d).count() == 0
+
+    def test_encode_is_join_free(self, spark):
+        from rdf_diff_store_spark.operators.layout import dict_encode
+
+        _, enc = dict_encode(self._t(spark))
+        plan = enc._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Exchange" not in plan
