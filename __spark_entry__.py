@@ -9013,6 +9013,119 @@ FROM roles GROUP BY term"""
 )
 
 
+def q_kg_graph_hash(spark, sf_dir):
+    """Blank-node-robust graph content hash (operators/graph.py::
+    wl_graph_hash; 1-WL color refinement, the scheme behind Hogan's
+    RDF iso-canonicalisation TWEB 2017) — the reference's content-hash
+    versioning (src/rdf.rs:60-92) is blank-LABEL-sensitive, so a
+    re-crawl that re-extracts identical markup with fresh `_:b0`
+    labels registers as a new version; this hash is invariant under
+    blank relabeling (pytest pins the isomorphism classes). Fixture:
+    12 graphs in 3 structural classes — blank labels differ per graph,
+    structure only per class, so 4 graphs share each hash. Oracle
+    unrolls both refinement rounds (init / resolve / signature / fold,
+    twice) plus the edge-multiset rollup in md5-portable SQL — any
+    drift in the color algebra breaks all 12 hashes."""
+    from rdf_diff_store_spark.operators.graph import wl_graph_hash
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 12).cast("string")
+    cls = (d % 12 % 3).cast("string")
+    g = F.concat(F.lit("g"), k)
+    blank = F.concat(F.lit("_:x"), k)
+    t1 = docs.select(
+        g.alias("graph_id"),
+        F.concat(F.lit("https://ex.org/s"), cls).alias("subj"),
+        F.lit("https://ex.org/p").alias("pred"),
+        blank.alias("obj"),
+    )
+    t2 = docs.select(
+        g.alias("graph_id"),
+        blank.alias("subj"),
+        F.lit("https://ex.org/q").alias("pred"),
+        F.concat(F.lit("lit"), cls).alias("obj"),
+    )
+    t3 = docs.filter(d % 12 % 3 == 2).select(
+        g.alias("graph_id"),
+        blank.alias("subj"),
+        F.lit("https://ex.org/q").alias("pred"),
+        F.lit("lit2").alias("obj"),
+    )
+    return wl_graph_hash(t1.unionByName(t2).unionByName(t3), rounds=2)
+
+
+_ORACLE_R4["kg_graph_hash"] = """
+WITH raw AS (
+  SELECT 'g' || CAST(doc_id % 12 AS VARCHAR) AS graph_id,
+         'https://ex.org/s' || CAST(doc_id % 12 % 3 AS VARCHAR) AS subj,
+         'https://ex.org/p' AS pred,
+         '_:x' || CAST(doc_id % 12 AS VARCHAR) AS obj
+  FROM documents
+  UNION ALL
+  SELECT 'g' || CAST(doc_id % 12 AS VARCHAR),
+         '_:x' || CAST(doc_id % 12 AS VARCHAR),
+         'https://ex.org/q',
+         'lit' || CAST(doc_id % 12 % 3 AS VARCHAR)
+  FROM documents
+  UNION ALL
+  SELECT 'g' || CAST(doc_id % 12 AS VARCHAR),
+         '_:x' || CAST(doc_id % 12 AS VARCHAR),
+         'https://ex.org/q', 'lit2'
+  FROM documents WHERE doc_id % 12 % 3 = 2
+),
+q AS (SELECT DISTINCT graph_id AS g, subj AS s, pred AS p, obj AS o FROM raw),
+b0 AS (
+  SELECT DISTINCT g, node, md5('_:') AS color FROM (
+    SELECT g, s AS node FROM q WHERE substr(s, 1, 2) = '_:'
+    UNION ALL SELECT g, o FROM q WHERE substr(o, 1, 2) = '_:')),
+e0 AS (
+  SELECT q.g, q.s, q.p, q.o,
+         COALESCE(bs.color, md5(q.s)) AS s_color,
+         COALESCE(bo.color, md5(q.o)) AS o_color
+  FROM q LEFT JOIN b0 bs ON q.g = bs.g AND q.s = bs.node
+         LEFT JOIN b0 bo ON q.g = bo.g AND q.o = bo.node),
+s0 AS (
+  SELECT g, s AS node, 'o:' || p || ':' || o_color AS sig
+  FROM e0 WHERE substr(s, 1, 2) = '_:'
+  UNION ALL
+  SELECT g, o, 'i:' || p || ':' || s_color
+  FROM e0 WHERE substr(o, 1, 2) = '_:'),
+b1 AS (
+  SELECT x.g, x.node,
+         md5(MAX(b.color) || '|' || string_agg(x.sig, ' ' ORDER BY x.sig)) AS color
+  FROM s0 x JOIN b0 b ON x.g = b.g AND x.node = b.node
+  GROUP BY x.g, x.node),
+e1 AS (
+  SELECT q.g, q.s, q.p, q.o,
+         COALESCE(bs.color, md5(q.s)) AS s_color,
+         COALESCE(bo.color, md5(q.o)) AS o_color
+  FROM q LEFT JOIN b1 bs ON q.g = bs.g AND q.s = bs.node
+         LEFT JOIN b1 bo ON q.g = bo.g AND q.o = bo.node),
+s1 AS (
+  SELECT g, s AS node, 'o:' || p || ':' || o_color AS sig
+  FROM e1 WHERE substr(s, 1, 2) = '_:'
+  UNION ALL
+  SELECT g, o, 'i:' || p || ':' || s_color
+  FROM e1 WHERE substr(o, 1, 2) = '_:'),
+b2 AS (
+  SELECT x.g, x.node,
+         md5(MAX(b.color) || '|' || string_agg(x.sig, ' ' ORDER BY x.sig)) AS color
+  FROM s1 x JOIN b1 b ON x.g = b.g AND x.node = b.node
+  GROUP BY x.g, x.node),
+ef AS (
+  SELECT q.g, q.p,
+         COALESCE(bs.color, md5(q.s)) AS s_color,
+         COALESCE(bo.color, md5(q.o)) AS o_color
+  FROM q LEFT JOIN b2 bs ON q.g = bs.g AND q.s = bs.node
+         LEFT JOIN b2 bo ON q.g = bo.g AND q.o = bo.node),
+es AS (SELECT g, md5(s_color || ' ' || p || ' ' || o_color) AS esig FROM ef)
+SELECT g AS graph_id,
+       md5(string_agg(esig, ' ' ORDER BY esig)) AS graph_hash
+FROM es GROUP BY g
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9168,6 +9281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_char_sets": q_kg_char_sets,
         "kg_summary_graph": q_kg_summary_graph,
         "kg_dict_encode": q_kg_dict_encode,
+        "kg_graph_hash": q_kg_graph_hash,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -573,3 +573,112 @@ def kcore_peel(
             .localCheckpoint()
         )
     return degrees(live).select(F.col("n").alias("node"), "degree")
+
+
+def wl_graph_hash(
+    quads: DataFrame,
+    rounds: int = 2,
+    graph_col: str = "graph_id",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Blank-node-robust per-graph content hash via 1-WL color
+    refinement (Weisfeiler-Leman; the scheme behind Hogan's RDF
+    iso-canonicalisation, "Canonical Forms for Isomorphic and
+    Equivalent RDF Graphs", ACM TWEB 2017). Two graphs that differ
+    only in blank-node LABELS hash identically; any ground-term or
+    structural difference changes the hash.
+
+    Why it matters here: the reference's canonicalization contract
+    (prettify + content hash over serialized Turtle,
+    /root/reference/src/rdf.rs:60-92) is label-sensitive — a re-crawl
+    that re-extracts the same markup with fresh blank labels looks
+    like a new version. `skolemize` solves that with page-scoped md5
+    labels when a page url exists; this operator solves it for
+    arbitrary graphs: hash(graph) is invariant under blank relabeling,
+    so version dedup can run on structure.
+
+    Algebra (engine-portable — md5 hex strings only, mirrored by the
+    DuckDB oracle): ground terms have the FIXED color md5(term);
+    blank nodes start at the constant md5('_:') and refine for
+    `rounds` iterations as md5(old_color || '|' || sorted multiset of
+    'o:'/'i:'-tagged (pred, neighbor color) signatures). The final
+    hash is md5 of the sorted edge-signature multiset. 1-WL
+    distinguishes everything except automorphic blank structures
+    (e.g. indistinguishable parallel blanks) — those agree in color,
+    which keeps the hash CORRECT (isomorphic ⇒ equal); the converse
+    holds for every graph whose blanks 1-WL separates, the practical
+    entirety of web-extracted markup (tree-shaped blank structure).
+
+    Scale shape: per round, TWO (graph, node)-hash joins resolve
+    endpoint colors (blank-color table is |blank nodes|-sized) and ONE
+    aggregation folds signatures; the signature list per blank is its
+    degree — web-markup blanks have degree ≤ ~10². Rounds ≥ 3 eagerly
+    localCheckpoint the color table (the colors plan otherwise doubles
+    per round — the lazy-checkpoint race documented in CLAUDE.md).
+    Final rollup groups by graph: one shuffle, |graphs| rows out.
+    """
+    g, s, p, o = (F.col(c) for c in (graph_col, subj_col, pred_col, obj_col))
+    q = quads.select(
+        g.alias("g"), s.alias("s"), p.alias("p"), o.alias("o")
+    ).distinct()
+    is_blank = lambda c: F.col(c).startswith("_:")  # noqa: E731
+
+    blanks = (
+        q.filter(is_blank("s")).select("g", F.col("s").alias("node"))
+        .unionByName(q.filter(is_blank("o")).select("g", F.col("o").alias("node")))
+        .distinct()
+    )
+    colors = blanks.select("g", "node", F.md5(F.lit("_:")).alias("color"))
+
+    def _resolve(cols: DataFrame) -> DataFrame:
+        bs = cols.select(F.col("g").alias("_bg"), F.col("node").alias("_bn"), F.col("color").alias("_sc"))
+        bo = cols.select(F.col("g").alias("_cg"), F.col("node").alias("_cn"), F.col("color").alias("_oc"))
+        return (
+            q.join(bs, (q["g"] == bs["_bg"]) & (q["s"] == bs["_bn"]), "left")
+            .join(bo, (q["g"] == bo["_cg"]) & (q["o"] == bo["_cn"]), "left")
+            .select(
+                "g", "s", "p", "o",
+                F.coalesce(F.col("_sc"), F.md5(q["s"])).alias("s_color"),
+                F.coalesce(F.col("_oc"), F.md5(q["o"])).alias("o_color"),
+            )
+        )
+
+    for r in range(rounds):
+        e = _resolve(colors)
+        sigs = (
+            e.filter(is_blank("s")).select(
+                "g", F.col("s").alias("node"),
+                F.concat(F.lit("o:"), F.col("p"), F.lit(":"), F.col("o_color")).alias("sig"),
+            )
+            .unionByName(
+                e.filter(is_blank("o")).select(
+                    "g", F.col("o").alias("node"),
+                    F.concat(F.lit("i:"), F.col("p"), F.lit(":"), F.col("s_color")).alias("sig"),
+                )
+            )
+        )
+        prev = colors.select(F.col("g").alias("_pg"), F.col("node").alias("_pn"), F.col("color").alias("_pc"))
+        colors = (
+            sigs.join(prev, (sigs["g"] == prev["_pg"]) & (sigs["node"] == prev["_pn"]))
+            .groupBy("g", "node")
+            .agg(
+                F.md5(
+                    F.concat(
+                        F.max("_pc"), F.lit("|"),
+                        F.array_join(F.array_sort(F.collect_list("sig")), " "),
+                    )
+                ).alias("color")
+            )
+        )
+        if rounds >= 3:
+            colors = colors.localCheckpoint(eager=True)
+
+    final = _resolve(colors).select(
+        "g",
+        F.md5(F.concat_ws(" ", "s_color", "p", "o_color")).alias("esig"),
+    )
+    return final.groupBy(F.col("g").alias(graph_col)).agg(
+        F.md5(F.array_join(F.array_sort(F.collect_list("esig")), " ")).alias("graph_hash")
+    )

@@ -79,3 +79,88 @@ class TestKcore:
     def test_extra_rounds_are_noops(self, spark):
         k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
         assert self._core(spark, k4, 2, rounds=5) == self._core(spark, k4, 2)
+
+
+class TestWlGraphHash:
+    """Blank-node-robust graph hashing (operators/graph.py::
+    wl_graph_hash, 1-WL color refinement)."""
+
+    def _hash(self, spark, rows, rounds=2):
+        df = spark.createDataFrame(rows, "graph_id string, subj string, pred string, obj string")
+        from rdf_diff_store_spark.operators.graph import wl_graph_hash
+
+        return {r["graph_id"]: r["graph_hash"] for r in wl_graph_hash(df, rounds).collect()}
+
+    def test_blank_relabel_invariant(self, spark):
+        rows = [
+            ("g1", "s", "p", "_:a"),
+            ("g1", "_:a", "q", "lit"),
+            ("g2", "s", "p", "_:zzz"),  # same structure, different label
+            ("g2", "_:zzz", "q", "lit"),
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] == h["g2"]
+
+    def test_ground_term_change_detected(self, spark):
+        rows = [
+            ("g1", "s", "p", "_:a"),
+            ("g1", "_:a", "q", "lit"),
+            ("g2", "s", "p", "_:a"),
+            ("g2", "_:a", "q", "DIFFERENT"),
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] != h["g2"]
+
+    def test_structural_change_detected(self, spark):
+        rows = [
+            ("g1", "s", "p", "_:a"),
+            ("g1", "_:a", "q", "lit"),
+            ("g2", "s", "p", "_:a"),
+            ("g2", "_:a", "q", "lit"),
+            ("g2", "_:a", "q", "lit2"),  # extra edge on the blank
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] != h["g2"]
+
+    def test_two_distinguishable_blanks(self, spark):
+        # blank chain _:a -> _:b needs round 2 to separate from the
+        # relabeled mirror where the chain direction flips
+        rows = [
+            ("g1", "_:a", "p", "_:b"),
+            ("g1", "_:b", "q", "x"),
+            ("g2", "_:u", "p", "_:v"),
+            ("g2", "_:v", "q", "x"),
+            ("g3", "_:u", "p", "_:v"),
+            ("g3", "_:u", "q", "x"),  # q hangs off the OTHER blank
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] == h["g2"]
+        assert h["g1"] != h["g3"]
+
+    def test_duplicate_rows_are_set(self, spark):
+        rows = [
+            ("g1", "s", "p", "_:a"),
+            ("g1", "s", "p", "_:a"),  # duplicate collapses
+            ("g1", "_:a", "q", "lit"),
+            ("g2", "s", "p", "_:a"),
+            ("g2", "_:a", "q", "lit"),
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] == h["g2"]
+
+    def test_ground_only_graph(self, spark):
+        rows = [("g1", "s", "p", "o"), ("g2", "s", "p", "o")]
+        h = self._hash(spark, rows)
+        assert h["g1"] == h["g2"]
+
+    def test_automorphic_blanks_agree(self, spark):
+        # two parallel indistinguishable blanks: 1-WL keeps them the
+        # same color — isomorphic graphs must STILL hash equal
+        rows = [
+            ("g1", "s", "p", "_:a"),
+            ("g1", "s", "p", "_:b"),
+            ("g2", "s", "p", "_:x"),
+            ("g2", "s", "p", "_:y"),
+        ]
+        h = self._hash(spark, rows)
+        assert h["g1"] == h["g2"]
