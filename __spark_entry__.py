@@ -9126,6 +9126,56 @@ FROM es GROUP BY g
 """
 
 
+def q_kg_hearst_hypernyms(spark, sf_dir):
+    """Hearst-pattern hypernym extraction (functions/text.py::
+    hearst_pairs; Hearst COLING 1992, run at Common-Crawl scale by
+    WebIsADB LREC 2016) — is-a taxonomy edges from plain prose, the
+    extraction channel for the long tail of pages without structured
+    markup. Pure JVM regexp zip per pattern (whole-stage codegen; the
+    connective-guarded 1-2-word NP chunker is the documented
+    approximation). Fixture renders all three patterns — 'such as'
+    with an and-tail, 'or other', 'including' — from doc_id formulas;
+    the oracle derives the 7 (hyponym, hypernym, pattern) rows per doc
+    arithmetically, so any drift in NP bounds, list splitting, or
+    pattern order breaks the match."""
+    from rdf_diff_store_spark.functions.text import hearst_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def c(pre, m):
+        return F.concat(F.lit(pre), (d % m).cast("string"))
+
+    sent = F.concat(
+        F.lit("Animals such as "), c("cat", 5), F.lit(", "), c("dog", 7),
+        F.lit(" and "), c("fox", 3), F.lit(". Filler here. "),
+        c("gadget", 4), F.lit(", "), c("widget", 6),
+        F.lit(" or other tools. Cities including "), c("rome", 2),
+        F.lit(", "), c("oslo", 9), F.lit("."),
+    )
+    return docs.select(
+        "doc_id", F.explode(hearst_pairs(sent)).alias("p")
+    ).select("doc_id", "p.hyponym", "p.hypernym", "p.pattern")
+
+
+_ORACLE_R4["kg_hearst_hypernyms"] = """
+SELECT doc_id, 'cat' || CAST(doc_id % 5 AS VARCHAR) AS hyponym,
+       'Animals' AS hypernym, 'such_as' AS pattern FROM documents
+UNION ALL
+SELECT doc_id, 'dog' || CAST(doc_id % 7 AS VARCHAR), 'Animals', 'such_as' FROM documents
+UNION ALL
+SELECT doc_id, 'fox' || CAST(doc_id % 3 AS VARCHAR), 'Animals', 'such_as' FROM documents
+UNION ALL
+SELECT doc_id, 'gadget' || CAST(doc_id % 4 AS VARCHAR), 'tools', 'other' FROM documents
+UNION ALL
+SELECT doc_id, 'widget' || CAST(doc_id % 6 AS VARCHAR), 'tools', 'other' FROM documents
+UNION ALL
+SELECT doc_id, 'rome' || CAST(doc_id % 2 AS VARCHAR), 'Cities', 'including' FROM documents
+UNION ALL
+SELECT doc_id, 'oslo' || CAST(doc_id % 9 AS VARCHAR), 'Cities', 'including' FROM documents
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9282,6 +9332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_summary_graph": q_kg_summary_graph,
         "kg_dict_encode": q_kg_dict_encode,
         "kg_graph_hash": q_kg_graph_hash,
+        "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -886,3 +886,64 @@ def feed_entries(
         F.col(url_col).alias("feed_url"),
         F.explode(F.transform(blocks, entry_of)).alias("e"),
     ).select("feed_url", "e.title", "e.link", "e.published")
+
+
+def hearst_pairs(text: "Column") -> "Column":
+    """Hearst-pattern hypernym pairs (Hearst, "Automatic Acquisition
+    of Hyponyms from Large Text Corpora", COLING 1992) as
+    array<struct<hyponym, hypernym, pattern>> — the lexico-syntactic
+    is-a extraction channel that complements the structured-markup
+    extractors (`operators/structured.py`): pages without JSON-LD /
+    microdata still yield (x, skos:broader-ish, y) taxonomy edges from
+    plain prose. WebIsADB (Seitner et al. LREC 2016) ran exactly this
+    over Common Crawl for 400M is-a pairs.
+
+    Three classic patterns, each a pure JVM ``regexp_extract_all``
+    zip (extraction stays inside whole-stage codegen at 10^12 pages;
+    the two group scans over ONE pattern are positionally aligned by
+    construction, the `extract_anchors` design rule):
+
+    * ``H such as X, Y and Z``      (hypernym first)
+    * ``X, Y or other H``           (hypernym last)
+    * ``H including X, Y``          (hypernym first)
+
+    NP approximation = 1-2 word tokens (``[A-Za-z]\\w*``), the
+    deterministic shallow-chunk stand-in every pattern-based system
+    documents; noun-phrase boundaries beyond that are a tagger's job,
+    not a regex's. Lists split on ``", "`` / ``",? and "`` /
+    ``",? or "``; hyponyms/hypernyms come back trimmed, in document
+    order, duplicates preserved (corpus-level confidence counting
+    wants the multiset).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    s = text.cast("string")
+    # the 2nd NP word must not be a pattern connective — otherwise
+    # "dogs and" parses as one NP and eats the list's and-clause
+    NP = r"[A-Za-z]\w*(?: (?!(?:and|or|other|such|including)\b)[A-Za-z]\w*)?"
+    LIST = rf"{NP}(?:, {NP})*(?:,? (?:and|or) {NP})?"
+    SPLIT = r"(?:,? (?:and|or) )|(?:, )"
+
+    def _pairs(pat: str, hyper_group: int, list_group: int, tag: str) -> "Column":
+        lp = F.lit(pat)
+        hypers = F.regexp_extract_all(s, lp, hyper_group)
+        lists = F.regexp_extract_all(s, lp, list_group)
+        return F.flatten(
+            F.zip_with(
+                hypers,
+                lists,
+                lambda h, l: F.transform(
+                    F.split(l, SPLIT),
+                    lambda x: F.struct(
+                        F.trim(x).alias("hyponym"),
+                        F.trim(h).alias("hypernym"),
+                        F.lit(tag).alias("pattern"),
+                    ),
+                ),
+            )
+        )
+
+    such_as = _pairs(rf"({NP}),? such as ({LIST})", 1, 2, "such_as")
+    other = _pairs(rf"({NP}(?:, {NP})*?),? (?:and|or) other ({NP})", 2, 1, "other")
+    including = _pairs(rf"({NP}),? including ({LIST})", 1, 2, "including")
+    return F.concat(such_as, other, including)

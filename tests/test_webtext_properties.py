@@ -87,3 +87,54 @@ class TestStripBoilerplateProperty:
             for r in strip_boilerplate(df).collect()
         }
         assert got == _strip_model(rows)
+
+
+class TestHearstPairs:
+    """Hearst-pattern hypernym extraction (functions/text.py::
+    hearst_pairs, Hearst COLING 1992)."""
+
+    def _run(self, spark, text):
+        from rdf_diff_store_spark.functions.text import hearst_pairs
+
+        df = spark.createDataFrame([(text,)], "t string")
+        rows = df.select(F.explode(hearst_pairs(F.col("t"))).alias("p")).select(
+            "p.hyponym", "p.hypernym", "p.pattern"
+        ).collect()
+        return [(r["hyponym"], r["hypernym"], r["pattern"]) for r in rows]
+
+    def test_such_as_list(self, spark):
+        got = self._run(spark, "Animals such as cats, dogs and foxes. They roam.")
+        assert got == [
+            ("cats", "Animals", "such_as"),
+            ("dogs", "Animals", "such_as"),
+            ("foxes", "Animals", "such_as"),
+        ]
+
+    def test_or_other(self, spark):
+        got = self._run(spark, "bronze, silver or other metals.")
+        assert got == [
+            ("bronze", "metals", "other"),
+            ("silver", "metals", "other"),
+        ]
+
+    def test_and_other(self, spark):
+        got = self._run(spark, "cars and other vehicles.")
+        assert got == [("cars", "vehicles", "other")]
+
+    def test_including(self, spark):
+        got = self._run(spark, "Cities including rome, oslo.")
+        assert got == [
+            ("rome", "Cities", "including"),
+            ("oslo", "Cities", "including"),
+        ]
+
+    def test_two_word_np(self, spark):
+        got = self._run(spark, "large mammals such as blue whales.")
+        assert got == [("blue whales", "large mammals", "such_as")]
+
+    def test_no_match_is_empty(self, spark):
+        assert self._run(spark, "Nothing patterned lives here.") == []
+
+    def test_multiset_preserved(self, spark):
+        got = self._run(spark, "Pets such as cats. Pets such as cats.")
+        assert got == [("cats", "Pets", "such_as")] * 2
