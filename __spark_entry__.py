@@ -9176,6 +9176,62 @@ SELECT doc_id, 'oslo' || CAST(doc_id % 9 AS VARCHAR), 'Cities', 'including' FROM
 """
 
 
+def q_kg_ppr_relatedness(spark, sf_dir):
+    """Personalized PageRank / TrustRank (operators/graph.py::
+    personalized_pagerank; Haveliwala WWW 2002, Gyöngyi VLDB 2004) —
+    seed-restart rank over the TPC-H KG edges, seeded at nation:0 and
+    nation:5. The entity-RELATEDNESS signal entity disambiguation
+    coheres candidates with, and the trusted-seed spam demotion rank;
+    unlike global `pagerank` the rank frame holds ONLY reached nodes
+    (work ∝ seed neighborhood, the seeded_closure frontier
+    discipline). Same integer micro-unit discipline as kg_pagerank —
+    the oracle unrolls all 4 iterations (sparse frontier via FULL
+    OUTER join against the teleport vector) bit-exactly."""
+    from rdf_diff_store_spark.operators.graph import personalized_pagerank
+
+    t = triples_from_tpch(spark, sf_dir)
+    edges = t.filter(
+        F.col("pred").isin("inNation", "inRegion", "nextNation")
+    ).select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    seeds = spark.createDataFrame([("nation:0",), ("nation:5",)], ["node"])
+    return personalized_pagerank(edges, seeds, iterations=4)
+
+
+def _ppr_oracle(iterations: int = 4, damping: int = 85) -> str:
+    base = (1_000_000 * (100 - damping)) // 100
+    sql = [
+        f"""
+WITH triples AS ({_T}),
+edges0 AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM triples
+  WHERE pred IN ('inNation', 'inRegion', 'nextNation')),
+od AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+edges AS (SELECT e.src, e.dst, o.outdeg FROM edges0 e JOIN od o USING (src)),
+seeds AS (SELECT 'nation:0' AS node UNION ALL SELECT 'nation:5'),
+tele AS (SELECT node, CAST({base} AS BIGINT) AS t FROM seeds),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM seeds)"""
+    ]
+    for k in range(iterations):
+        sql.append(
+            f""",
+c{k + 1} AS (
+  SELECT e.dst AS node,
+         SUM((p.rank_micro * {damping}) // (100 * e.outdeg)) AS in_micro
+  FROM edges e JOIN r{k} p ON p.node = e.src
+  GROUP BY e.dst),
+r{k + 1} AS (
+  SELECT COALESCE(t.node, c.node) AS node,
+         CAST(COALESCE(t.t, 0) + COALESCE(c.in_micro, 0) AS BIGINT) AS rank_micro
+  FROM tele t FULL OUTER JOIN c{k + 1} c ON t.node = c.node
+  WHERE COALESCE(t.t, 0) + COALESCE(c.in_micro, 0) > 0)"""
+        )
+    sql.append(f"\nSELECT node, rank_micro FROM r{iterations}")
+    return "".join(sql)
+
+
+_ORACLE_R4["kg_ppr_relatedness"] = _ppr_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9333,6 +9389,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_dict_encode": q_kg_dict_encode,
         "kg_graph_hash": q_kg_graph_hash,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
+        "kg_ppr_relatedness": q_kg_ppr_relatedness,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

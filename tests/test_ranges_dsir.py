@@ -268,6 +268,56 @@ class TestPagerank:
         assert all(isinstance(r, int) for _, r in a)
 
 
+class TestPersonalizedPagerank:
+    def _ppr(self, spark, edges, seeds, iterations=3):
+        from rdf_diff_store_spark.operators.graph import personalized_pagerank
+
+        e = spark.createDataFrame(edges, ["src", "dst"])
+        s = spark.createDataFrame([(x,) for x in seeds], ["node"])
+        return {
+            r.node: r.rank_micro
+            for r in personalized_pagerank(e, s, iterations=iterations).collect()
+        }
+
+    def test_unreachable_gets_no_mass(self, spark):
+        # a -> b, and a disconnected c -> d: seeding a never ranks c/d
+        got = self._ppr(spark, [("a", "b"), ("c", "d")], ["a"])
+        assert set(got) == {"a", "b"}
+        assert "c" not in got and "d" not in got
+
+    def test_python_integer_model(self, spark):
+        edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+        seeds = ["a"]
+        got = self._ppr(spark, edges, seeds, iterations=3)
+
+        outdeg = {}
+        for s_, _ in edges:
+            outdeg[s_] = outdeg.get(s_, 0) + 1
+        base = (1_000_000 * 15) // 100
+        r = {x: 1_000_000 for x in seeds}
+        for _ in range(3):
+            nxt = {x: base for x in seeds}
+            for u, v in edges:
+                if u in r:
+                    nxt[v] = nxt.get(v, 0) + (r[u] * 85) // (100 * outdeg[u])
+            r = {k: v for k, v in nxt.items() if v > 0}
+        assert got == r
+
+    def test_seed_restart_dominates_near_seed(self, spark):
+        # chain a -> b -> c -> d, seed a: once the initial 1e6 pulse
+        # has left the chain (k > diameter), the stationary restart
+        # pattern decays geometrically with distance from the seed
+        got = self._ppr(spark, [("a", "b"), ("b", "c"), ("c", "d")], ["a"], iterations=8)
+        assert got["a"] > got["b"] > got["c"] > got["d"]
+
+    def test_trustrank_multi_seed(self, spark):
+        # spam node links INTO trusted region but gets no trust back
+        edges = [("t1", "t2"), ("t2", "t1"), ("spam", "t1")]
+        got = self._ppr(spark, edges, ["t1", "t2"])
+        assert "spam" not in got
+        assert got["t1"] > 0 and got["t2"] > 0
+
+
 class TestRangeAsofNullAndMalformed:
     def test_malformed_interval_matches_nothing(self, spark):
         # end <= start: the inequality predicate can never hold; the
