@@ -9232,6 +9232,37 @@ r{k + 1} AS (
 _ORACLE_R4["kg_ppr_relatedness"] = _ppr_oracle()
 
 
+def q_kg_entity_summary(spark, sf_dir):
+    """Entity summarization (operators/void_stats.py::
+    entity_facts_topk; RELIN, Cheng et al. ISWC 2011) — the k=3 most
+    informative facts per subject, ranked by integer predicate rarity
+    (n_total div n_pred — monotone in -log freq with no libm float in
+    sight) with a (rarity DESC, pred, obj) total order. The "entity
+    card" query every KG front-end serves. Vocabulary-sized rarity
+    table broadcasts; ONE subject-hash window shuffle."""
+    from rdf_diff_store_spark.operators.void_stats import entity_facts_topk
+
+    return entity_facts_topk(_cs_triples(spark, sf_dir), k=3)
+
+
+_ORACLE_R4["kg_entity_summary"] = (
+    "WITH "
+    + _CS_TRIPLES_CTE.strip()
+    + """,
+df AS (SELECT pred, COUNT(*) AS d FROM t GROUP BY pred),
+n AS (SELECT COUNT(*) AS total FROM t),
+r AS (
+  SELECT t.subj, t.pred, t.obj, CAST(n.total // df.d AS BIGINT) AS rarity
+  FROM t JOIN df ON t.pred = df.pred CROSS JOIN n),
+ranked AS (
+  SELECT subj, pred, obj, rarity,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY subj ORDER BY rarity DESC, pred, obj) AS INT) AS rank
+  FROM r)
+SELECT subj, pred, obj, rarity, rank FROM ranked WHERE rank <= 3"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9390,6 +9421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_graph_hash": q_kg_graph_hash,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_ppr_relatedness": q_kg_ppr_relatedness,
+        "kg_entity_summary": q_kg_entity_summary,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -152,3 +152,44 @@ def summary_graph(triples: DataFrame) -> DataFrame:
             F.countDistinct("obj").alias("n_dst_entities"),
         )
     )
+
+
+def entity_facts_topk(triples: DataFrame, k: int = 5) -> DataFrame:
+    """Entity summarization: the k most INFORMATIVE facts per subject
+    (the "entity card" a KG front-end renders; RELIN, Cheng et al.
+    ISWC 2011, ranks facts by predicate informativeness — rare
+    predicates say more about an entity than ubiquitous ones).
+
+    Informativeness is kept integer-exact for engine portability:
+    ``rarity = n_total_triples div n_triples(pred)`` is monotone in
+    -log(freq) without touching libm (cross-engine float ln is the
+    one nondeterminism no oracle survives). Facts rank by (rarity
+    DESC, pred, obj) — total order, deterministic ties — and the top
+    k per subject survive. Output adds ``rarity`` and ``rank``.
+
+    Scale shape: predicate counts are vocabulary-sized → the rarity
+    table BROADCASTS into the fact scan; the single shuffle is the
+    subject-hash window (same partitioning a property-table pivot
+    would reuse). Hub subjects with 10^6 facts cost one window pass,
+    no join fanout; cap upstream via `operators.skew.
+    capped_topk_per_group` if a subject's fact list itself is the
+    skew."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    t = _as_set(triples)
+    totals = t.groupBy("pred").agg(F.count(F.lit(1)).alias("_df"))
+    # 1-row total broadcast-crossed onto the vocabulary-sized counts:
+    # no eager driver action, integer div end to end
+    n_total = t.agg(F.count(F.lit(1)).alias("_n"))
+    rarity = totals.crossJoin(F.broadcast(n_total)).select(
+        "pred", F.expr("_n div _df").alias("rarity")
+    )
+    w = Window.partitionBy("subj").orderBy(
+        F.col("rarity").desc(), F.col("pred"), F.col("obj")
+    )
+    return (
+        t.join(F.broadcast(rarity), "pred")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("subj", "pred", "obj", "rarity", "rank")
+    )

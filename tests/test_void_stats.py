@@ -125,3 +125,40 @@ def test_characteristic_sets_rdf_type_included(spark):
     # rdf:type participates in the set (the paper keeps it: type is
     # the most selective star predicate)
     assert r["cs_props"] == f"{RDF_TYPE} p"
+
+
+def test_entity_facts_topk(spark):
+    from rdf_diff_store_spark.operators.void_stats import entity_facts_topk
+
+    rows = [
+        # pred 'common' appears 4x (rarity 7//4=1), 'rare' once (7//1=7),
+        # 'mid' twice (7//2=3)
+        ("e1", "common", "a"),
+        ("e1", "common", "b"),
+        ("e2", "common", "a"),
+        ("e3", "common", "a"),
+        ("e1", "rare", "x"),
+        ("e1", "mid", "m"),
+        ("e2", "mid", "m"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = [
+        (r["subj"], r["pred"], r["obj"], r["rarity"], r["rank"])
+        for r in entity_facts_topk(t, k=2).orderBy("subj", "rank").collect()
+    ]
+    assert got == [
+        ("e1", "rare", "x", 7, 1),  # rarest predicate wins the card
+        ("e1", "mid", "m", 3, 2),   # common facts fall off the top-2
+        ("e2", "mid", "m", 3, 1),
+        ("e2", "common", "a", 1, 2),
+        ("e3", "common", "a", 1, 1),
+    ]
+
+
+def test_entity_facts_ties_lexicographic(spark):
+    from rdf_diff_store_spark.operators.void_stats import entity_facts_topk
+
+    rows = [("e1", "p", "b"), ("e1", "p", "a")]  # same pred, obj tie-break
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    got = [(r["obj"], r["rank"]) for r in entity_facts_topk(t, k=2).orderBy("rank").collect()]
+    assert got == [("a", 1), ("b", 2)]
