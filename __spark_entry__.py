@@ -9263,6 +9263,63 @@ SELECT subj, pred, obj, rarity, rank FROM ranked WHERE rank <= 3"""
 )
 
 
+def q_web_pld_rollup(spark, sf_dir):
+    """Pay-level-domain rollup (functions/text.py::pld_of_hosts —
+    Public Suffix List longest-match, broadcast rule join, candidate
+    suffixes generated JVM-side from a bounded label sequence). The
+    per-SOURCE aggregation the C4/RefinedWeb curation recipes actually
+    mean by 'source' (www./cdn. subdomains collapse into one
+    registrable domain; WDC reports per-PLD). Fixture exercises the
+    three rule paths — multi-label rule (co.uk), single-label rule
+    (com), implicit-* fallback (unknowntld) — plus the host-IS-a-rule
+    NULL case (excluded here, pytest-pinned). PLD resolution runs on
+    the DISTINCT host frame (10^9 hosts, not 10^12 pages), then one
+    broadcastable map-back join and one combinable rollup."""
+    from rdf_diff_store_spark.functions.text import pld_of_hosts
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    k = (d % 10).cast("string")
+    host = (
+        F.when(d % 4 == 0, F.concat(F.lit("www.site"), k, F.lit(".co.uk")))
+        .when(d % 4 == 1, F.concat(F.lit("cdn.site"), k, F.lit(".com")))
+        .when(d % 4 == 2, F.concat(F.lit("site"), k, F.lit(".unknowntld")))
+        .otherwise(F.lit("co.uk"))
+    )
+    pages = docs.select("doc_id", host.alias("host"))
+    mapping = pld_of_hosts(pages.select("host").distinct())
+    return (
+        pages.join(mapping, "host")
+        .filter(F.col("pld").isNotNull())
+        .groupBy("pld")
+        .agg(
+            F.countDistinct("host").alias("n_hosts"),
+            F.count(F.lit(1)).alias("n_pages"),
+        )
+    )
+
+
+_ORACLE_R4["web_pld_rollup"] = """
+WITH p AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'www.site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+           WHEN 1 THEN 'cdn.site' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+           WHEN 2 THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.unknowntld'
+           ELSE 'co.uk' END AS host,
+         CASE CAST(doc_id % 4 AS INT)
+           WHEN 0 THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+           WHEN 1 THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.com'
+           WHEN 2 THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.unknowntld'
+           ELSE NULL END AS pld
+  FROM documents)
+SELECT pld,
+       CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(COUNT(*) AS BIGINT) AS n_pages
+FROM p WHERE pld IS NOT NULL GROUP BY pld
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9422,6 +9479,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_ppr_relatedness": q_kg_ppr_relatedness,
         "kg_entity_summary": q_kg_entity_summary,
+        "web_pld_rollup": q_web_pld_rollup,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -947,3 +947,99 @@ def hearst_pairs(text: "Column") -> "Column":
     other = _pairs(rf"({NP}(?:, {NP})*?),? (?:and|or) other ({NP})", 2, 1, "other")
     including = _pairs(rf"({NP}),? including ({LIST})", 1, 2, "including")
     return F.concat(such_as, other, including)
+
+
+# Curated public-suffix subset shipped as the default for `pld_of_hosts`
+# (the Mozilla Public Suffix List is ~9k rules; production loads the
+# full list into the same broadcast frame — the operator is rule-count
+# agnostic). Multi-label entries are what make PLD extraction a JOIN
+# problem rather than a "last two labels" regex.
+DEFAULT_PUBLIC_SUFFIXES = [
+    "com", "org", "net", "edu", "gov", "int", "mil", "io", "ai", "dev",
+    "de", "fr", "no", "se", "nl", "it", "es", "eu", "ch", "at",
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "ac.jp",
+    "com.br", "com.cn", "co.in", "co.kr", "co.nz",
+]
+
+
+def pld_of_hosts(
+    hosts: "DataFrame", suffixes: "DataFrame | None" = None, host_col: str = "host"
+) -> "DataFrame":
+    """Pay-level domain (registrable domain) per host: the label
+    immediately below the LONGEST matching public suffix — the
+    aggregation key web-corpus curation actually groups by ("one
+    source" in C4/RefinedWeb source-capping means a PLD, not a
+    hostname: www.example.co.uk, cdn.example.co.uk and example.co.uk
+    are all example.co.uk). The Web Data Commons extraction reports
+    per-PLD for the same reason.
+
+    Suffix matching is the Public Suffix List algorithm
+    (publicsuffix.org/list): try every suffix of the host against the
+    rule set, longest match wins, PLD = one label more; a host with
+    NO matching rule falls back to the implicit ``*`` rule (last
+    label is the suffix ⇒ PLD = last two labels); a host that IS a
+    public suffix, or a single label, has no PLD (NULL).
+
+    Scale shape: per host, the candidate suffixes are generated
+    JVM-side (transform over a bounded label sequence — hosts have
+    ≤ ~6 labels) and the rule set joins by BROADCAST (9k rules ≪
+    anything); longest-match is a combinable max_by per host. The
+    10^9-host frame is scanned once, shuffled once (the host groupBy
+    — collapsible into any downstream per-host rollup that shares the
+    key). Returns (host…, pld).
+    """
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    if suffixes is None:
+        suffixes = hosts.sparkSession.createDataFrame(
+            [(s,) for s in DEFAULT_PUBLIC_SUFFIXES], ["suffix"]
+        )
+    # rename FIRST in its own select — computing derived expressions in
+    # the same projection that re-aliases `host` makes the analyzer
+    # resolve them as lateral column aliases (internal error w/ explode)
+    hosts = hosts.select(F.col(host_col).alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    # candidate suffixes i = 1..n INCLUDING the whole host (i = n):
+    # a host that IS a rule ("co.uk") must be recognized as its own
+    # suffix, not fall back; prev is NULL there (guarded — ANSI mode
+    # rejects element_at index 0)
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.array_join(F.slice(labels, n - i + 1, i), ".").alias("cand"),
+            F.when(i < n, F.element_at(labels, n - i)).alias("prev"),
+            i.alias("k"),
+        ),
+    )
+    base = hosts.select(
+        F.col("host"),
+        n.alias("_n"),
+        F.element_at(labels, -1).alias("_last1"),
+        F.when(n >= 2, F.concat(F.element_at(labels, -2), F.lit("."), F.element_at(labels, -1))).alias("_last2"),
+        F.explode_outer(cands).alias("c"),
+    )
+    matched = (
+        base.join(F.broadcast(suffixes), base["c.cand"] == suffixes["suffix"], "left")
+        .groupBy("host")
+        .agg(
+            F.max_by(
+                F.when(F.col("suffix").isNotNull(), F.concat(F.col("c.prev"), F.lit("."), F.col("c.cand"))),
+                F.when(F.col("suffix").isNotNull(), F.col("c.k")),
+            ).alias("_matched"),
+            # a host that IS a public suffix must yield NULL, not the
+            # fallback: detect whole-host rule membership separately
+            F.max(F.col("suffix").isNotNull() & (F.col("c.k") == F.col("_n"))).alias("_whole"),
+            F.first("_n").alias("_n"),
+            F.first("_last2").alias("_last2"),
+        )
+    )
+    is_own_suffix = F.col("_matched").isNull() & F.col("_whole")
+    return matched.select(
+        "host",
+        F.when(is_own_suffix | (F.col("_n") < 2), F.lit(None))
+        .otherwise(F.coalesce(F.col("_matched"), F.col("_last2")))
+        .alias("pld"),
+    )

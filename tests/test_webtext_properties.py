@@ -138,3 +138,55 @@ class TestHearstPairs:
     def test_multiset_preserved(self, spark):
         got = self._run(spark, "Pets such as cats. Pets such as cats.")
         assert got == [("cats", "Pets", "such_as")] * 2
+
+
+class TestPldOfHosts:
+    """Pay-level-domain extraction (functions/text.py::pld_of_hosts,
+    Public Suffix List longest-match algorithm)."""
+
+    def _pld(self, spark, hosts):
+        from rdf_diff_store_spark.functions.text import pld_of_hosts
+
+        df = spark.createDataFrame([(h,) for h in hosts], ["host"])
+        return {r["host"]: r["pld"] for r in pld_of_hosts(df).collect()}
+
+    def test_simple_tld(self, spark):
+        got = self._pld(spark, ["www.example.com", "example.com", "a.b.example.com"])
+        assert got == {
+            "www.example.com": "example.com",
+            "example.com": "example.com",
+            "a.b.example.com": "example.com",
+        }
+
+    def test_multi_label_suffix_wins_longest(self, spark):
+        # co.uk is a rule AND uk-ish single labels are not: longest match
+        got = self._pld(spark, ["www.example.co.uk", "a.b.shop.co.uk"])
+        assert got == {
+            "www.example.co.uk": "example.co.uk",
+            "a.b.shop.co.uk": "shop.co.uk",
+        }
+
+    def test_host_that_is_a_suffix_has_no_pld(self, spark):
+        got = self._pld(spark, ["co.uk", "com"])
+        assert got == {"co.uk": None, "com": None}
+
+    def test_unknown_tld_falls_back_to_last_two(self, spark):
+        # the PSL implicit '*' rule
+        got = self._pld(spark, ["cdn.foo.unknowntld", "foo.unknowntld"])
+        assert got == {
+            "cdn.foo.unknowntld": "foo.unknowntld",
+            "foo.unknowntld": "foo.unknowntld",
+        }
+
+    def test_single_label_host(self, spark):
+        got = self._pld(spark, ["localhost"])
+        assert got == {"localhost": None}
+
+    def test_custom_rule_table(self, spark):
+        from rdf_diff_store_spark.functions.text import pld_of_hosts
+
+        df = spark.createDataFrame([("x.blogspot.com",), ("y.example.com",)], ["host"])
+        rules = spark.createDataFrame([("com",), ("blogspot.com",)], ["suffix"])
+        got = {r["host"]: r["pld"] for r in pld_of_hosts(df, rules).collect()}
+        # blogspot.com as a rule: each blog is its own PLD
+        assert got == {"x.blogspot.com": "x.blogspot.com", "y.example.com": "example.com"}
