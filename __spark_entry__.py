@@ -9320,6 +9320,55 @@ FROM p WHERE pld IS NOT NULL GROUP BY pld
 """
 
 
+def q_kg_table_schema_align(spark, sf_dir):
+    """WebTables schema alignment (operators/tables.py::align_headers;
+    Cafarella VLDB 2008 schema statistics, Ritze T2K attribute
+    correspondence) — rendered tables carry headers 'name' plus a
+    per-doc variant of 'price' (exact / 1-deletion typo 'prce' /
+    out-of-band 'pricing'); the real html parser extracts them
+    (`extract_table_cells`), then the FastSS deletion-variant
+    equi-join aligns the distinct header slugs to the curated
+    (label → predicate) dictionary — never a broadcast nested loop.
+    'pricing' (distance 3) must be absent; any parser or band-recall
+    drift breaks the 3-row result."""
+    from rdf_diff_store_spark.operators.tables import align_headers, extract_table_cells
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    hdr = (
+        F.when(d % 3 == 0, F.lit("price"))
+        .when(d % 3 == 1, F.lit("prce"))
+        .otherwise(F.lit("pricing"))
+    )
+    pages = docs.select(
+        F.concat(F.lit("https://t.example.org/"), d.cast("string")).alias("url"),
+        F.concat(
+            F.lit("<table><tr><th>name</th><th>"), hdr,
+            F.lit("</th></tr><tr><td>Alice</td><td>5</td></tr></table>"),
+        ).alias("html"),
+    )
+    cells = extract_table_cells(pages)
+    headers = cells.select("header").distinct()
+    labels = spark.createDataFrame(
+        [
+            ("price", "https://schema.org/price"),
+            ("name", "https://schema.org/name"),
+            ("quantity", "https://schema.org/quantity"),
+        ],
+        ["label", "pred"],
+    )
+    return align_headers(headers, labels, max_lev=1)
+
+
+_ORACLE_R4["kg_table_schema_align"] = """
+SELECT 'name' AS header, 'https://schema.org/name' AS pred, CAST(0 AS INT) AS distance
+UNION ALL
+SELECT 'price', 'https://schema.org/price', CAST(0 AS INT)
+UNION ALL
+SELECT 'prce', 'https://schema.org/price', CAST(1 AS INT)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9480,6 +9529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr_relatedness": q_kg_ppr_relatedness,
         "kg_entity_summary": q_kg_entity_summary,
         "web_pld_rollup": q_web_pld_rollup,
+        "kg_table_schema_align": q_kg_table_schema_align,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -260,3 +260,59 @@ def table_cells_to_triples(
             F.lit(None).cast("string").alias("obj_lang"),
         )
     )
+
+
+def align_headers(
+    headers: DataFrame,
+    pred_labels: DataFrame,
+    max_lev: int = 1,
+) -> DataFrame:
+    """Schema matching for WebTables: map table-header slugs onto KG
+    predicates by curated label, tolerating the misspellings and
+    truncations web-authored tables carry (Cafarella VLDB 2008 §4.1's
+    schema statistics step; the attribute-correspondence half of
+    Ritze et al. T2K, WIMS 2015). `table_cells_to_triples` slugs
+    whatever the page said; this aligns those slugs to the curated
+    vocabulary so downstream fusion sees ONE predicate per concept —
+    the same role `vocab.align_predicates` plays for extracted IRIs,
+    lifted to fuzzy string space.
+
+    Input: ``headers`` (header) — distinct slugs, vocabulary-sized,
+    NOT the per-cell corpus; ``pred_labels`` (label, pred) — the
+    curated dictionary. Output: (header, pred, distance) — the single
+    best alignment per header (lowest levenshtein, ties to the
+    lexicographically smallest pred), unmatched headers absent.
+
+    Scale shape — the `entity_link_blocked` discipline applied to
+    schema space: candidate pairs are minted by an EQUI-join on FastSS
+    deletion variants (`pipeline.linking.deletion_variants` — 100%
+    recall for the levenshtein band, never a broadcast nested loop
+    over |headers| × |dict|), verified by one JVM levenshtein filter,
+    then a per-header min fold. Both sides are header-vocabulary-sized
+    (10^6-10^8 distinct slugs at web scale, labels 10^3-10^5); the
+    only corpus-sized step is the caller's map-back equi-join."""
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    from rdf_diff_store_spark.pipeline.linking import deletion_variants
+
+    h = headers.select(F.col("header")).distinct()
+    hv = h.select(
+        "header", F.explode(deletion_variants(F.col("header"), max_lev)).alias("v")
+    )
+    lv = pred_labels.select(
+        F.col("label"), F.col("pred"),
+        F.explode(deletion_variants(F.col("label"), max_lev)).alias("v"),
+    )
+    pairs = (
+        hv.join(lv, "v")
+        .select("header", "label", "pred")
+        .distinct()
+        .filter(F.levenshtein(F.col("header"), F.col("label")) <= max_lev)
+        .withColumn("distance", F.levenshtein(F.col("header"), F.col("label")))
+    )
+    w = Window.partitionBy("header").orderBy(F.col("distance"), F.col("pred"))
+    return (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("header", "pred", "distance")
+    )

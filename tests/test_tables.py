@@ -218,3 +218,51 @@ class TestReviewFixes:
             "<table><tr></tr><tr><th>Name</th></tr><tr><td>ada</td></tr></table>"
         )
         assert c == [(0, 0, 0, "Name", "ada")]
+
+
+class TestAlignHeaders:
+    def _align(self, spark, headers, labels, max_lev=1):
+        from rdf_diff_store_spark.operators.tables import align_headers
+
+        h = spark.createDataFrame([(x,) for x in headers], ["header"])
+        d = spark.createDataFrame(labels, ["label", "pred"])
+        return {
+            r["header"]: (r["pred"], r["distance"])
+            for r in align_headers(h, d, max_lev).collect()
+        }
+
+    DICT = [("price", "s:price"), ("name", "s:name"), ("date", "s:date")]
+
+    def test_exact_match_distance_zero(self, spark):
+        got = self._align(spark, ["price", "name"], self.DICT)
+        assert got == {"price": ("s:price", 0), "name": ("s:name", 0)}
+
+    def test_one_edit_matches(self, spark):
+        # deletion, insertion, substitution — all within lev 1
+        got = self._align(spark, ["prce", "pricce", "pryce"], self.DICT)
+        assert got == {
+            "prce": ("s:price", 1),
+            "pricce": ("s:price", 1),
+            "pryce": ("s:price", 1),
+        }
+
+    def test_beyond_band_absent(self, spark):
+        got = self._align(spark, ["pricing", "zzz"], self.DICT)
+        assert got == {}
+
+    def test_tie_breaks_to_smallest_pred(self, spark):
+        labels = [("cost", "s:b_cost"), ("cast", "s:a_cast")]
+        got = self._align(spark, ["cost"], labels)
+        # exact match (distance 0) beats the 1-edit rival
+        assert got == {"cost": ("s:b_cost", 0)}
+        got2 = self._align(spark, ["cost"], [("coast", "s:b"), ("cosy", "s:a")])
+        # both at distance 1: lexicographically smallest pred wins
+        assert got2 == {"cost": ("s:a", 1)}
+
+    def test_no_nested_loop_join(self, spark):
+        from rdf_diff_store_spark.operators.tables import align_headers
+
+        h = spark.createDataFrame([("price",)], ["header"])
+        d = spark.createDataFrame(self.DICT, ["label", "pred"])
+        plan = align_headers(h, d)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
