@@ -649,6 +649,36 @@ def main() -> None:
         )
     )
 
+    # 36. planner-statistics family (r04 s18): entity summary
+    # broadcasts the vocabulary-sized rarity table (never shuffles the
+    # fact scan twice for it) and sorts only inside the single
+    # subject-hash window partitioning; PLD rollup broadcasts the
+    # public-suffix rule set.
+    p_es = plan_of(qs["kg_entity_summary"](spark, sf_dir))
+    # formatted explain splits "Exchange" and its hashpartitioning
+    # argument across lines — match them separately; WindowGroupLimit
+    # is Spark's top-k-window pushdown (rank <= k never materializes
+    # full per-subject orderings)
+    checks.append(
+        (
+            "kg_entity_summary: broadcast rarity + subject-hash window w/ group-limit pushdown",
+            len(_re.findall(r"\(\d+\) BroadcastHashJoin", p_es)) >= 1
+            and len(_re.findall(r"hashpartitioning\(subj", p_es)) >= 1
+            and len(_re.findall(r"\(\d+\) WindowGroupLimit", p_es)) >= 1,
+            f"{len(_re.findall(r'(d+) BroadcastHashJoin', p_es))} bcast, "
+            f"{len(_re.findall(r'WindowGroupLimit', p_es))} WindowGroupLimit",
+        )
+    )
+    p_pld = plan_of(qs["web_pld_rollup"](spark, sf_dir))
+    checks.append(
+        (
+            "web_pld_rollup: suffix rules broadcast, no nested loop",
+            "BroadcastNestedLoopJoin" not in p_pld
+            and len(_re.findall(r"\(\d+\) BroadcastHashJoin", p_pld)) >= 1,
+            "PSL rule join is a BroadcastHashJoin",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
