@@ -9369,6 +9369,57 @@ SELECT 'prce', 'https://schema.org/price', CAST(1 AS INT)
 """
 
 
+def q_kg_star_count_from_stats(spark, sf_dir):
+    """Star-query answering from characteristic-set statistics ALONE
+    (operators/void_stats.py::star_subject_count; Neumann & Moerkotte
+    ICDE 2011 §4.2) — COUNT(DISTINCT ?s) for the star {name, knows}
+    computed two ways: from the ~10-row statistics frame (sum of
+    n_subjects over sets containing both predicates — the fact table
+    is never scanned) and from the data. The ICDE exactness claim IS
+    the check: both columns must be equal, and the oracle recomputes
+    both paths independently."""
+    from rdf_diff_store_spark.operators.void_stats import (
+        characteristic_sets,
+        star_subject_count,
+    )
+
+    t = _cs_triples(spark, sf_dir)
+    star = ["https://schema.org/knows", "https://schema.org/name"]
+    from_stats = star_subject_count(characteristic_sets(t), star).withColumnRenamed(
+        "n_subjects", "n_subjects_stats"
+    )
+    truth = (
+        t.select("subj", "pred")
+        .distinct()
+        .filter(F.col("pred").isin(star))
+        .groupBy("subj")
+        .agg(F.count(F.lit(1)).alias("_k"))
+        .filter(F.col("_k") == 2)
+        .agg(F.count(F.lit(1)).alias("n_subjects_true"))
+    )
+    return from_stats.crossJoin(truth)
+
+
+_ORACLE_R4["kg_star_count_from_stats"] = (
+    "WITH "
+    + _CS_TRIPLES_CTE.strip()
+    + """,
+sp AS (SELECT subj, pred FROM t GROUP BY subj, pred),
+cs AS (SELECT subj, string_agg(pred, ' ' ORDER BY pred) AS cs_props
+       FROM sp GROUP BY subj),
+stats AS (SELECT cs_props, COUNT(*) AS n FROM cs GROUP BY cs_props),
+s1 AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_subjects_stats
+       FROM stats
+       WHERE ' ' || cs_props || ' ' LIKE '% https://schema.org/knows %'
+         AND ' ' || cs_props || ' ' LIKE '% https://schema.org/name %'),
+s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_subjects_true FROM (
+         SELECT subj FROM sp
+         WHERE pred IN ('https://schema.org/knows', 'https://schema.org/name')
+         GROUP BY subj HAVING COUNT(DISTINCT pred) = 2))
+SELECT s1.n_subjects_stats, s2.n_subjects_true FROM s1, s2"""
+)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9530,6 +9581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_entity_summary": q_kg_entity_summary,
         "web_pld_rollup": q_web_pld_rollup,
         "kg_table_schema_align": q_kg_table_schema_align,
+        "kg_star_count_from_stats": q_kg_star_count_from_stats,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

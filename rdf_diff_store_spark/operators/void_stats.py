@@ -193,3 +193,24 @@ def entity_facts_topk(triples: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("subj", "pred", "obj", "rarity", "rank")
     )
+
+
+def star_subject_count(cs_stats: DataFrame, preds: list[str]) -> DataFrame:
+    """Answer a star-shaped subject count from characteristic-set
+    statistics ALONE — Neumann & Moerkotte's headline result (ICDE
+    2011 §4.2): for ``SELECT COUNT(DISTINCT ?s) WHERE { ?s p1 ?o1 .
+    ?s p2 ?o2 . … }`` the answer is EXACTLY the sum of n_subjects over
+    every characteristic set containing all of p1…pk — no scan of the
+    10^12-row fact table, just the ~10^3-row statistics frame. (Result
+    ROW counts additionally need per-predicate multiplicities; subject
+    counts need nothing more.)
+
+    Input is `characteristic_sets` output; membership tests split the
+    space-joined predicate list (IRIs never contain spaces). Returns
+    one row (n_subjects BIGINT), 0 when no set qualifies."""
+    cond = F.lit(True)
+    for p in preds:
+        cond = cond & F.array_contains(F.split(F.col("cs_props"), " "), p)
+    return cs_stats.filter(cond).agg(
+        F.coalesce(F.sum("n_subjects"), F.lit(0)).cast("long").alias("n_subjects")
+    )

@@ -162,3 +162,34 @@ def test_entity_facts_ties_lexicographic(spark):
     t = spark.createDataFrame(rows, "subj string, pred string, obj string")
     got = [(r["obj"], r["rank"]) for r in entity_facts_topk(t, k=2).orderBy("rank").collect()]
     assert got == [("a", 1), ("b", 2)]
+
+
+def test_star_subject_count_exact(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_diff_store_spark.operators.void_stats import (
+        characteristic_sets,
+        star_subject_count,
+    )
+
+    rows = [
+        ("e1", "a", "x"), ("e1", "b", "y"),
+        ("e2", "a", "x"), ("e2", "b", "y"), ("e2", "c", "z"),
+        ("e3", "a", "x"),
+        ("e4", "b", "y"), ("e4", "c", "z"),
+    ]
+    t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    cs = characteristic_sets(t).localCheckpoint()
+    # {a,b} stars: e1 (set ab) + e2 (set abc) = 2 — and NEVER touches t
+    assert star_subject_count(cs, ["a", "b"]).first()["n_subjects"] == 2
+    assert star_subject_count(cs, ["a"]).first()["n_subjects"] == 3
+    assert star_subject_count(cs, ["b", "c"]).first()["n_subjects"] == 2
+    assert star_subject_count(cs, ["a", "b", "c"]).first()["n_subjects"] == 1
+    assert star_subject_count(cs, ["zzz"]).first()["n_subjects"] == 0
+    # ground truth from the data agrees (the ICDE §4.2 exactness claim)
+    truth = (
+        t.filter(F.col("pred").isin("a", "b"))
+        .groupBy("subj").agg(F.countDistinct("pred").alias("k"))
+        .filter(F.col("k") == 2).count()
+    )
+    assert truth == 2
