@@ -92,20 +92,28 @@ def characteristic_sets(triples: DataFrame) -> DataFrame:
     query ``?s :a ?x . ?s :b ?y`` is estimated from the sets that
     contain BOTH predicates, not from independence assumptions.
 
-    Scale shape: ONE subject-hash shuffle builds the per-subject set
-    (collect_set is a partial-aggregating SET accumulator — bounded by
-    the vocabulary, not the subject's triple count), then the rollup
-    groups by the set string. The paper's empirical law is what makes
-    the second shuffle free: real web corpora of 10^9+ triples produce
-    only ~10^3-10^4 distinct characteristic sets, so the final
-    aggregate is map-side-combined into almost nothing. Extends the
-    reference's per-graph metadata surface (src/graphs.rs:30-61) with
-    the planner statistic its oxigraph backend keeps internally.
+    Scale shape: ONE corpus shuffle total. An explicit
+    repartition("subj") makes every downstream requirement — the
+    per-subject set fold AND the set-semantics dedup (countDistinct
+    over (pred, obj)) — already-satisfied, because hashpartitioning on
+    a SUBSET of a required clustering satisfies it; the naive
+    `.distinct().groupBy(subj)` spelling pays a second full-corpus
+    exchange on (s,p,o) for nothing (measured 2 exchanges → 1, values
+    identical — bench_stats_scale.py). collect_set is a
+    partial-aggregating SET accumulator bounded by the vocabulary. The
+    paper's empirical law makes the rollup free: 10^9+ real-web
+    triples produce only ~10^3-10^4 distinct characteristic sets, so
+    the final aggregate map-side-combines into almost nothing. Extends
+    the reference's per-graph metadata surface (src/graphs.rs:30-61)
+    with the planner statistic its oxigraph backend keeps internally.
+    (Trade-off: the raw rows shuffle before dedup — right for the
+    mostly-unique frames extraction emits; a heavily-duplicated input
+    would prefer dedup-first.)
     """
-    t = _as_set(triples)
+    t = triples.select("subj", "pred", "obj").repartition("subj")
     per_subj = t.groupBy("subj").agg(
         F.array_join(F.array_sort(F.collect_set("pred")), " ").alias("cs_props"),
-        F.count(F.lit(1)).alias("_nt"),
+        F.countDistinct("pred", "obj").alias("_nt"),
     )
     return per_subj.groupBy("cs_props").agg(
         F.count(F.lit(1)).alias("n_subjects"),
@@ -176,7 +184,15 @@ def entity_facts_topk(triples: DataFrame, k: int = 5) -> DataFrame:
     skew."""
     from pyspark.sql import Window  # noqa: PLC0415
 
-    t = _as_set(triples)
+    # repartition by subject ONCE: the set-dedup (dropDuplicates over
+    # s,p,o — subset-satisfied) and the top-k window then add no
+    # further corpus exchange; only the vocabulary-sized rarity
+    # branch shuffles (by pred, map-side-combined to ~|vocabulary|)
+    t = (
+        triples.select("subj", "pred", "obj")
+        .repartition("subj")
+        .dropDuplicates(["subj", "pred", "obj"])
+    )
     totals = t.groupBy("pred").agg(F.count(F.lit(1)).alias("_df"))
     # 1-row total broadcast-crossed onto the vocabulary-sized counts:
     # no eager driver action, integer div end to end
