@@ -9420,6 +9420,76 @@ SELECT s1.n_subjects_stats, s2.n_subjects_true FROM s1, s2"""
 )
 
 
+def q_rdf_patch_roundtrip(spark, sf_dir):
+    """RDF Patch interchange (sources/nquads.py::serialize_rdf_patch /
+    parse_rdf_patch; Seaborne's RDF Patch draft) — the reference's
+    core diff contract (src/git.rs:162-194) serialized so a downstream
+    replica can replay it: the T_MID→T_LATE triple diff renders to
+    ``A/D <s> <p> <o> <g> .`` lines (pure-JVM sink sharing nquad_line's
+    escaping) and parses BACK through the strict one-Arrow-hop parser;
+    the query returns the parsed rows, so the oracle (the diff twin
+    with change→op) pins BOTH directions byte-for-byte.
+    apply_rdf_patch's replay (snapshot(t1) + patch ≡ snapshot(t2),
+    null-safe delete keys) is pytest-pinned."""
+    from rdf_diff_store_spark.operators.versioned import diff
+    from rdf_diff_store_spark.sources.nquads import parse_rdf_patch, serialize_rdf_patch
+
+    d = diff(changelog_from_events(spark, sf_dir), T_MID, T_LATE)
+    patch = serialize_rdf_patch(d)
+    return parse_rdf_patch(patch, "line").select("op", "graph_id", "subj", "pred", "obj")
+
+
+_ORACLE_R4["rdf_patch_roundtrip"] = """
+WITH s1r AS ({s1}), s2r AS ({s2}),
+s1 AS (SELECT graph_id,
+              regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+              regexp_extract(payload, '> <([^>]*)>', 1) AS pred,
+              regexp_extract(payload, '"([^"]*)"', 1) AS obj
+       FROM s1r),
+s2 AS (SELECT graph_id,
+              regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+              regexp_extract(payload, '> <([^>]*)>', 1) AS pred,
+              regexp_extract(payload, '"([^"]*)"', 1) AS obj
+       FROM s2r)
+SELECT 'A' AS op, graph_id, subj, pred, obj FROM s2
+WHERE NOT EXISTS (SELECT 1 FROM s1 WHERE s1.graph_id = s2.graph_id
+                  AND s1.subj = s2.subj AND s1.pred = s2.pred AND s1.obj = s2.obj)
+UNION ALL
+SELECT 'D', graph_id, subj, pred, obj FROM s1
+WHERE NOT EXISTS (SELECT 1 FROM s2 WHERE s2.graph_id = s1.graph_id
+                  AND s2.subj = s1.subj AND s2.pred = s1.pred AND s2.obj = s1.obj)
+""".format(s1=_snapshot_sql(T_MID), s2=_snapshot_sql(T_LATE))
+
+
+def q_snapshots_multi(spark, sf_dir):
+    """Multi-timestamp snapshot reconstruction (operators/versioned.py
+    ::snapshots_at) — the reference's checkout_timestamp loops one ts
+    per call (src/git.rs:154-160); this fuses k probes into ONE
+    changelog scan + ONE shuffle (k condition-gated max_by aggregates,
+    the diff trick generalized; pytest pins ≡ per-probe snapshot_at
+    incl. pre-history and tombstone windows). Probes here: pre-history
+    (contributes nothing), T_MID, T_LATE. query_ts is emitted as its
+    formatted string — raw timestamps in driver outputs are the
+    session-TZ trap (CLAUDE.md)."""
+    from rdf_diff_store_spark.operators.versioned import snapshots_at
+
+    probes = ["1990-01-01 00:00:00", T_MID, T_LATE]
+    snaps = snapshots_at(changelog_from_events(spark, sf_dir), probes)
+    return snaps.select(
+        F.date_format("query_ts", "yyyy-MM-dd HH:mm:ss").alias("query_label"),
+        "graph_id",
+        "payload",
+        "content_hash",
+    )
+
+
+_ORACLE_R4["snapshots_multi"] = """
+SELECT '{tm}' AS query_label, graph_id, payload, content_hash FROM ({s1})
+UNION ALL
+SELECT '{tl}', graph_id, payload, content_hash FROM ({s2})
+""".format(tm=T_MID, tl=T_LATE, s1=_snapshot_sql(T_MID), s2=_snapshot_sql(T_LATE))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9582,6 +9652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pld_rollup": q_web_pld_rollup,
         "kg_table_schema_align": q_kg_table_schema_align,
         "kg_star_count_from_stats": q_kg_star_count_from_stats,
+        "rdf_patch_roundtrip": q_rdf_patch_roundtrip,
+        "snapshots_multi": q_snapshots_multi,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

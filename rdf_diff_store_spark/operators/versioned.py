@@ -406,3 +406,59 @@ def metadata(changelog: DataFrame) -> DataFrame:
     return changelog.agg(
         F.min("ts").alias("start_time"), F.max("ts").alias("end_time")
     )
+
+
+def snapshots_at(changelog: DataFrame, timestamps: list) -> DataFrame:
+    """k as-of snapshots in ONE scan + ONE shuffle — `_dual_state`
+    generalized: a temporal-analytics client asking "the store at
+    every month-end of 2024" must not pay k changelog scans
+    (`snapshot_at` k times = k× the dominant cost at a 100 TB
+    changelog). Per graph, ONE groupBy evaluates k condition-gated
+    max_by aggregates (rows newer than probe i get a null ordering
+    key, which max_by skips — the proven `diff` trick), then the k
+    states unfold via ONE explode. Tombstoned and not-yet-created
+    states drop, matching `snapshot_at` exactly per probe
+    (pytest-pinned equivalence).
+
+    Returns (query_ts, graph_id, ts, payload, content_hash). k is a
+    plan-size constant (k aggregate buffers per graph), so keep k ≤
+    ~10²; beyond that, batch the probes. Reference: checkout_timestamp
+    runs per single ts (src/git.rs:154-160) — the reference client
+    loops; this is the loop fused into one job."""
+    ts_cols = [
+        F.lit(t).cast("timestamp") if isinstance(t, str) else t for t in timestamps
+    ]
+    if not ts_cols:
+        raise ValueError("snapshots_at needs at least one timestamp")
+    ord_key = F.struct(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    val = F.struct("ts", "op", "payload", "content_hash")
+    bound = ts_cols[0] if len(ts_cols) == 1 else F.greatest(*ts_cols)
+    g = (
+        _as_of_filter(changelog, bound)
+        .groupBy("graph_id")
+        .agg(
+            *[
+                F.max_by(val, F.when(F.col("ts") <= t, ord_key)).alias(f"_s{i}")
+                for i, t in enumerate(ts_cols)
+            ]
+        )
+    )
+    arr = F.array(
+        *[
+            F.struct(t.alias("query_ts"), F.col(f"_s{i}").alias("s"))
+            for i, t in enumerate(ts_cols)
+        ]
+    )
+    return (
+        g.select("graph_id", F.explode(arr).alias("q"))
+        .filter(F.col("q.s").isNotNull() & (F.col("q.s.op") != TOMBSTONE))
+        .select(
+            F.col("q.query_ts").alias("query_ts"),
+            "graph_id",
+            F.col("q.s.ts").alias("ts"),
+            F.col("q.s.payload").alias("payload"),
+            F.col("q.s.content_hash").alias("content_hash"),
+        )
+    )

@@ -95,3 +95,93 @@ class TestSparkRoundtrip:
         )
         plan = serialize_nquads(df)._jdf.queryExecution().executedPlan().toString()
         assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+class TestRdfPatch:
+    """RDF Patch sink/parser/apply (sources/nquads.py::
+    serialize_rdf_patch / parse_rdf_patch / apply_rdf_patch)."""
+
+    def _diff_df(self, spark, rows):
+        return spark.createDataFrame(
+            rows,
+            "graph_id string, subj string, pred string, obj string, "
+            "obj_dt string, obj_lang string, change string",
+        )
+
+    def test_line_format(self, spark):
+        from rdf_diff_store_spark.sources.nquads import serialize_rdf_patch
+
+        XS = "http://www.w3.org/2001/XMLSchema#string"
+        rows = [
+            ("g1", "http://e/s", "http://e/p", "http://e/o", None, None, "added"),
+            ("g1", "http://e/s", "http://e/p", "v", XS, None, "removed"),
+            (None, "_:b0", "http://e/p", "hi", None, "en", "added"),
+        ]
+        lines = sorted(
+            r["line"] for r in serialize_rdf_patch(self._diff_df(spark, rows)).collect()
+        )
+        assert lines == [
+            'A <http://e/s> <http://e/p> <http://e/o> <g1> .',
+            'A _:b0 <http://e/p> "hi"@en .',
+            'D <http://e/s> <http://e/p> "v" <g1> .',
+        ]
+
+    def test_roundtrip(self, spark):
+        from rdf_diff_store_spark.sources.nquads import (
+            parse_rdf_patch,
+            serialize_rdf_patch,
+        )
+
+        XS = "http://www.w3.org/2001/XMLSchema#string"
+        rows = [
+            ("g1", "http://e/s", "http://e/p", 'quote " and \\ back', XS, None, "added"),
+            ("g2", "http://e/s", "http://e/p", "http://e/o", None, None, "removed"),
+        ]
+        patch = serialize_rdf_patch(self._diff_df(spark, rows))
+        back = {
+            (r["op"], r["graph_id"], r["subj"], r["pred"], r["obj"], r["obj_dt"], r["obj_lang"])
+            for r in parse_rdf_patch(patch, "line").collect()
+        }
+        assert back == {
+            ("A", "g1", "http://e/s", "http://e/p", 'quote " and \\ back', XS, None),
+            ("D", "g2", "http://e/s", "http://e/p", "http://e/o", None, None),
+        }
+
+    def test_apply_reconstructs_snapshot(self, spark):
+        from rdf_diff_store_spark.operators.versioned import diff, snapshot_triples
+        from rdf_diff_store_spark.sources.nquads import (
+            apply_rdf_patch,
+            parse_rdf_patch,
+            serialize_rdf_patch,
+        )
+        from tests.test_versioned_store import empty_changelog, updates
+
+        from rdf_diff_store_spark.operators.versioned import append_updates
+
+        log = empty_changelog(spark)
+        log = append_updates(log, updates(spark, [
+            ("g1", "2024-01-01 00:00:00", "add", '<http://e/s> <http://e/p> "v1" .'),
+            ("g2", "2024-01-01 00:00:00", "add", '<http://e/x> <http://e/p> <http://e/y> .'),
+        ]))
+        log = append_updates(log, updates(spark, [
+            ("g1", "2024-01-03 00:00:00", "add", '<http://e/s> <http://e/p> "v2" .'),
+            ("g2", "2024-01-03 00:00:00", "delete", ""),
+        ]))
+        t1, t2 = "2024-01-01 12:00:00", "2024-01-03 12:00:00"
+        d = diff(log, t1, t2)
+        patch = parse_rdf_patch(serialize_rdf_patch(d), "line")
+        s1 = snapshot_triples(log, t1)
+        s2 = snapshot_triples(log, t2)
+        key = ["graph_id", "subj", "pred", "obj", "obj_dt", "obj_lang"]
+        replayed = {tuple(r) for r in apply_rdf_patch(s1.select(*key), patch).collect()}
+        want = {tuple(r) for r in s2.select(*key).distinct().collect()}
+        assert replayed == want
+
+    def test_unknown_op_raises(self, spark):
+        import pytest as _pytest
+
+        from rdf_diff_store_spark.sources.nquads import parse_rdf_patch
+
+        bad = spark.createDataFrame([("X <a> <b> <c> .",)], ["line"])
+        with _pytest.raises(Exception, match="RDF Patch|op"):
+            parse_rdf_patch(bad, "line").collect()

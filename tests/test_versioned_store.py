@@ -181,3 +181,55 @@ def test_diff_triples_distinguishes_iri_from_literal(spark):
     log = append_updates(log, updates(spark, [(g, T2, "add", v2)]))
     d = diff(log, T1, T2, on_triples=True)
     assert d.count() == 2
+
+
+def test_snapshots_at_equals_per_probe_snapshot_at(spark):
+    from rdf_diff_store_spark.operators.versioned import snapshot_at, snapshots_at
+
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-01 00:00:00", "add", '<http://e/a> <http://e/p> "1" .'),
+        ("g2", "2024-01-01 00:00:00", "add", '<http://e/b> <http://e/p> "x" .'),
+    ]))
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-03 00:00:00", "add", '<http://e/a> <http://e/p> "2" .'),
+        ("g2", "2024-01-03 00:00:00", "delete", ""),
+    ]))
+    log = append_updates(log, updates(spark, [
+        ("g2", "2024-01-05 00:00:00", "add", '<http://e/b> <http://e/p> "y" .'),
+    ])).localCheckpoint()
+
+    probes = [
+        "2023-12-01 00:00:00",  # pre-history: empty
+        "2024-01-02 00:00:00",  # both live v1
+        "2024-01-04 00:00:00",  # g1 v2, g2 tombstoned
+        "2024-01-06 00:00:00",  # g2 re-added
+    ]
+    multi = snapshots_at(log, probes)
+    got = {
+        (str(r["query_ts"]), r["graph_id"], r["content_hash"])
+        for r in multi.collect()
+    }
+    want = set()
+    for t in probes:
+        for r in snapshot_at(log, t).collect():
+            want.add((t, r["graph_id"], r["content_hash"]))
+    # query_ts round-trips through timestamp; compare on string form
+    got_norm = {(a[:19], b, c) for a, b, c in got}
+    assert got_norm == want
+
+
+def test_snapshots_at_one_shuffle(spark):
+    import re
+
+    from rdf_diff_store_spark.operators.versioned import snapshots_at
+
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-01 00:00:00", "add", '<http://e/a> <http://e/p> "1" .'),
+    ])).localCheckpoint()
+    plan = (
+        snapshots_at(log, ["2024-01-02 00:00:00", "2024-01-03 00:00:00"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
