@@ -9490,6 +9490,46 @@ SELECT '{tl}', graph_id, payload, content_hash FROM ({s2})
 """.format(tm=T_MID, tl=T_LATE, s1=_snapshot_sql(T_MID), s2=_snapshot_sql(T_LATE))
 
 
+def q_kg_prov_lineage(spark, sf_dir):
+    """PROV-O lineage materialization (operators/versioned.py::
+    prov_lineage; W3C PROV-O) — the north rule's per-partition lineage
+    published INTO the KG: every changelog version mints
+    specializationOf / generatedAtTime^^xsd:dateTime / wasGeneratedBy
+    triples, tombstones mint invalidatedAtTime, in the shared term
+    convention (composes with the nquads sink and append_updates —
+    provenance is just another graph). Map-only, zero shuffle
+    (pytest-pinned plan); timestamps format from the NTZ value
+    (session-TZ-proof)."""
+    from rdf_diff_store_spark.operators.versioned import prov_lineage
+
+    return prov_lineage(changelog_from_events(spark, sf_dir))
+
+
+_ORACLE_R4["kg_prov_lineage"] = f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+base AS (
+  SELECT graph_id, op,
+         strftime(ts, '%Y-%m-%dT%H:%M:%S') AS lex
+  FROM changelog),
+v AS (SELECT 'urn:version:' || graph_id || '@' || lex AS version, * FROM base)
+SELECT version AS subj, 'http://www.w3.org/ns/prov#specializationOf' AS pred,
+       'urn:graph:' || graph_id AS obj,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang FROM v
+UNION ALL
+SELECT version, 'http://www.w3.org/ns/prov#generatedAtTime', lex,
+       'http://www.w3.org/2001/XMLSchema#dateTime', CAST(NULL AS VARCHAR)
+FROM v WHERE op <> 'delete'
+UNION ALL
+SELECT version, 'http://www.w3.org/ns/prov#wasGeneratedBy',
+       'urn:rdf-diff-store:ingest', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM v WHERE op <> 'delete'
+UNION ALL
+SELECT version, 'http://www.w3.org/ns/prov#invalidatedAtTime', lex,
+       'http://www.w3.org/2001/XMLSchema#dateTime', CAST(NULL AS VARCHAR)
+FROM v WHERE op = 'delete'
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9654,6 +9694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_star_count_from_stats": q_kg_star_count_from_stats,
         "rdf_patch_roundtrip": q_rdf_patch_roundtrip,
         "snapshots_multi": q_snapshots_multi,
+        "kg_prov_lineage": q_kg_prov_lineage,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

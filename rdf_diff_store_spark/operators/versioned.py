@@ -462,3 +462,57 @@ def snapshots_at(changelog: DataFrame, timestamps: list) -> DataFrame:
             F.col("q.s.content_hash").alias("content_hash"),
         )
     )
+
+
+PROV = "http://www.w3.org/ns/prov#"
+XSD_DATETIME = "http://www.w3.org/2001/XMLSchema#dateTime"
+
+
+def prov_lineage(
+    changelog: DataFrame, activity_iri: str = "urn:rdf-diff-store:ingest"
+) -> DataFrame:
+    """Materialize the store's version lineage as standard PROV-O
+    triples (W3C PROV-O Rec) — the north rule requires per-partition
+    lineage; `metrics.py` records it operationally, and this operator
+    publishes it INTO the KG so provenance is queryable with the same
+    SPARQL engine as the data (the reference keeps lineage only as
+    git history, src/git.rs:61-118 — unqueryable from the store).
+
+    Per changelog row, with ``version = urn:version:{graph_id}@{ts}``:
+
+    * every row:   (version, prov:specializationOf, urn:graph:{id})
+    * adds:        (version, prov:generatedAtTime, ts^^xsd:dateTime),
+                   (version, prov:wasGeneratedBy, activity_iri)
+    * tombstones:  (version, prov:invalidatedAtTime, ts^^xsd:dateTime)
+
+    Output is the shared term convention (subj, pred, obj, obj_dt,
+    obj_lang) — composes unchanged with `serialize_nquads`, the
+    nquads/turtle sinks, and `append_updates` itself (provenance
+    stored as just another graph). Pure JVM projections + union:
+    map-only, ZERO shuffle, embarrassingly parallel at a 100 TB
+    changelog. Timestamps format from the NTZ value (date_format on
+    NTZ is session-TZ-independent — the CLAUDE.md trap avoided)."""
+    lex = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    version = F.concat(F.lit("urn:version:"), F.col("graph_id"), F.lit("@"), lex)
+
+    def row(pred: str, obj, obj_dt=None):
+        return F.struct(
+            version.alias("subj"),
+            F.lit(PROV + pred).alias("pred"),
+            obj.alias("obj"),
+            (F.lit(obj_dt) if obj_dt else F.lit(None)).cast("string").alias("obj_dt"),
+            F.lit(None).cast("string").alias("obj_lang"),
+        )
+
+    spec = changelog.select(
+        row("specializationOf", F.concat(F.lit("urn:graph:"), F.col("graph_id"))).alias("t")
+    )
+    adds = changelog.filter(F.col("op") != TOMBSTONE)
+    gen = adds.select(row("generatedAtTime", lex, XSD_DATETIME).alias("t"))
+    act = adds.select(row("wasGeneratedBy", F.lit(activity_iri)).alias("t"))
+    dels = changelog.filter(F.col("op") == TOMBSTONE).select(
+        row("invalidatedAtTime", lex, XSD_DATETIME).alias("t")
+    )
+    return (
+        spec.unionByName(gen).unionByName(act).unionByName(dels).select("t.*")
+    )

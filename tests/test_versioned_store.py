@@ -233,3 +233,40 @@ def test_snapshots_at_one_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_prov_lineage(spark):
+    from rdf_diff_store_spark.operators.versioned import prov_lineage
+
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-01 00:00:00", "add", '<http://e/a> <http://e/p> "1" .'),
+    ]))
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-02 00:00:00", "delete", ""),
+    ]))
+    P = "http://www.w3.org/ns/prov#"
+    XSDT = "http://www.w3.org/2001/XMLSchema#dateTime"
+    got = {(r["subj"], r["pred"], r["obj"], r["obj_dt"]) for r in prov_lineage(log).collect()}
+    v1 = "urn:version:g1@2024-01-01T00:00:00"
+    v2 = "urn:version:g1@2024-01-02T00:00:00"
+    assert got == {
+        (v1, P + "specializationOf", "urn:graph:g1", None),
+        (v2, P + "specializationOf", "urn:graph:g1", None),
+        (v1, P + "generatedAtTime", "2024-01-01T00:00:00", XSDT),
+        (v1, P + "wasGeneratedBy", "urn:rdf-diff-store:ingest", None),
+        (v2, P + "invalidatedAtTime", "2024-01-02T00:00:00", XSDT),
+    }
+
+
+def test_prov_lineage_shuffle_free(spark):
+    import re
+
+    from rdf_diff_store_spark.operators.versioned import prov_lineage
+
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [
+        ("g1", "2024-01-01 00:00:00", "add", '<http://e/a> <http://e/p> "1" .'),
+    ])).localCheckpoint()
+    plan = prov_lineage(log)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
