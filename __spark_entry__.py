@@ -9530,6 +9530,241 @@ FROM v WHERE op = 'delete'
 """
 
 
+# ---- session-19: web-graph structure + embedding corpus prep --------
+
+# The directed host/redirect-style graph for SCC: each region's
+# nextNation chain closed into a ring (max -> min nation), plus
+# customer -> nation pointers. Rings = the redirect/mirror CYCLES a
+# crawler must collapse; customers = the acyclic fringe.
+_SCC_EDGES_SQL = """
+nn AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL),
+ring AS (
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR) AS src,
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR) AS dst
+  FROM nation GROUP BY n_regionkey),
+cust AS (
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+         'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer),
+edges AS (
+  SELECT src, dst FROM nn UNION
+  SELECT src, dst FROM ring UNION
+  SELECT src, dst FROM cust)
+"""
+
+
+def _scc_edges(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    cust = customer.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+    )
+    return nn.unionByName(ring).unionByName(cust)
+
+
+def q_web_scc(spark, sf_dir):
+    """Strongly connected components (operators/graph.py::scc) over a
+    redirect-style directed graph — per-region nation rings (the
+    cycles: mirror/canonical-URL loops a crawler must collapse before
+    pointer-chasing terminates) plus the acyclic customer fringe.
+    Broder et al.'s WWW9 bowtie decomposition at host granularity.
+    scc_id = min member id over mutual reachability of the doubling
+    transitive closure — exact, deterministic representative. Output:
+    top-200 components by (size DESC, scc_id) — the rings surface
+    first, the singleton fringe fills the deterministic tail."""
+    from rdf_diff_store_spark.operators.graph import scc
+
+    comp = scc(_scc_edges(spark, sf_dir))
+    return (
+        comp.groupBy("scc_id")
+        .agg(F.count("*").cast("bigint").alias("size"))
+        .orderBy(F.desc("size"), "scc_id")
+        .limit(200)
+    )
+
+
+_ORACLE_R4["web_scc"] = f"""
+WITH RECURSIVE {_SCC_EDGES_SQL.strip()},
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+mutual AS (
+  SELECT f.src AS id, f.dst AS peer
+  FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+comp AS (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.peer), n.id)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON n.id = m.id
+  GROUP BY n.id)
+SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS size
+FROM comp GROUP BY scc_id
+ORDER BY size DESC, scc_id LIMIT 200
+"""
+
+
+def q_kg_ra_linkpred(spark, sf_dir):
+    """Neighborhood-overlap link prediction (operators/graph.py::
+    wedge_overlap; Liben-Nowell & Kleinberg CIKM 2003, Resource
+    Allocation index Zhou et al. 2009) over the order->part
+    co-purchase bipartite graph: part pairs sharing orders, scored by
+    common-neighbor count, RA (rare shared orders count more,
+    1e6 div deg in exact integer micro-units), and Jaccard. The
+    non-parametric KG-completion baseline next to kg_link_prediction's
+    trained TransE ranker. Candidate pairs are minted only by the
+    center wedge join, hub centers capped (max_center_degree) like
+    every inverted-index df-cap in the repo. Top-100 by the total
+    order (ra DESC, cn DESC, pair)."""
+    from rdf_diff_store_spark.operators.graph import wedge_overlap
+
+    li = load_table(spark, sf_dir, "lineitem")
+    adj = li.select(
+        F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias("center"),
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("leaf"),
+    )
+    return (
+        wedge_overlap(adj, max_center_degree=1000)
+        .orderBy(F.desc("ra_micro"), F.desc("cn"), "leaf_a", "leaf_b")
+        .limit(100)
+    )
+
+
+_ORACLE_R4["kg_ra_linkpred"] = """
+WITH adj AS (
+  SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS center,
+         'part:' || CAST(l_partkey AS VARCHAR) AS leaf FROM lineitem),
+cdeg AS (SELECT center, COUNT(*) AS cdeg FROM adj GROUP BY center),
+ldeg AS (SELECT leaf, COUNT(*) AS ldeg FROM adj GROUP BY leaf),
+small AS (
+  SELECT a.center, a.leaf, c.cdeg FROM adj a JOIN cdeg c USING (center)
+  WHERE c.cdeg <= 1000),
+pairs AS (
+  SELECT a.leaf AS leaf_a, b.leaf AS leaf_b,
+         COUNT(*) AS cn, SUM(1000000 // a.cdeg) AS ra
+  FROM small a JOIN small b ON a.center = b.center AND a.leaf < b.leaf
+  GROUP BY 1, 2)
+SELECT p.leaf_a, p.leaf_b, CAST(p.cn AS BIGINT) AS cn,
+       CAST(p.ra AS BIGINT) AS ra_micro,
+       CAST((p.cn * 1000000) // (da.ldeg + db.ldeg - p.cn) AS BIGINT)
+         AS jaccard_micro
+FROM pairs p JOIN ldeg da ON da.leaf = p.leaf_a
+             JOIN ldeg db ON db.leaf = p.leaf_b
+ORDER BY ra_micro DESC, cn DESC, leaf_a, leaf_b LIMIT 100
+"""
+
+
+def q_kg_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus (operators/graph.py::
+    random_walks; Perozzi et al. KDD 2014) — the random-walk
+    sentence generator node2vec/DeepWalk embeddings train on,
+    md5-drawn so the corpus replays bit-identically (the
+    transe_train portable-randomness discipline). Two walks of
+    length 6 per nation seed over the ring + inRegion graph; region
+    sinks end walks early (truncation is part of the contract).
+    Every step is one (src, idx) composite-key lookup join — no
+    neighbor fanout."""
+    from rdf_diff_store_spark.operators.graph import random_walks
+
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = nn.unionByName(ring).unionByName(inreg)
+    seeds = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("seed")
+    )
+    return random_walks(edges, seeds, length=6, n_walks=2)
+
+
+def _walks_oracle(length: int = 6, n_walks: int = 2, salt: str = "walk") -> str:
+    sql = [
+        """
+WITH e AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+adj AS (
+  SELECT src, dst,
+         CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
+  FROM e),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+seeds AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS seed FROM nation),
+s0 AS ("""
+        + " UNION ALL ".join(
+            f"SELECT seed || '#{k}' AS walk_id, seed AS node FROM seeds"
+            for k in range(n_walks)
+        )
+        + ")"
+    ]
+    for t in range(1, length + 1):
+        sql.append(
+            f""",
+s{t} AS (
+  SELECT w.walk_id, a.dst AS node
+  FROM s{t - 1} w JOIN deg d ON d.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.idx = ('0x' || substr(md5('{salt}' || w.walk_id || ':{t}'), 1, 15))::BIGINT
+                % d.outdeg)"""
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, node FROM s{t}" for t in range(length + 1)
+    )
+    sql.append("\n" + sel)
+    return "".join(sql)
+
+
+_ORACLE_R4["kg_random_walks"] = _walks_oracle()
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9695,6 +9930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_patch_roundtrip": q_rdf_patch_roundtrip,
         "snapshots_multi": q_snapshots_multi,
         "kg_prov_lineage": q_kg_prov_lineage,
+        # -- session-19 additions (web-graph structure + walk corpus) -
+        "web_scc": q_web_scc,
+        "kg_ra_linkpred": q_kg_ra_linkpred,
+        "kg_random_walks": q_kg_random_walks,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

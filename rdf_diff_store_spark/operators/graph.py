@@ -746,3 +746,193 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def scc(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Strongly connected components: scc_id(u) = min({u} ∪ {v : u→+v
+    and v→+u}) over the doubling transitive closure — exact Tarjan
+    semantics expressed as two relational steps (closure, then a
+    mutual-reachability self-join on the reversed key pair). Returns
+    (id, scc_id) for every node incident to an edge; the min-id
+    representative is the same deterministic canonical-id convention
+    as `connected_components`.
+
+    Why a KG/crawl engine needs it: redirect and alias chains form
+    CYCLES (a↔b mirrors, canonical-URL loops), and `redirect_resolve`
+    / `kg_sameas_canonical`-style pointer chasing never terminates
+    inside one unless the cycle is first collapsed to a single
+    representative. Broder et al.'s bowtie analysis (WWW9) — the
+    canonical web-graph SCC workload — runs at HOST granularity
+    (10^7 nodes), which is exactly the regime this shape is sized
+    for: the closure materializes Σ_u |reach(u)| pairs, linear for
+    bounded-reach graphs (redirect chains, host rings), quadratic
+    only inside giant mutually-reachable cores — which the bowtie
+    query itself is trying to find, so cap with `max_iterations` and
+    sample the core. The closure does O(log diameter) doubling
+    shuffles; the mutual join is ONE composite-key hash self-join
+    (the probe side is the same frame reversed — AQE reuses the
+    exchange); the final min is a combinable aggregate.
+
+    Reference context: the reference has no graph analytics at all
+    (SURVEY §2 — oxigraph answers paths only); this extends the
+    `transitive_closure` family the same way `kcore_peel` and
+    `triangle_count` do, for the crawl-curation side of the north
+    star.
+    """
+    tc = transitive_closure(edges, max_iterations)
+    mutual = (
+        tc.alias("f")
+        .join(
+            tc.alias("b"),
+            (F.col("f.src") == F.col("b.dst")) & (F.col("f.dst") == F.col("b.src")),
+        )
+        .select(F.col("f.src").alias("id"), F.col("f.dst").alias("peer"))
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return (
+        nodes.join(mutual, "id", "left")
+        .groupBy("id")
+        .agg(F.min("peer").alias("_mp"))
+        .select("id", F.least(F.col("id"), F.coalesce("_mp", F.col("id"))).alias("scc_id"))
+    )
+
+
+def wedge_overlap(
+    edges: DataFrame, max_center_degree: int = 1000
+) -> DataFrame:
+    """Neighborhood-overlap link prediction (Liben-Nowell & Kleinberg
+    CIKM 2003; Zhou/Lü/Zhang's Resource Allocation index, EPJ B 2009):
+    for every leaf pair (a, b) sharing at least one center, emit
+
+        cn                 — common-neighbor count,
+        ra_micro           — Σ_centers 1_000_000 div deg(center)
+                             (RA: rare shared neighbors count more),
+        jaccard_micro      — cn·1_000_000 div (deg(a)+deg(b)−cn).
+
+    Input is (center, leaf) adjacency — bipartite co-occurrence
+    (order→part co-purchase, host→entity mentions) directly, or a
+    symmetrized undirected graph for classic common-neighbor scoring.
+    All divisions are non-negative integer `div`, the one regime
+    Spark and DuckDB share bit-for-bit — the same micro-unit
+    discipline as `pagerank`/`hits`.
+
+    Scale shape: candidate pairs are minted ONLY by the wedge
+    self-join on center, so a center of degree d contributes d² pairs
+    — `max_center_degree` caps that fanout exactly like the inverted-
+    index df-cap in `mirror_hosts` and `doc_shared_spans` (a 10^6-
+    degree boilerplate hub would otherwise mint 10^12 pairs that RA
+    then scores ≈ 0 anyway: each contributes 1e6 div 10^6 = 1).
+    Dropping saturated centers is the standard stopword move of the
+    link-prediction literature, loudly parameterized. The pair
+    shuffle carries ids + one BIGINT only; leaf degrees (for Jaccard)
+    attach AFTER pair aggregation, on the already-collapsed pair set.
+    """
+    adj = edges.select("center", "leaf").distinct()
+    cdeg = adj.groupBy("center").agg(F.count("*").alias("cdeg"))
+    ldeg = adj.groupBy("leaf").agg(F.count("*").alias("ldeg"))
+    small = adj.join(
+        cdeg.filter(F.col("cdeg") <= max_center_degree), "center"
+    )
+    a, b = small.alias("a"), small.alias("b")
+    pairs = (
+        a.join(b, F.col("a.center") == F.col("b.center"))
+        .filter(F.col("a.leaf") < F.col("b.leaf"))
+        .select(
+            F.col("a.leaf").alias("leaf_a"),
+            F.col("b.leaf").alias("leaf_b"),
+            F.expr("1000000 div a.cdeg").alias("ra_part"),
+        )
+        .groupBy("leaf_a", "leaf_b")
+        .agg(F.count("*").alias("cn"), F.sum("ra_part").alias("ra_micro"))
+    )
+    return (
+        pairs.join(ldeg.select(F.col("leaf").alias("leaf_a"), F.col("ldeg").alias("da")), "leaf_a")
+        .join(ldeg.select(F.col("leaf").alias("leaf_b"), F.col("ldeg").alias("db")), "leaf_b")
+        .select(
+            "leaf_a",
+            "leaf_b",
+            "cn",
+            F.col("ra_micro").cast("bigint").alias("ra_micro"),
+            F.expr("(cn * 1000000) div (da + db - cn)").cast("bigint").alias("jaccard_micro"),
+        )
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 8,
+    n_walks: int = 1,
+    salt: str = "walk",
+) -> DataFrame:
+    """Deterministic DeepWalk corpus (Perozzi et al. KDD 2014): fixed-
+    length truncated random walks whose every step is an md5 draw, so
+    the whole corpus replays bit-identically on any engine — the same
+    portable-randomness discipline as `transe_train`'s md5-picked
+    corrupt tails (Date.now-free, seed-free, coordination-free).
+
+    Step t of walk w at node u moves to the neighbor with index
+
+        md5_60bit(salt ⧺ w ⧺ ':' ⧺ t) mod outdeg(u)
+
+    over the per-source neighbor list ranked by `row_number()` on dst
+    (ONE window shuffle builds the indexed adjacency, amortized over
+    all walks and steps). Walks stop early at sinks. Returns
+    (walk_id, step, node) with step 0 = the seed; `n_walks` walks per
+    seed get distinct walk_ids (seed ⧺ '#' ⧺ k).
+
+    Scale shape: the state frame holds exactly one row per LIVE walk,
+    so each of the `length` iterations is one hash join state⋈deg
+    (compute the draw) + one composite-key equi-join on (src, idx) —
+    NO neighbor fanout ever materializes (joining on src alone and
+    filtering idx would explode a 10^6-degree hub into 10^6 rows per
+    resident walk; the (src, idx) key makes the pick a lookup).
+    localCheckpoint each round cuts the lineage like every iterative
+    operator here. 10^9 walks × length 40 is 4·10^10 join-lookup rows
+    total — embarrassingly shuffle-parallel on the walk_id side.
+    """
+    adj = edges.select("src", "dst").distinct()
+    from pyspark.sql import Window
+
+    idx = F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    adj_idx = adj.select("src", "dst", idx.alias("idx")).localCheckpoint()
+    deg = adj_idx.groupBy("src").agg(F.count("*").alias("outdeg"))
+    starts = seeds.select("seed").distinct()
+    if n_walks > 1:
+        walks0 = starts.select(
+            F.explode(
+                F.array(*[F.concat(F.col("seed"), F.lit(f"#{k}")) for k in range(n_walks)])
+            ).alias("walk_id"),
+            F.col("seed").alias("node"),
+        )
+    else:
+        walks0 = starts.select(F.col("seed").alias("walk_id"), F.col("seed").alias("node"))
+    state = walks0.select("walk_id", F.lit(0).alias("step"), "node").localCheckpoint()
+    out = [state]
+    for t in range(1, length + 1):
+        draw = F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("walk_id"), F.lit(f":{t}"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        picked = (
+            state.join(deg, state["node"] == deg["src"])
+            .select("walk_id", (draw % F.col("outdeg")).alias("pick"), "node")
+        )
+        state = (
+            picked.join(
+                adj_idx,
+                (picked["node"] == adj_idx["src"]) & (picked["pick"] == adj_idx["idx"]),
+            )
+            .select("walk_id", F.lit(t).alias("step"), F.col("dst").alias("node"))
+            .localCheckpoint()
+        )
+        out.append(state)
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res

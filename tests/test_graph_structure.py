@@ -1,0 +1,147 @@
+"""Session-19 graph-structure operators: strongly connected components
+(operators/graph.py::scc), neighborhood-overlap link prediction
+(wedge_overlap), and the deterministic DeepWalk corpus (random_walks)
+— model-pinned on hand graphs with closed-form answers.
+
+Reference context: the reference has no graph analytics (SURVEY §2 —
+oxigraph answers property paths only); these extend the
+transitive_closure family for the crawl-curation / embedding-prep
+side of the north star."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.operators.graph import random_walks, scc, wedge_overlap
+
+
+def _scc_map(spark, pairs):
+    df = spark.createDataFrame(pairs, "src string, dst string")
+    return {r.id: r.scc_id for r in scc(df).collect()}
+
+
+class TestScc:
+    def test_two_cycles_and_fringe(self, spark):
+        out = _scc_map(
+            spark,
+            [
+                ("a", "b"), ("b", "c"), ("c", "a"),  # 3-cycle
+                ("x", "y"), ("y", "x"),              # 2-cycle
+                ("d", "a"),                          # fringe into cycle
+                ("c", "x"),                          # cycle -> cycle bridge
+            ],
+        )
+        assert out["a"] == out["b"] == out["c"] == "a"
+        assert out["x"] == out["y"] == "x"
+        # bridge does NOT merge the cycles (reachability is one-way)
+        assert out["a"] != out["x"]
+        assert out["d"] == "d"
+
+    def test_self_loop_is_singleton_component(self, spark):
+        out = _scc_map(spark, [("s", "s"), ("s", "t")])
+        assert out == {"s": "s", "t": "t"}
+
+    def test_acyclic_chain_all_singletons(self, spark):
+        out = _scc_map(spark, [("1", "2"), ("2", "3"), ("3", "4")])
+        assert out == {k: k for k in "1234"}
+
+    def test_full_cycle_min_id_representative(self, spark):
+        ids = [f"n{i}" for i in range(6)]
+        pairs = [(ids[i], ids[(i + 1) % 6]) for i in range(6)]
+        out = _scc_map(spark, pairs)
+        assert set(out.values()) == {"n0"}
+
+
+class TestWedgeOverlap:
+    def _run(self, spark, pairs, cap=1000):
+        df = spark.createDataFrame(pairs, "center string, leaf string")
+        return {
+            (r.leaf_a, r.leaf_b): (r.cn, r.ra_micro, r.jaccard_micro)
+            for r in wedge_overlap(df, max_center_degree=cap).collect()
+        }
+
+    def test_hand_scores(self, spark):
+        # c1 -> {p,q,r} (deg 3), c2 -> {p,q} (deg 2)
+        out = self._run(
+            spark,
+            [("c1", "p"), ("c1", "q"), ("c1", "r"), ("c2", "p"), ("c2", "q")],
+        )
+        # (p,q): cn=2 (c1,c2); ra = 1e6//3 + 1e6//2; deg p = deg q = 2
+        assert out[("p", "q")] == (2, 333333 + 500000, 2 * 1_000_000 // (2 + 2 - 2))
+        # (p,r): cn=1 via c1 only; deg r = 1
+        assert out[("p", "r")] == (1, 333333, 1_000_000 // (2 + 1 - 1))
+        assert ("q", "p") not in out  # canonical a < b ordering
+
+    def test_center_degree_cap_suppresses_hub(self, spark):
+        # hub center of degree 3 > cap: mints nothing; c2 still pairs p,q
+        out = self._run(
+            spark,
+            [("hub", "p"), ("hub", "q"), ("hub", "r"), ("c2", "p"), ("c2", "q")],
+            cap=2,
+        )
+        assert set(out) == {("p", "q")}
+        # leaf degrees still count the capped center (Jaccard uses true degrees)
+        assert out[("p", "q")] == (1, 500000, 1 * 1_000_000 // (2 + 2 - 1))
+
+    def test_duplicate_edges_collapse(self, spark):
+        out = self._run(spark, [("c", "p"), ("c", "p"), ("c", "q")])
+        assert out[("p", "q")] == (1, 500000, 1_000_000)
+
+
+def _md5_pick(salt, walk_id, t, outdeg):
+    h = hashlib.md5(f"{salt}{walk_id}:{t}".encode()).hexdigest()
+    return int(h[:15], 16) % outdeg
+
+
+class TestRandomWalks:
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("c", "a"),
+        ("c", "sink"),
+    ]
+
+    def _walks(self, spark, length=5, n_walks=1, seeds=("a",)):
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        s = spark.createDataFrame([(x,) for x in seeds], "seed string")
+        rows = random_walks(e, s, length=length, n_walks=n_walks).collect()
+        walks: dict[str, dict[int, str]] = {}
+        for r in rows:
+            walks.setdefault(r.walk_id, {})[r.step] = r.node
+        return walks
+
+    def test_replays_md5_model_exactly(self, spark):
+        # adjacency ranked by dst: a->[b,c], b->[a,c], c->[a,sink]
+        adj = {"a": ["b", "c"], "b": ["a", "c"], "c": ["a", "sink"]}
+        walks = self._walks(spark, length=6)
+        w = walks["a"]
+        assert w[0] == "a"
+        node, t = "a", 1
+        while node in adj and t <= 6:
+            node = adj[node][_md5_pick("walk", "a", t, len(adj[node]))]
+            assert w[t] == node
+            t += 1
+        # walk either ran the full length or stopped exactly at the sink
+        assert len(w) == t
+
+    def test_sink_truncates(self, spark):
+        e = spark.createDataFrame([("s", "t")], "src string, dst string")
+        s = spark.createDataFrame([("s",)], "seed string")
+        rows = sorted(
+            (r.step, r.node) for r in random_walks(e, s, length=9).collect()
+        )
+        assert rows == [(0, "s"), (1, "t")]
+
+    def test_n_walks_distinct_ids_and_deterministic(self, spark):
+        w1 = self._walks(spark, length=4, n_walks=3)
+        assert set(w1) == {"a#0", "a#1", "a#2"}
+        w2 = self._walks(spark, length=4, n_walks=3)
+        assert w1 == w2
+
+    def test_every_hop_is_an_edge(self, spark):
+        eset = set(self.EDGES)
+        walks = self._walks(spark, length=8, n_walks=2, seeds=("a", "b", "c"))
+        for w in walks.values():
+            for t in range(1, max(w) + 1 if w else 0):
+                if t in w:
+                    assert (w[t - 1], w[t]) in eset
