@@ -9765,6 +9765,88 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_er_meta_blocking(spark, sf_dir):
+    """Meta-blocking candidate generation (operators/blocking.py::
+    meta_blocking; Papadakis et al. TKDE 2014) — the schema-agnostic
+    web-scale ER front-end upstream of pipeline/linking.py's matcher:
+    attribute-value blocking keys over customer profiles
+    (nation×segment plus two balance-bucket granularities, offset
+    non-negative so integer div agrees across engines), block purging
+    at 200, CBS edge weights, WNP pruning in integer micro-units.
+    Top-100 pairs by (cbs DESC, pair)."""
+    from rdf_diff_store_spark.operators.blocking import meta_blocking
+
+    cust = load_table(spark, sf_dir, "customer")
+    cid = F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))
+    keys = (
+        cust.select(
+            cid.alias("id"),
+            F.concat(
+                F.lit("ns:"),
+                F.col("c_nationkey").cast("string"),
+                F.lit(":"),
+                F.col("c_mktsegment"),
+            ).alias("block_key"),
+        )
+        .unionByName(
+            cust.select(
+                cid.alias("id"),
+                F.concat(F.lit("b1k:"), F.expr(
+                    "(cast(round(c_acctbal * 100) as bigint) + 100000) div 1000"
+                ).cast("string")).alias("block_key"),
+            )
+        )
+        .unionByName(
+            cust.select(
+                cid.alias("id"),
+                F.concat(F.lit("b10k:"), F.expr(
+                    "(cast(round(c_acctbal * 100) as bigint) + 100000) div 10000"
+                ).cast("string")).alias("block_key"),
+            )
+        )
+    )
+    return (
+        meta_blocking(keys, max_block_size=200)
+        .orderBy(F.desc("cbs"), "id_a", "id_b")
+        .limit(100)
+    )
+
+
+_ORACLE_R4["er_meta_blocking"] = """
+WITH k AS (
+  SELECT DISTINCT id, block_key FROM (
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+           'ns:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS block_key
+    FROM customer
+    UNION ALL
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+           'b1k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 1000 AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+           'b10k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS VARCHAR)
+    FROM customer)),
+bsize AS (SELECT block_key, COUNT(*) AS bs FROM k GROUP BY block_key),
+kept AS (
+  SELECT k.id, k.block_key FROM k JOIN bsize USING (block_key)
+  WHERE bs >= 2 AND bs <= 200),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS cbs
+  FROM kept a JOIN kept b ON a.block_key = b.block_key AND a.id < b.id
+  GROUP BY 1, 2),
+node_stat AS (
+  SELECT id, CAST((SUM(cbs) * 1000000) // COUNT(*) AS BIGINT) AS thr_micro
+  FROM (SELECT id_a AS id, cbs FROM pairs
+        UNION ALL SELECT id_b, cbs FROM pairs)
+  GROUP BY id)
+SELECT p.id_a, p.id_b, p.cbs
+FROM pairs p JOIN node_stat na ON na.id = p.id_a
+             JOIN node_stat nb ON nb.id = p.id_b
+WHERE p.cbs * 1000000 >= na.thr_micro OR p.cbs * 1000000 >= nb.thr_micro
+ORDER BY p.cbs DESC, p.id_a, p.id_b LIMIT 100
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
     FIRST 50 entries. The r04 window holds the 26 session-2 queries no
@@ -9934,6 +10016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_scc": q_web_scc,
         "kg_ra_linkpred": q_kg_ra_linkpred,
         "kg_random_walks": q_kg_random_walks,
+        "er_meta_blocking": q_er_meta_blocking,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their
