@@ -9716,7 +9716,9 @@ def q_kg_random_walks(spark, sf_dir):
     return random_walks(edges, seeds, length=6, n_walks=2)
 
 
-def _walks_oracle(length: int = 6, n_walks: int = 2, salt: str = "walk") -> str:
+def _walks_oracle(
+    length: int = 6, n_walks: int = 2, salt: str = "walk", final: str | None = None
+) -> str:
     sql = [
         """
 WITH e AS (
@@ -9758,11 +9760,98 @@ s{t} AS (
     sel = " UNION ALL ".join(
         f"SELECT walk_id, {t} AS step, node FROM s{t}" for t in range(length + 1)
     )
-    sql.append("\n" + sel)
+    if final is None:
+        sql.append("\n" + sel)
+    else:
+        sql.append(f",\nwalks AS ({sel})\n" + final)
     return "".join(sql)
 
 
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
+
+
+def q_kg_walk_cooc(spark, sf_dir):
+    """Skip-gram co-occurrence corpus (operators/graph.py::
+    walk_cooccurrence over random_walks) — the (center, context)
+    pair-count table DeepWalk/node2vec trainers consume, window 2,
+    over the same md5-deterministic nation-ring walks as
+    kg_random_walks. The whole chain (walk draws included) must
+    replay bit-identically for the oracle to match."""
+    from rdf_diff_store_spark.operators.graph import walk_cooccurrence
+
+    walks = q_kg_random_walks(spark, sf_dir)
+    return walk_cooccurrence(walks, window=2)
+
+
+def q_doc_textrank_keywords(spark, sf_dir):
+    """Corpus TextRank keywords (functions/text.py::textrank_keywords;
+    Mihalcea & Tarau EMNLP 2004) — top-30 words by integer PageRank
+    over the adjacent-token co-occurrence graph of the documents
+    table. The graph-based keyword ranker next to the frequency family
+    (tf-idf/PMI/BM25); the word graph is vocabulary-sized however big
+    the corpus, so the PageRank loop never sees corpus-scale rows."""
+    from rdf_diff_store_spark.functions.text import textrank_keywords
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        textrank_keywords(docs, iterations=4)
+        .orderBy(F.desc("rank_micro"), "word")
+        .limit(30)
+    )
+
+
+def _textrank_oracle(iterations: int = 4, damping: int = 85) -> str:
+    base = (1_000_000 * (100 - damping)) // 100
+    sql = [
+        r"""
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(lower(trim(text)), '\s+'), 1) - 1 AS pos,
+         unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+tt AS (SELECT doc_id, pos, w FROM t WHERE length(w) > 0),
+big AS (
+  SELECT DISTINCT LEAST(a.w, b.w) AS a, GREATEST(a.w, b.w) AS b
+  FROM tt a JOIN tt b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.w <> b.w),
+edges0 AS (SELECT a AS src, b AS dst FROM big UNION SELECT b, a FROM big),
+od AS (SELECT src, count(*) AS outdeg FROM edges0 GROUP BY src),
+edges AS (SELECT e.src, e.dst, o.outdeg FROM edges0 e JOIN od o USING (src)),
+nodes AS (SELECT src AS node FROM edges0 UNION SELECT dst FROM edges0),
+pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""
+    ]
+    for k in range(iterations):
+        sql.append(
+            f""",
+pr{k + 1} AS (
+  SELECT n.node,
+         CAST({base} + COALESCE(c.in_micro, 0) AS BIGINT) AS rank_micro
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM((p.rank_micro * {damping}) // (100 * e.outdeg)) AS in_micro
+    FROM edges e JOIN pr{k} p ON p.node = e.src
+    GROUP BY e.dst) c USING (node))"""
+        )
+    sql.append(
+        f"""
+SELECT node AS word, rank_micro FROM pr{iterations}
+ORDER BY rank_micro DESC, word LIMIT 30"""
+    )
+    return "".join(sql)
+
+
+_ORACLE_R4["doc_textrank_keywords"] = _textrank_oracle()
+
+
+_ORACLE_R4["kg_walk_cooc"] = _walks_oracle(
+    final="""
+SELECT LEAST(x.node, y.node) AS node_a,
+       GREATEST(x.node, y.node) AS node_b,
+       CAST(COUNT(*) AS BIGINT) AS n_cooc
+FROM walks x JOIN walks y
+  ON x.walk_id = y.walk_id AND y.step > x.step AND y.step <= x.step + 2
+GROUP BY 1, 2"""
+)
 
 
 def q_er_meta_blocking(spark, sf_dir):
@@ -10017,6 +10106,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ra_linkpred": q_kg_ra_linkpred,
         "kg_random_walks": q_kg_random_walks,
         "er_meta_blocking": q_er_meta_blocking,
+        "kg_walk_cooc": q_kg_walk_cooc,
+        "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
         #    SFs by check_oracle.py every round; they ceded their

@@ -1043,3 +1043,51 @@ def pld_of_hosts(
         .otherwise(F.coalesce(F.col("_matched"), F.col("_last2")))
         .alias("pld"),
     )
+
+
+def textrank_keywords(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    iterations: int = 4,
+    damping_pct: int = 85,
+):
+    """Corpus-level TextRank keyword extraction (Mihalcea & Tarau,
+    EMNLP 2004): rank words by integer-micro-unit PageRank over the
+    undirected word co-occurrence graph of ADJACENT tokens. The
+    graph-based complement of the frequency statistics in this module
+    (tf-idf weighs terms per doc, PMI scores pairs; TextRank scores a
+    word by the importance of its neighborhood — hub words of the
+    corpus's phrase structure). Returns (word, rank_micro).
+
+    Shape at 10^12 pages: the token stream is corpus-sized but the
+    WORD GRAPH is vocabulary-sized (distinct adjacent pairs), so the
+    expensive part is one lead-window pass per doc partition + one
+    distinct — everything after (the PageRank loop) runs on a frame
+    ~10^6 rows regardless of corpus size. Same bit-exact integer
+    `pagerank` as `kg_pagerank` (div micro-units, fixed iterations,
+    sink truncation), so the DuckDB twin unrolls it exactly.
+    """
+    from pyspark.sql import Window
+
+    from rdf_diff_store_spark.operators.graph import pagerank
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias(
+            "pos", "w"
+        ),
+    ).filter(F.length("w") > 0)
+    nxt = F.lead("w").over(Window.partitionBy("_d").orderBy("pos"))
+    bigrams = (
+        toks.select("w", nxt.alias("x"))
+        .filter(F.col("x").isNotNull() & (F.col("w") != F.col("x")))
+        .select(F.least("w", "x").alias("a"), F.greatest("w", "x").alias("b"))
+        .distinct()
+    )
+    edges = bigrams.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        bigrams.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    return pagerank(edges, iterations=iterations, damping_pct=damping_pct).select(
+        F.col("node").alias("word"), "rank_micro"
+    )

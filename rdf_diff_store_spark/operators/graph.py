@@ -936,3 +936,36 @@ def random_walks(
     for s in out[1:]:
         res = res.unionByName(s)
     return res
+
+
+def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
+    """Skip-gram co-occurrence counts over a random-walk corpus — the
+    (center, context) pair table word2vec-style node embedding
+    trainers (DeepWalk KDD 2014 §4.2, node2vec KDD 2016) consume, and
+    the input LINE/PTE-style edge-sampling trainers factorize. Pairs
+    are canonicalized (least, greatest) — skip-gram windows are
+    symmetric — and counted per unordered pair.
+
+    `walks`: (walk_id, step, node) from `random_walks`. One self-join
+    per corpus keyed on walk_id with a step-distance band predicate
+    (0 < Δstep ≤ window): walk rows are (length+1)-bounded, so the
+    per-key fanout is ≤ length·window — never a hub-degree blowup,
+    because the walk corpus has already linearized the graph (that is
+    the entire point of DeepWalk: co-occurrence statistics of bounded
+    walks stand in for the intractable adjacency power series).
+    """
+    x, y = walks.alias("x"), walks.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.walk_id") == F.col("y.walk_id"))
+            & (F.col("y.step") > F.col("x.step"))
+            & (F.col("y.step") <= F.col("x.step") + window),
+        )
+        .select(
+            F.least(F.col("x.node"), F.col("y.node")).alias("node_a"),
+            F.greatest(F.col("x.node"), F.col("y.node")).alias("node_b"),
+        )
+        .groupBy("node_a", "node_b")
+        .agg(F.count("*").cast("bigint").alias("n_cooc"))
+    )

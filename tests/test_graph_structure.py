@@ -145,3 +145,79 @@ class TestRandomWalks:
             for t in range(1, max(w) + 1 if w else 0):
                 if t in w:
                     assert (w[t - 1], w[t]) in eset
+
+
+def _int_pagerank(edges, iterations=4, damping=85):
+    """Pure-python mirror of operators.graph.pagerank's integer model."""
+    from collections import defaultdict
+
+    e = sorted(set(edges))
+    outdeg = defaultdict(int)
+    for s, _ in e:
+        outdeg[s] += 1
+    nodes = sorted({x for p in e for x in p})
+    base = (1_000_000 * (100 - damping)) // 100
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(iterations):
+        nxt = {n: base for n in nodes}
+        for s, d in e:
+            nxt[d] += (r[s] * damping) // (100 * outdeg[s])
+        r = nxt
+    return r
+
+
+class TestWalkCooccurrence:
+    def test_window_band_counts(self, spark):
+        from rdf_diff_store_spark.operators.graph import walk_cooccurrence
+
+        walks = spark.createDataFrame(
+            [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "a"), ("w", 3, "c")],
+            "walk_id string, step int, node string",
+        )
+        out = {
+            (r.node_a, r.node_b): r.n_cooc
+            for r in walk_cooccurrence(walks, window=2).collect()
+        }
+        # pairs within distance <= 2: (0,1)(0,2)(1,2)(1,3)(2,3)
+        assert out == {("a", "b"): 2, ("a", "a"): 1, ("a", "c"): 1, ("b", "c"): 1}
+
+    def test_walks_do_not_cross(self, spark):
+        from rdf_diff_store_spark.operators.graph import walk_cooccurrence
+
+        walks = spark.createDataFrame(
+            [("w1", 0, "a"), ("w1", 1, "b"), ("w2", 0, "c"), ("w2", 1, "d")],
+            "walk_id string, step int, node string",
+        )
+        out = {
+            (r.node_a, r.node_b)
+            for r in walk_cooccurrence(walks, window=4).collect()
+        }
+        assert out == {("a", "b"), ("c", "d")}
+
+
+class TestTextrank:
+    def test_matches_integer_pagerank_model(self, spark):
+        from rdf_diff_store_spark.functions.text import textrank_keywords
+
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the dog sat sat"), (3, "cat the")],
+            "doc_id long, text string",
+        )
+        # adjacent pairs (self-pairs dropped): doc1 the-cat, cat-sat;
+        # doc2 the-dog, dog-sat, sat-sat(drop); doc3 cat-the
+        und = {("cat", "the"), ("cat", "sat"), ("dog", "the"), ("dog", "sat")}
+        edges = sorted(und | {(b, a) for a, b in und})
+        expect = _int_pagerank(edges, iterations=4)
+        got = {r.word: r.rank_micro for r in textrank_keywords(docs).collect()}
+        assert got == expect
+
+    def test_case_fold_and_hub_ranks_highest(self, spark):
+        from rdf_diff_store_spark.functions.text import textrank_keywords
+
+        docs = spark.createDataFrame(
+            [(i, f"Hub term{i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        rows = textrank_keywords(docs).orderBy(F.desc("rank_micro")).collect()
+        assert rows[0].word == "hub"
+        assert all(r.word == r.word.lower() for r in rows)
