@@ -885,22 +885,44 @@ def random_walks(
     (walk_id, step, node) with step 0 = the seed; `n_walks` walks per
     seed get distinct walk_ids (seed ⧺ '#' ⧺ k).
 
-    Scale shape: the state frame holds exactly one row per LIVE walk,
-    so each of the `length` iterations is one hash join state⋈deg
-    (compute the draw) + one composite-key equi-join on (src, idx) —
-    NO neighbor fanout ever materializes (joining on src alone and
-    filtering idx would explode a 10^6-degree hub into 10^6 rows per
-    resident walk; the (src, idx) key makes the pick a lookup).
-    localCheckpoint each round cuts the lineage like every iterative
-    operator here. 10^9 walks × length 40 is 4·10^10 join-lookup rows
-    total — embarrassingly shuffle-parallel on the walk_id side.
+    Scale shape: the state frame holds exactly one row per LIVE walk
+    and carries the current node's out-degree, so each of the
+    `length` iterations is ONE composite-key equi-join on (src, idx)
+    — the pick is a lookup, and the landed row already contains the
+    NEXT node's out-degree (`dst_outdeg`, denormalized onto the
+    adjacency once at build time), so no per-step degree join exists
+    at all. NO neighbor fanout ever materializes (joining on src
+    alone and filtering idx would explode a 10^6-degree hub into
+    10^6 rows per resident walk). localCheckpoint each round cuts the
+    lineage like every iterative operator here. 10^9 walks × length
+    40 is 4·10^10 join-lookup rows total — embarrassingly
+    shuffle-parallel on the walk_id side; on a cluster the adjacency
+    side would live in a bucketed table on (src) so only the
+    walk-state side exchanges per step.
     """
     adj = edges.select("src", "dst").distinct()
     from pyspark.sql import Window
 
     idx = F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
-    adj_idx = adj.select("src", "dst", idx.alias("idx")).localCheckpoint()
+    adj_idx = adj.select("src", "dst", idx.alias("idx"))
     deg = adj_idx.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # denormalize the DESTINATION's out-degree onto each adjacency row:
+    # a walk that lands on dst then knows its own degree for the next
+    # draw without a second join per step (sinks carry 0)
+    adj_full = (
+        adj_idx.join(
+            deg.select(F.col("src").alias("dst"), F.col("outdeg").alias("dst_outdeg")),
+            "dst",
+            "left",
+        )
+        .select(
+            "src",
+            "idx",
+            "dst",
+            F.coalesce("dst_outdeg", F.lit(0)).alias("dst_outdeg"),
+        )
+        .localCheckpoint()
+    )
     starts = seeds.select("seed").distinct()
     if n_walks > 1:
         walks0 = starts.select(
@@ -911,7 +933,17 @@ def random_walks(
         )
     else:
         walks0 = starts.select(F.col("seed").alias("walk_id"), F.col("seed").alias("node"))
-    state = walks0.select("walk_id", F.lit(0).alias("step"), "node").localCheckpoint()
+    # seeds pay the degree join ONCE; steps never do
+    state = (
+        walks0.join(deg, walks0["node"] == deg["src"], "left")
+        .select(
+            "walk_id",
+            F.lit(0).alias("step"),
+            "node",
+            F.coalesce("outdeg", F.lit(0)).alias("odeg"),
+        )
+        .localCheckpoint()
+    )
     out = [state]
     for t in range(1, length + 1):
         draw = F.conv(
@@ -919,23 +951,27 @@ def random_walks(
             16,
             10,
         ).cast("long")
-        picked = (
-            state.join(deg, state["node"] == deg["src"])
-            .select("walk_id", (draw % F.col("outdeg")).alias("pick"), "node")
+        picked = state.filter(F.col("odeg") > 0).select(
+            "walk_id", (draw % F.col("odeg")).alias("pick"), "node"
         )
         state = (
             picked.join(
-                adj_idx,
-                (picked["node"] == adj_idx["src"]) & (picked["pick"] == adj_idx["idx"]),
+                adj_full,
+                (picked["node"] == adj_full["src"]) & (picked["pick"] == adj_full["idx"]),
             )
-            .select("walk_id", F.lit(t).alias("step"), F.col("dst").alias("node"))
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("dst").alias("node"),
+                F.col("dst_outdeg").alias("odeg"),
+            )
             .localCheckpoint()
         )
         out.append(state)
     res = out[0]
     for s in out[1:]:
         res = res.unionByName(s)
-    return res
+    return res.select("walk_id", "step", "node")
 
 
 def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:

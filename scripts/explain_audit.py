@@ -679,6 +679,28 @@ def main() -> None:
         )
     )
 
+    # -- session-19: wedge-join candidate generation plans ------------
+    p_ra = plan_of(qs["kg_ra_linkpred"](spark, sf_dir))
+    checks.append(
+        (
+            "kg_ra_linkpred: equi-join wedge minting, map-side-combined pair agg",
+            "BroadcastNestedLoopJoin" not in p_ra
+            and "partial_count" in p_ra
+            and len(_re.findall(r"hashpartitioning\(leaf_a", p_ra)) >= 1,
+            "pairs aggregate with partial_count on (leaf_a, leaf_b) keys",
+        )
+    )
+    p_mb = plan_of(qs["er_meta_blocking"](spark, sf_dir))
+    checks.append(
+        (
+            "er_meta_blocking: block purging below the pair self-join",
+            "BroadcastNestedLoopJoin" not in p_mb
+            and "<= 200" in p_mb
+            and ">= 2" in p_mb,
+            "bs in [2, 200] filter present, equi-join pairing only",
+        )
+    )
+
     failed = [c for c in checks if not c[1]]
     for name, ok, detail in checks:
         print(f"{'PASS' if ok else 'FAIL'}  {name} ({detail})")
