@@ -9625,6 +9625,72 @@ ORDER BY size DESC, scc_id LIMIT 200
 """
 
 
+def q_web_bowtie(spark, sf_dir):
+    """Bowtie decomposition (operators/graph.py::bowtie_classes;
+    Broder et al. WWW9 "Graph structure in the Web") — the canonical
+    web-graph census: every node classified core / in / out / disc
+    against the largest SCC. Fixture = the SCC ring graph plus
+    nation→region edges, so all four classes are non-empty (core =
+    the min-id nation ring, in = its customers, out = its region,
+    disc = the other rings' neighborhoods). Composes scc + two
+    set-frontier reachability sweeps (work ∝ painted regions)."""
+    from rdf_diff_store_spark.operators.graph import bowtie_classes
+
+    nation = load_table(spark, sf_dir, "nation")
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = _scc_edges(spark, sf_dir).unionByName(inreg)
+    return (
+        bowtie_classes(edges)
+        .groupBy("bowtie_class")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+
+
+_ORACLE_R4["web_bowtie"] = f"""
+WITH RECURSIVE {_SCC_EDGES_SQL.strip()},
+inreg AS (
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+         'region:' || CAST(n_regionkey AS VARCHAR) AS dst FROM nation),
+e2 AS (SELECT src, dst FROM edges UNION SELECT src, dst FROM inreg),
+reach AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e2 e ON r.dst = e.src),
+mutual AS (
+  SELECT f.src AS id, f.dst AS peer
+  FROM reach f JOIN reach b ON f.src = b.dst AND f.dst = b.src),
+nodes AS (SELECT src AS id FROM e2 UNION SELECT dst FROM e2),
+comp AS (
+  SELECT n.id, LEAST(n.id, COALESCE(MIN(m.peer), n.id)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON n.id = m.id
+  GROUP BY n.id),
+core AS (
+  SELECT scc_id FROM comp GROUP BY scc_id
+  ORDER BY COUNT(*) DESC, scc_id LIMIT 1),
+corem AS (SELECT id FROM comp JOIN core USING (scc_id)),
+fwd AS (SELECT DISTINCT r.dst AS id FROM reach r JOIN corem c ON r.src = c.id),
+bwd AS (SELECT DISTINCT r.src AS id FROM reach r JOIN corem c ON r.dst = c.id),
+cls AS (
+  -- classify over comp (one row per id): inside WITH RECURSIVE,
+  -- DuckDB evaluates the plain UNION in `nodes` as a bag union, so
+  -- counting nodes directly would double-count
+  SELECT n.id,
+         CASE WHEN cm.id IS NOT NULL THEN 'core'
+              WHEN b.id IS NOT NULL THEN 'in'
+              WHEN f.id IS NOT NULL THEN 'out'
+              ELSE 'disc' END AS bowtie_class
+  FROM comp n
+  LEFT JOIN corem cm ON cm.id = n.id
+  LEFT JOIN bwd b ON b.id = n.id
+  LEFT JOIN fwd f ON f.id = n.id)
+SELECT bowtie_class, CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM cls GROUP BY bowtie_class
+"""
+
+
 def q_kg_ra_linkpred(spark, sf_dir):
     """Neighborhood-overlap link prediction (operators/graph.py::
     wedge_overlap; Liben-Nowell & Kleinberg CIKM 2003, Resource
@@ -10103,6 +10169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_prov_lineage": q_kg_prov_lineage,
         # -- session-19 additions (web-graph structure + walk corpus) -
         "web_scc": q_web_scc,
+        "web_bowtie": q_web_bowtie,
         "kg_ra_linkpred": q_kg_ra_linkpred,
         "kg_random_walks": q_kg_random_walks,
         "er_meta_blocking": q_er_meta_blocking,

@@ -1005,3 +1005,101 @@ def walk_cooccurrence(walks: DataFrame, window: int = 2) -> DataFrame:
         .groupBy("node_a", "node_b")
         .agg(F.count("*").cast("bigint").alias("n_cooc"))
     )
+
+
+def reachable_set(
+    edges: DataFrame, sources: DataFrame, max_iterations: int = 60
+) -> DataFrame:
+    """Distinct nodes reachable (path length >= 1) from a source SET —
+    the set-valued sibling of `seeded_closure`: no per-seed tracking,
+    so the working frame is one row per REACHED NODE even when the
+    source set is a constant fraction of the graph (seeded_closure's
+    (seed, node) pairs would go quadratic for Broder-core-sized seed
+    sets — the web bowtie's core is ~28% of all nodes). Plain frontier
+    BFS: per iteration one hash join frontier⋈edges + one anti-join
+    against the reached set, eager checkpoints cut lineage.
+
+    `sources`: one column named `node`. Returns distinct (node) rows.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = (
+        sources.select("node")
+        .distinct()
+        .join(e, F.col("node") == F.col("src"))
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .localCheckpoint()
+    )
+    reached = frontier
+    for _ in range(max_iterations):
+        if frontier.count() == 0:
+            return reached
+        nxt = (
+            frontier.join(e, F.col("node") == F.col("src"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        frontier = nxt.join(reached, ["node"], "left_anti").localCheckpoint()
+        reached = reached.unionByName(frontier).localCheckpoint()
+    raise RuntimeError(f"reachable_set did not converge in {max_iterations} iterations")
+
+
+def bowtie_classes(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Broder et al.'s bowtie decomposition of a directed graph
+    ("Graph structure in the Web", WWW9 / Computer Networks 33, 2000):
+    every node classified against the largest strongly connected
+    component —
+
+        core — member of the largest SCC (ties: min scc_id),
+        in   — reaches the core but is not reached from it,
+        out  — reached from the core but does not reach it,
+        disc — neither (tendrils/tubes/islands, collapsed: telling
+               them apart needs tendril-of-IN bookkeeping the
+               headline census doesn't).
+
+    A node both reaching and reached by the core is mutually
+    reachable with it, hence IN the core — so the four classes
+    partition the node set and the CASE order below is exhaustive.
+
+    Composition of the session's primitives: `scc` finds the core
+    (host-graph-sized regime, see scc's scale note), one aggregate +
+    1-row cross-joinable argmax picks it, and TWO `reachable_set`
+    frontier sweeps (forward edges, reversed edges) paint IN and OUT
+    — work proportional to the painted regions, never all-pairs from
+    the fringe. Returns (id, bowtie_class).
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    comp = scc(e, max_iterations).localCheckpoint()
+    core_row = (
+        comp.groupBy("scc_id")
+        .agg(F.count("*").alias("sz"))
+        .orderBy(F.desc("sz"), "scc_id")
+        .limit(1)
+        .select(F.col("scc_id").alias("_core_id"))
+    )
+    core = comp.join(
+        core_row, comp["scc_id"] == core_row["_core_id"]
+    ).select("id")
+    fwd = reachable_set(e, core.select(F.col("id").alias("node")))
+    bwd = reachable_set(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        core.select(F.col("id").alias("node")),
+    )
+    return (
+        comp.select("id")
+        .join(core.withColumn("_c", F.lit(1)), "id", "left")
+        .join(
+            fwd.select(F.col("node").alias("id"), F.lit(1).alias("_f")), "id", "left"
+        )
+        .join(
+            bwd.select(F.col("node").alias("id"), F.lit(1).alias("_b")), "id", "left"
+        )
+        .select(
+            "id",
+            F.when(F.col("_c") == 1, F.lit("core"))
+            .when(F.col("_b") == 1, F.lit("in"))
+            .when(F.col("_f") == 1, F.lit("out"))
+            .otherwise(F.lit("disc"))
+            .alias("bowtie_class"),
+        )
+    )

@@ -221,3 +221,45 @@ class TestTextrank:
         rows = textrank_keywords(docs).orderBy(F.desc("rank_micro")).collect()
         assert rows[0].word == "hub"
         assert all(r.word == r.word.lower() for r in rows)
+
+
+class TestBowtie:
+    def _classes(self, spark, pairs):
+        from rdf_diff_store_spark.operators.graph import bowtie_classes
+
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        return {r.id: r.bowtie_class for r in bowtie_classes(df).collect()}
+
+    def test_textbook_bowtie(self, spark):
+        # in1 -> core(a<->b<->c) -> out1 -> out2; island x->y (acyclic)
+        out = self._classes(
+            spark,
+            [
+                ("a", "b"), ("b", "c"), ("c", "a"),
+                ("in1", "a"), ("c", "out1"), ("out1", "out2"),
+                ("x", "y"),
+            ],
+        )
+        assert out == {
+            "a": "core", "b": "core", "c": "core",
+            "in1": "in", "out1": "out", "out2": "out",
+            "x": "disc", "y": "disc",
+        }
+
+    def test_largest_scc_wins_and_min_id_tiebreak(self, spark):
+        # two 2-cycles; ('a','b') ring is the min-scc_id tie winner
+        out = self._classes(
+            spark, [("a", "b"), ("b", "a"), ("p", "q"), ("q", "p")]
+        )
+        assert out["a"] == out["b"] == "core"
+        assert out["p"] == out["q"] == "disc"
+
+    def test_reachable_set_is_set_not_pairs(self, spark):
+        from rdf_diff_store_spark.operators.graph import reachable_set
+
+        e = spark.createDataFrame(
+            [("s1", "m"), ("s2", "m"), ("m", "t")], "src string, dst string"
+        )
+        srcs = spark.createDataFrame([("s1",), ("s2",)], "node string")
+        rows = sorted(r.node for r in reachable_set(e, srcs).collect())
+        assert rows == ["m", "t"]  # one row per reached node, no seed column
