@@ -9836,6 +9836,54 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_er_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood blocking (operators/blocking.py::
+    sorted_neighborhood; Hernández & Stolfo SIGMOD 1995) — window-2
+    candidate pairs over the (segment, zero-padded balance) blocking
+    key: records with near-identical balances inside a segment sort
+    adjacent and pair, however their hash keys differ. The Spark plan
+    builds the global order TWO-LEVEL (per-prefix-bucket windows +
+    metadata-sized offset sum — no global-sort funnel); the oracle is
+    the DEFINITIONAL single ROW_NUMBER + band join, so the
+    decomposition is checked against the straight definition."""
+    from rdf_diff_store_spark.operators.blocking import sorted_neighborhood
+
+    cust = load_table(spark, sf_dir, "customer")
+    prof = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("id"),
+        F.concat(
+            F.col("c_mktsegment"),
+            F.lit(":"),
+            F.lpad(
+                F.expr("cast(round(c_acctbal * 100) as bigint) + 100000").cast(
+                    "string"
+                ),
+                7,
+                "0",
+            ),
+        ).alias("key"),
+    )
+    return (
+        sorted_neighborhood(prof, window=2, prefix_len=12)
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )
+
+
+_ORACLE_R4["er_sorted_neighborhood"] = """
+WITH rows AS (
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+         c_mktsegment || ':' ||
+         lpad(CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000 AS VARCHAR),
+              7, '0') AS key
+  FROM customer),
+g AS (SELECT id, key, ROW_NUMBER() OVER (ORDER BY key, id) AS gpos FROM rows)
+SELECT a.id AS id_a, b.id AS id_b
+FROM g a JOIN g b ON b.gpos > a.gpos AND b.gpos <= a.gpos + 2
+ORDER BY id_a, id_b LIMIT 200
+"""
+
+
 def q_kg_walk_cooc(spark, sf_dir):
     """Skip-gram co-occurrence corpus (operators/graph.py::
     walk_cooccurrence over random_walks) — the (center, context)
@@ -10173,6 +10221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ra_linkpred": q_kg_ra_linkpred,
         "kg_random_walks": q_kg_random_walks,
         "er_meta_blocking": q_er_meta_blocking,
+        "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -96,3 +96,75 @@ def meta_blocking(
         )
         .select("id_a", "id_b", "cbs")
     )
+
+
+def sorted_neighborhood(
+    profiles: DataFrame,
+    key_col: str = "key",
+    window: int = 3,
+    prefix_len: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernández & Stolfo, SIGMOD
+    1995): sort all profiles by a fabricated blocking key and emit
+    every pair within `window` positions of each other — the classic
+    complement to hash blocking (`meta_blocking`): typo'd keys that
+    hash apart still sort adjacent.
+
+    EXACT global-order semantics with no global sort: the total order
+    is built two-level, the way distributed sorted-neighborhood
+    implementations do it (Kolb et al., Dedoop / Load-Balanced SNM) —
+
+    1. bucket = the key's `prefix_len`-char prefix; prefix buckets
+       are CONTIGUOUS under lexicographic order, so per-bucket
+       `row_number` windows (hash-partitioned, no funnel) give local
+       positions;
+    2. bucket offsets = a running sum over the (bucket, count) frame
+       — metadata-sized (|buckets| rows), the only single-partition
+       window anywhere;
+    3. global_pos = offset + local pos. Pairs join band-to-band
+       (band = global_pos div window, probe band and band+1), so the
+       neighborhood predicate is two equi-joins + a filter — never a
+       BroadcastNestedLoopJoin range join.
+
+    Returns (id_a, id_b) with id_a the earlier row in sort order —
+    windows CROSS bucket boundaries exactly (the two-level order is
+    the true global order), which naive per-partition variants lose.
+    """
+    rows = profiles.select(
+        F.col("id"), F.col(key_col).alias("_key"),
+        F.substring(F.col(key_col), 1, prefix_len).alias("_bucket"),
+    )
+    from pyspark.sql import Window as W
+
+    pos = F.row_number().over(W.partitionBy("_bucket").orderBy("_key", "id"))
+    local = rows.select("id", "_key", "_bucket", pos.alias("_pos"))
+    counts = rows.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    off = counts.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_cnt").over(
+                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    g = local.join(off, "_bucket").select(
+        "id", (F.col("_off") + F.col("_pos")).cast("bigint").alias("_g")
+    )
+    banded = g.select("id", "_g", F.expr(f"_g div {window}").alias("_band"))
+    a = banded.alias("a")
+    pairs = None
+    # a pair (g, g') with g < g' <= g + window has band' in {band,
+    # band+1}, and in exactly ONE of them — the two shifted equi-joins
+    # partition the band predicate, so no distinct is needed
+    for shift in (0, 1):
+        b = banded.select(
+            F.col("id").alias("id_b"),
+            F.col("_g").alias("_gb"),
+            (F.col("_band") - shift).alias("_band"),
+        ).alias("b")
+        part = a.join(b, "_band").filter(
+            (F.col("_gb") > F.col("_g")) & (F.col("_gb") <= F.col("_g") + window)
+        )
+        pairs = part if pairs is None else pairs.unionByName(part)
+    return pairs.select(F.col("a.id").alias("id_a"), "id_b")

@@ -57,3 +57,37 @@ def test_block_purging_drops_oversize_and_singleton_blocks(spark):
 def test_duplicate_assignments_collapse(spark):
     out = _run(spark, [("A", "k"), ("A", "k"), ("B", "k")])
     assert out == {("A", "B"): 1}
+
+
+class TestSortedNeighborhood:
+    def _pairs(self, spark, rows, **kw):
+        from rdf_diff_store_spark.operators.blocking import sorted_neighborhood
+
+        df = spark.createDataFrame(rows, "id string, key string")
+        return sorted(
+            (r.id_a, r.id_b) for r in sorted_neighborhood(df, **kw).collect()
+        )
+
+    def test_window_pairs_match_definition(self, spark):
+        rows = [("r1", "aa"), ("r2", "ab"), ("r3", "ba"), ("r4", "bb")]
+        # sort order r1 r2 r3 r4; window 2 pairs: 12 13 23 24 34
+        assert self._pairs(spark, rows, window=2, prefix_len=1) == [
+            ("r1", "r2"), ("r1", "r3"), ("r2", "r3"), ("r2", "r4"), ("r3", "r4")
+        ]
+
+    def test_pairs_cross_bucket_boundaries(self, spark):
+        # prefix buckets 'a' and 'b': the (r2, r3) pair crosses them
+        rows = [("r1", "a1"), ("r2", "a2"), ("r3", "b1")]
+        assert ("r2", "r3") in self._pairs(spark, rows, window=1, prefix_len=1)
+
+    def test_key_ties_break_by_id(self, spark):
+        rows = [("rB", "k"), ("rA", "k"), ("rC", "k")]
+        assert self._pairs(spark, rows, window=1, prefix_len=1) == [
+            ("rA", "rB"), ("rB", "rC")
+        ]
+
+    def test_no_duplicate_pairs_across_band_shifts(self, spark):
+        rows = [(f"r{i:02d}", f"k{i:02d}") for i in range(20)]
+        pairs = self._pairs(spark, rows, window=3, prefix_len=2)
+        assert len(pairs) == len(set(pairs))
+        assert len(pairs) == 3 * 20 - (1 + 2 + 3)  # band-edge exactness
