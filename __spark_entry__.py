@@ -9836,6 +9836,130 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_doc_containment_topk(spark, sf_dir):
+    """Asymmetric containment dedup (operators/dedup.py::
+    containment_scores; Broder SEQUENCES 1997 §2) — near-SUBSET copy
+    detection over the same winnowing fingerprints as
+    doc_shared_spans: quoted pages, boilerplate-wrapped syndication,
+    snippet farms that Jaccard misses when the host page dwarfs the
+    copy. Max-direction containment in exact integer percent;
+    df-capped inverted index (intersection is a conservative
+    undercount, set sizes exact). Top-50 by (containment_pct, pair)."""
+    from rdf_diff_store_spark.operators.dedup import bind_once, containment_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.lower(F.col("text"))
+
+    def gram_hashes(s):
+        n = F.greatest(F.length(s) - 11, F.lit(1))
+        return F.transform(
+            F.sequence(F.lit(1), n), lambda i: F.md5(s.substr(i, F.lit(12)))
+        )
+
+    def window_mins(hs):
+        n = F.greatest(F.size(hs) - 7, F.lit(1))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n), lambda i: F.array_min(F.slice(hs, i, 8))
+            )
+        )
+
+    fps = bind_once(bind_once(t, gram_hashes), window_mins)
+    ex = docs.select("doc_id", F.explode(fps).alias("fp"))
+    return (
+        containment_scores(ex, max_df=20)
+        .orderBy(F.desc("containment_pct"), "doc_a", "doc_b")
+        .limit(50)
+    )
+
+
+_ORACLE_R4["doc_containment_topk"] = """
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+h AS (SELECT doc_id,
+             list_transform(generate_series(1, greatest(length(s) - 11, 1)),
+                            i -> md5(substr(s, i, 12))) AS hs
+      FROM t),
+m AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(hs) - 7, 1)),
+                                          i -> list_min(hs[i:i+7]))) AS fps
+      FROM h),
+ex AS (SELECT doc_id, unnest(fps) AS fp FROM m),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ex GROUP BY doc_id),
+keep AS (SELECT fp FROM ex GROUP BY fp HAVING count(*) BETWEEN 2 AND 20),
+cand AS (SELECT doc_id, fp FROM ex JOIN keep USING (fp)),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(count(*) AS BIGINT) AS inter
+          FROM cand a JOIN cand b USING (fp)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b, i.inter, sa.n AS size_a, sb.n AS size_b,
+       CAST((i.inter * 100) // LEAST(sa.n, sb.n) AS BIGINT) AS containment_pct
+FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+             JOIN sizes sb ON sb.doc_id = i.doc_b
+ORDER BY containment_pct DESC, doc_a, doc_b LIMIT 50
+"""
+
+
+def q_kg_hop_distance(spark, sf_dir):
+    """Seeded BFS hop distances (operators/graph.py::
+    seeded_distances) — min hop count from nation:0 and nation:7 over
+    the ring + inRegion graph: the crawl-depth / KG-relatedness
+    distance feature next to personalized_pagerank's mass-based one.
+    First-discovery BFS = min distance with no aggregation pass; the
+    oracle is a bounded recursive CTE with MIN(dist), cross-checking
+    that claim."""
+    from rdf_diff_store_spark.operators.graph import seeded_distances
+
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    edges = nn.unionByName(ring).unionByName(inreg)
+    seeds = spark.createDataFrame([("nation:0",), ("nation:7",)], ["seed"])
+    return seeded_distances(edges, seeds)
+
+
+_ORACLE_R4["kg_hop_distance"] = """
+WITH RECURSIVE e AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+seeds AS (SELECT 'nation:0' AS seed UNION ALL SELECT 'nation:7'),
+walkr AS (
+  SELECT s.seed, e.dst AS node, 1 AS dist FROM seeds s JOIN e ON e.src = s.seed
+  UNION
+  SELECT r.seed, e.dst, r.dist + 1 FROM walkr r JOIN e ON e.src = r.node
+  WHERE r.dist < 15)
+SELECT seed, node, MIN(dist) AS dist FROM walkr GROUP BY seed, node
+"""
+
+
 def q_er_sorted_neighborhood(spark, sf_dir):
     """Sorted-neighborhood blocking (operators/blocking.py::
     sorted_neighborhood; Hernández & Stolfo SIGMOD 1995) — window-2
@@ -10222,6 +10346,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_random_walks": q_kg_random_walks,
         "er_meta_blocking": q_er_meta_blocking,
         "er_sorted_neighborhood": q_er_sorted_neighborhood,
+        "kg_hop_distance": q_kg_hop_distance,
+        "doc_containment_topk": q_doc_containment_topk,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -402,3 +402,62 @@ def simhash_signature(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
             yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
 
     return df.select(id_col, text_col).mapInPandas(_simhash, f"{id_col} long, simhash long")
+
+
+def containment_scores(fps: DataFrame, max_df: int = 20) -> DataFrame:
+    """ASYMMETRIC containment scoring over document fingerprint sets
+    (Broder, "On the resemblance and containment of documents", SEQUENCES
+    1997 §2 — containment c(A,B) = |A∩B| / |A|, the quantity resemblance/
+    Jaccard deliberately symmetrizes away): detects near-SUBSET copies —
+    a page quoted inside a larger page, boilerplate-wrapped syndication,
+    snippet farms — which Jaccard misses whenever the host document is
+    much larger than the copied one (|A∩B|/|A∪B| → 0 as |B| grows, while
+    c(A,B) stays ≈ 1).
+
+    `fps`: (doc_id, fp) fingerprint assignments (winnowing fingerprints,
+    shingle hashes — any set-valued signature). Returns one row per
+    co-fingerprinted pair (doc_a < doc_b): intersection size, both set
+    sizes, and `containment_pct` = the max-direction containment
+    |A∩B|·100 div min(|A|,|B|) — exact integer math, engine-portable.
+
+    Scale shape: the inverted index is df-capped ([2, max_df]) exactly
+    like `doc_shared_spans`/`mirror_hosts` — a boilerplate fingerprint
+    in 10^9 docs would mint 10^18 pairs; capped fingerprints make the
+    intersection an UNDERCOUNT, so thresholds are on a conservative
+    lower bound (the standard stopword-removal semantics of every
+    inverted-index dedup here). Set sizes count ALL fingerprints
+    (one combinable agg before the cap), so the denominator is exact;
+    the pair shuffle carries ids + one count only."""
+    ex = fps.select("doc_id", "fp").distinct()
+    sizes = ex.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n"))
+    keep = (
+        ex.groupBy("fp")
+        .agg(F.count("*").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    cand = ex.join(keep, "fp")
+    inter = (
+        cand.alias("a")
+        .join(
+            cand.alias("b"),
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("bigint").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("size_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("size_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            F.expr("(inter * 100) div least(size_a, size_b)")
+            .cast("bigint")
+            .alias("containment_pct"),
+        )
+    )

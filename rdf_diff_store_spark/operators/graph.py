@@ -1103,3 +1103,48 @@ def bowtie_classes(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
             .alias("bowtie_class"),
         )
     )
+
+
+def seeded_distances(
+    edges: DataFrame, seeds: DataFrame, max_iterations: int = 60
+) -> DataFrame:
+    """Minimum hop distance from each seed (frontier BFS with a step
+    counter) — `seeded_closure` upgraded from reachability to
+    distance. Returns (seed, node, dist) with dist >= 1; a node is
+    emitted at its FIRST discovery, which under BFS is provably its
+    minimum distance, so no min-aggregation pass is needed.
+
+    The hop-distance feature the crawl-curation and entity-linking
+    sides both consume: URL frontier depth from seed hosts
+    (politeness/priority tiers), KG hop distance from unambiguous
+    context entities (the relatedness signal next to
+    `personalized_pagerank`'s mass-based one). Work ∝ the answer
+    (frontier-sized joins), never all-pairs.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    frontier = (
+        seeds.select("seed")
+        .distinct()
+        .join(e, F.col("seed") == F.col("src"))
+        .select("seed", F.col("dst").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(1))
+        .localCheckpoint()
+    )
+    reached = frontier
+    for t in range(2, max_iterations + 2):
+        if frontier.count() == 0:
+            return reached
+        nxt = (
+            frontier.join(e, F.col("node") == F.col("src"))
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(t))
+        )
+        frontier = nxt.join(
+            reached, ["seed", "node"], "left_anti"
+        ).localCheckpoint()
+        reached = reached.unionByName(frontier).localCheckpoint()
+    raise RuntimeError(
+        f"seeded_distances did not converge in {max_iterations} iterations"
+    )

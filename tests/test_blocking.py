@@ -91,3 +91,38 @@ class TestSortedNeighborhood:
         pairs = self._pairs(spark, rows, window=3, prefix_len=2)
         assert len(pairs) == len(set(pairs))
         assert len(pairs) == 3 * 20 - (1 + 2 + 3)  # band-edge exactness
+
+
+class TestContainmentScores:
+    def _run(self, spark, assignments, max_df=20):
+        from rdf_diff_store_spark.operators.dedup import containment_scores
+
+        df = spark.createDataFrame(assignments, "doc_id long, fp string")
+        return {
+            (r.doc_a, r.doc_b): (
+                r.inter, r.size_a, r.size_b, r.containment_pct
+            )
+            for r in containment_scores(df, max_df=max_df).collect()
+        }
+
+    def test_subset_copy_scores_100_where_jaccard_is_low(self, spark):
+        # doc 2 (big) fully contains doc 1 (small): containment 100,
+        # while Jaccard would be 3/10 = 30
+        asg = [(1, f"f{i}") for i in range(3)] + [(2, f"f{i}") for i in range(10)]
+        out = self._run(spark, asg)
+        assert out[(1, 2)] == (3, 3, 10, 100)
+
+    def test_denominator_counts_uncapped_fps(self, spark):
+        # 'stop' is in 3 docs > max_df=2: purged from the intersection
+        # but still counted in every set size (conservative undercount)
+        asg = [
+            (1, "stop"), (1, "x"),
+            (2, "stop"), (2, "x"),
+            (3, "stop"),
+        ]
+        out = self._run(spark, asg, max_df=2)
+        assert out == {(1, 2): (1, 2, 2, 50)}
+
+    def test_no_shared_fp_no_row(self, spark):
+        out = self._run(spark, [(1, "a"), (2, "b")])
+        assert out == {}

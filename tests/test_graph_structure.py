@@ -263,3 +263,44 @@ class TestBowtie:
         srcs = spark.createDataFrame([("s1",), ("s2",)], "node string")
         rows = sorted(r.node for r in reachable_set(e, srcs).collect())
         assert rows == ["m", "t"]  # one row per reached node, no seed column
+
+
+class TestSeededDistances:
+    def test_min_distance_wins_over_longer_path(self, spark):
+        from rdf_diff_store_spark.operators.graph import seeded_distances
+
+        # s -> a -> b -> t  and shortcut s -> t
+        e = spark.createDataFrame(
+            [("s", "a"), ("a", "b"), ("b", "t"), ("s", "t")],
+            "src string, dst string",
+        )
+        seeds = spark.createDataFrame([("s",)], "seed string")
+        out = {
+            (r.seed, r.node): r.dist for r in seeded_distances(e, seeds).collect()
+        }
+        assert out == {("s", "a"): 1, ("s", "t"): 1, ("s", "b"): 2}
+
+    def test_cycle_terminates_and_self_distance(self, spark):
+        from rdf_diff_store_spark.operators.graph import seeded_distances
+
+        e = spark.createDataFrame(
+            [("s", "m"), ("m", "s")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("s",)], "seed string")
+        out = {
+            (r.seed, r.node): r.dist for r in seeded_distances(e, seeds).collect()
+        }
+        # the seed itself is reachable at distance 2 around the cycle
+        assert out == {("s", "m"): 1, ("s", "s"): 2}
+
+    def test_per_seed_independence(self, spark):
+        from rdf_diff_store_spark.operators.graph import seeded_distances
+
+        e = spark.createDataFrame(
+            [("s1", "x"), ("x", "y"), ("s2", "y")], "src string, dst string"
+        )
+        seeds = spark.createDataFrame([("s1",), ("s2",)], "seed string")
+        out = {
+            (r.seed, r.node): r.dist for r in seeded_distances(e, seeds).collect()
+        }
+        assert out == {("s1", "x"): 1, ("s1", "y"): 2, ("s2", "y"): 1}
