@@ -9836,6 +9836,103 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_web_anf(spark, sf_dir):
+    """HyperBall / approximate neighborhood function (operators/
+    graph.py::hyperball; Palmer ANF KDD 2002, Boldi-Vigna 2013) —
+    per-node HLL estimates of the 3-hop out-ball over the nation
+    ring + inRegion graph, b=4 (16 registers). The sketch-state
+    alternative to exact reachability (constant memory per node at
+    10^10 nodes; merge = register max absorbs hub in-degree
+    map-side). The oracle unrolls all 3 merge iterations over the
+    md5-positional registers and matches the raw estimator
+    BIGINT-exactly."""
+    from rdf_diff_store_spark.operators.graph import hyperball
+
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return hyperball(nn.unionByName(ring).unionByName(inreg), radius=3, b=4)
+
+
+def _anf_oracle(radius: int = 3) -> str:
+    # b=4: 1 hex register digit, 13-digit (52-bit) rank tail; m=16,
+    # alpha_16=0.673 -> C literal must equal Spark's F.lit(c) double
+    c_lit = repr(0.673 * 16 * 16 * 2**53)
+    sql = [
+        """
+WITH e AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
+         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
+                                '0')) AS INT) AS maxrank
+  FROM nodes)"""
+    ]
+    for t in range(1, radius + 1):
+        sql.append(
+            f""",
+h{t} AS (
+  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
+    SELECT node, reg, maxrank FROM h{t - 1}
+    UNION ALL
+    SELECT e.src AS node, h.reg, h.maxrank
+    FROM e JOIN h{t - 1} h ON h.node = e.dst)
+  GROUP BY node, reg)"""
+        )
+    sql.append(
+        f""",
+agg AS (
+  SELECT node, CAST(count(*) AS INT) AS n_regs,
+         CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
+  FROM h{radius} GROUP BY node),
+est AS (
+  SELECT node, n_regs,
+         present_sum + CAST(16 - n_regs AS BIGINT) *
+           CAST(9007199254740992 AS BIGINT) AS sum_scaled
+  FROM agg)
+SELECT node, n_regs, sum_scaled,
+       CAST(floor({c_lit} / sum_scaled) AS BIGINT) AS est_distinct
+FROM est"""
+    )
+    return "".join(sql)
+
+
+_ORACLE_R4["web_anf"] = _anf_oracle()
+
+
 def q_doc_containment_topk(spark, sf_dir):
     """Asymmetric containment dedup (operators/dedup.py::
     containment_scores; Broder SEQUENCES 1997 §2) — near-SUBSET copy
@@ -10348,6 +10445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "kg_hop_distance": q_kg_hop_distance,
         "doc_containment_topk": q_doc_containment_topk,
+        "web_anf": q_web_anf,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -1148,3 +1148,51 @@ def seeded_distances(
     raise RuntimeError(
         f"seeded_distances did not converge in {max_iterations} iterations"
     )
+
+
+def hyperball(edges: DataFrame, radius: int = 3, b: int = 8) -> DataFrame:
+    """HyperBall / approximate neighborhood function (Palmer et al.
+    "ANF", KDD 2002; Boldi & Vigna "HyperBall", 2013): for every node,
+    a HyperLogLog estimate of |ball(v, radius)| — how many nodes are
+    reachable from v in ≤ radius hops (v itself included). THE
+    web-graph distance tool at 10^10 nodes: exact per-node
+    reachability is Σ|reach| rows (`scc`'s closure regime), while
+    HyperBall's whole state is m registers per node, FOREVER, and one
+    iteration is
+
+        H_t(v) = merge(H_{t-1}(v), ⋃_{v→u} H_{t-1}(u))
+
+    = one edge join + one (node, reg) max-aggregation — the register
+    union is MAX, so partial aggregation absorbs hub in-degrees
+    map-side exactly like `pagerank`'s contribution sums. Composes
+    the repo's portable md5-positional HLL (`operators/sketch.py`):
+    registers are bit-identical in DuckDB, so the oracle unrolls the
+    whole iteration and the raw estimator matches BIGINT-exactly.
+
+    Returns `hll_estimate` output per node: (node, n_regs,
+    sum_scaled, est_distinct) for the radius-ball. Neighborhood
+    function N(t) = Σ_v |ball(v, t)| follows by summing est_distinct;
+    effective-diameter curves by running with increasing radius.
+    """
+    from rdf_diff_store_spark.operators.sketch import hll_estimate, hll_registers
+
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
+    ).localCheckpoint()
+    for _ in range(radius):
+        contrib = e.join(regs, e["dst"] == regs["node"]).select(
+            e["src"].alias("node"), "reg", "maxrank"
+        )
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "reg")
+            .agg(F.max("maxrank").alias("maxrank"))
+            .localCheckpoint()
+        )
+    return hll_estimate(regs, ["node"], b)

@@ -304,3 +304,42 @@ class TestSeededDistances:
             (r.seed, r.node): r.dist for r in seeded_distances(e, seeds).collect()
         }
         assert out == {("s1", "x"): 1, ("s1", "y"): 2, ("s2", "y"): 1}
+
+
+class TestHyperball:
+    def test_equals_sketch_of_exact_ball(self, spark):
+        from rdf_diff_store_spark.operators.graph import hyperball
+        from rdf_diff_store_spark.operators.sketch import hll_distinct
+
+        # chain a->b->c->d plus shortcut a->c
+        edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "c")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: (r.n_regs, r.sum_scaled, r.est_distinct)
+            for r in hyperball(e, radius=2, b=4).collect()
+        }
+        # exact 2-hop out-balls (incl. self)
+        balls = {
+            "a": {"a", "b", "c", "d"},
+            "b": {"b", "c", "d"},
+            "c": {"c", "d"},
+            "d": {"d"},
+        }
+        members = spark.createDataFrame(
+            [(n, m) for n, ms in balls.items() for m in ms],
+            "node string, member string",
+        )
+        want = {
+            r.node: (r.n_regs, r.sum_scaled, r.est_distinct)
+            for r in hll_distinct(members, ["node"], "member", b=4).collect()
+        }
+        # HyperBall's iterated merge must equal the sketch of the
+        # exact ball REGISTER-FOR-REGISTER (merge is lossless max)
+        assert got == want
+
+    def test_radius_zero_is_singleton(self, spark):
+        from rdf_diff_store_spark.operators.graph import hyperball
+
+        e = spark.createDataFrame([("a", "b")], "src string, dst string")
+        out = {r.node: r.n_regs for r in hyperball(e, radius=0, b=4).collect()}
+        assert out == {"a": 1, "b": 1}
