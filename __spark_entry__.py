@@ -9836,6 +9836,73 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_web_dust_rules(spark, sf_dir):
+    """DUST rule discovery (operators/crawl.py::dust_rules;
+    Bar-Yossef et al. WWW 2007) — learn single-token URL rewrite
+    rules from same-content URL pairs: every second doc also serves
+    under /print/ (the discoverable rule), every third under a
+    per-doc ?session= suffix (support-1 noise the min_support floor
+    drops). df-capped hash index, one zip_with token alignment per
+    pair, canonicalized rules. Top-50 by (support DESC, rule)."""
+    from rdf_diff_store_spark.operators.crawl import dust_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    host = F.concat(F.lit("https://site"), (d % 20).cast("string"), F.lit(".example.org"))
+    ch = F.md5(F.col("text")).alias("content_hash")
+    base = docs.select(
+        F.concat(host, F.lit("/p/"), d.cast("string")).alias("url"), ch
+    )
+    printed = docs.filter(d % 2 == 0).select(
+        F.concat(host, F.lit("/print/"), d.cast("string")).alias("url"), ch
+    )
+    sessioned = docs.filter(d % 3 == 0).select(
+        F.concat(host, F.lit("/p/"), d.cast("string"), F.lit("?session=x")).alias(
+            "url"
+        ),
+        ch,
+    )
+    pages = base.unionByName(printed).unionByName(sessioned)
+    return (
+        dust_rules(pages, max_hash_df=10, min_support=2)
+        .orderBy(F.desc("support"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+_ORACLE_R4["web_dust_rules"] = """
+WITH d2 AS (
+  SELECT doc_id % 20 AS h, doc_id, md5(text) AS ch FROM documents),
+pages AS (
+  SELECT 'https://site' || h || '.example.org/p/' || doc_id AS url, ch FROM d2
+  UNION ALL
+  SELECT 'https://site' || h || '.example.org/print/' || doc_id, ch
+  FROM d2 WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT 'https://site' || h || '.example.org/p/' || doc_id || '?session=x', ch
+  FROM d2 WHERE doc_id % 3 = 0),
+p AS (SELECT DISTINCT url, ch AS content_hash FROM pages),
+keep AS (SELECT content_hash FROM p GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10),
+sized AS (SELECT p.url, p.content_hash FROM p JOIN keep USING (content_hash)),
+pairs AS (
+  SELECT a.url AS ua, b.url AS ub
+  FROM sized a JOIN sized b
+    ON a.content_hash = b.content_hash AND a.url < b.url),
+tok AS (
+  SELECT len(string_split(ua, '/')) = len(string_split(ub, '/')) AS same_len,
+         list_filter(list_zip(string_split(ua, '/'), string_split(ub, '/')),
+                     x -> x[1] <> x[2]) AS d
+  FROM pairs),
+cand AS (
+  SELECT LEAST(d[1][1], d[1][2]) AS tok_a,
+         GREATEST(d[1][1], d[1][2]) AS tok_b
+  FROM tok WHERE same_len AND len(d) = 1)
+SELECT tok_a, tok_b, CAST(COUNT(*) AS BIGINT) AS support
+FROM cand GROUP BY 1, 2 HAVING COUNT(*) >= 2
+ORDER BY support DESC, tok_a, tok_b LIMIT 50
+"""
+
+
 def q_web_anf(spark, sf_dir):
     """HyperBall / approximate neighborhood function (operators/
     graph.py::hyperball; Palmer ANF KDD 2002, Boldi-Vigna 2013) —
@@ -10446,6 +10513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_hop_distance": q_kg_hop_distance,
         "doc_containment_topk": q_doc_containment_topk,
         "web_anf": q_web_anf,
+        "web_dust_rules": q_web_dust_rules,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -364,3 +364,68 @@ def mirror_hosts(
         .filter(F.col("jaccard_pct") >= min_jaccard_pct)
         .select("host_a", "host_b", "shared", "size_a", "size_b", "jaccard_pct")
     )
+
+
+def dust_rules(
+    pages: DataFrame,
+    max_hash_df: int = 10,
+    min_support: int = 2,
+) -> DataFrame:
+    """DUST rule discovery (Bar-Yossef, Keidar, Schonfeld — "Do Not
+    Crawl in the DUST: Different URLs with Similar Text", WWW 2007),
+    restricted to single-token path substitutions: from pairs of URLs
+    serving the SAME content, learn rewrite rules tok_a → tok_b
+    ("print" ≡ "p", "index.html" ≡ "", session-id slots) whose
+    support clears `min_support` distinct url pairs. Applying learned
+    rules BEFORE fetch is how crawlers avoid re-downloading mirrored
+    spellings of pages they already hold — upstream of
+    `normalize_url`'s static rules and complementary to
+    `mirror_hosts`' whole-host detection.
+
+    `pages`: (url, content_hash). Candidate pairs are minted through
+    the df-capped content-hash inverted index (the `mirror_hosts`
+    discipline — a 10^5-url empty-page hash would otherwise mint
+    10^10 pairs), then each pair aligns its '/'-token vectors with
+    ONE zip_with array expression (pure JVM, no Python): pairs whose
+    vectors have equal length and differ in EXACTLY one position
+    yield that position's (tok_a, tok_b) as a rule candidate; one
+    combinable count per rule finishes. Rules are canonicalized
+    (tok_a < tok_b) so both substitution directions accumulate into
+    one support count.
+    """
+    p = pages.select("url", "content_hash").distinct()
+    sized = p.join(
+        p.groupBy("content_hash")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_hash_df))
+        .select("content_hash"),
+        "content_hash",
+    )
+    a, b = sized.alias("a"), sized.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.content_hash") == F.col("b.content_hash"))
+        & (F.col("a.url") < F.col("b.url")),
+    ).select(F.col("a.url").alias("ua"), F.col("b.url").alias("ub"))
+    ta, tb = F.split(F.col("ua"), "/"), F.split(F.col("ub"), "/")
+    zipped = F.zip_with(
+        ta, tb, lambda x, y: F.struct((x != y).alias("d"), x.alias("x"), y.alias("y"))
+    )
+    diffs = F.filter(zipped, lambda s: s["d"])
+    cand = (
+        pairs.select(
+            (F.size(ta) == F.size(tb)).alias("same_len"),
+            F.size(diffs).alias("n_diff"),
+            F.element_at(diffs, 1).alias("sub"),
+        )
+        .filter(F.col("same_len") & (F.col("n_diff") == 1))
+        .select(
+            F.least(F.col("sub.x"), F.col("sub.y")).alias("tok_a"),
+            F.greatest(F.col("sub.x"), F.col("sub.y")).alias("tok_b"),
+        )
+    )
+    return (
+        cand.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .filter(F.col("support") >= min_support)
+    )

@@ -474,3 +474,44 @@ class TestMirrorHosts:
         rows = [("a", "x"), ("a", "x"), ("b", "x")]
         out = self._run(spark, rows, min_jaccard_pct=0)
         assert out[("a", "b")] == (1, 1, 1, 100)
+
+
+class TestDustRules:
+    def _rules(self, spark, rows, **kw):
+        from rdf_diff_store_spark.operators.crawl import dust_rules
+
+        df = spark.createDataFrame(rows, "url string, content_hash string")
+        return {
+            (r.tok_a, r.tok_b): r.support for r in dust_rules(df, **kw).collect()
+        }
+
+    def test_single_token_rule_with_support(self, spark):
+        rows = [
+            ("https://h/p/1", "c1"), ("https://h/print/1", "c1"),
+            ("https://h/p/2", "c2"), ("https://h/print/2", "c2"),
+        ]
+        assert self._rules(spark, rows) == {("p", "print"): 2}
+
+    def test_multi_token_diff_and_length_mismatch_mint_nothing(self, spark):
+        rows = [
+            # two tokens differ
+            ("https://h/a/1", "c1"), ("https://x/b/1", "c1"),
+            # token counts differ
+            ("https://h/p/2", "c2"), ("https://h/p/2/index.html", "c2"),
+        ]
+        assert self._rules(spark, rows, min_support=1) == {}
+
+    def test_rule_directions_canonicalize(self, spark):
+        rows = [
+            ("https://h/aa/1", "c1"), ("https://h/bb/1", "c1"),
+            ("https://h/bb/2", "c2"), ("https://h/aa/2", "c2"),
+        ]
+        assert self._rules(spark, rows) == {("aa", "bb"): 2}
+
+    def test_hash_df_cap_suppresses_boilerplate(self, spark):
+        rows = [(f"https://h/p/{i}", "empty") for i in range(12)] + [
+            ("https://h/p/x", "c1"), ("https://h/print/x", "c1"),
+        ]
+        assert self._rules(spark, rows, max_hash_df=10, min_support=1) == {
+            ("p", "print"): 1
+        }
