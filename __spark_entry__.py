@@ -7072,6 +7072,64 @@ LIMIT 50
 """
 
 
+def q_web_clustering_coeff(spark, sf_dir):
+    """Local clustering coefficients (operators/graph.py::
+    clustering_coefficient; Watts-Strogatz) — the per-node
+    normalization of the web_triangles census in exact integer
+    micro-units: the link-farm / community-nucleus density signal
+    (farms are near-cliques: cc ≈ 1e6 at high degree). Same
+    orientation-bounded plan plus one map-side expression. Top-50 by
+    (cc DESC, node)."""
+    from rdf_diff_store_spark.operators.graph import clustering_coefficient
+
+    cust = load_table(spark, sf_dir, "customer")
+    edges = cust.select(
+        (F.col("c_custkey") % 97).alias("src"), (F.col("c_custkey") % 61).alias("dst")
+    )
+    return (
+        clustering_coefficient(edges)
+        .orderBy(F.desc("cc_micro"), "node")
+        .limit(50)
+    )
+
+
+_ORACLE_R4["web_clustering_coeff"] = """
+WITH raw AS (SELECT c_custkey % 97 AS x, c_custkey % 61 AS y FROM customer),
+e AS (SELECT DISTINCT least(x, y) AS a, greatest(x, y) AS b FROM raw WHERE x <> y),
+deg AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+  FROM (SELECT a AS n FROM e UNION ALL SELECT b AS n FROM e)
+  GROUP BY n),
+o AS (
+  SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+         CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+  FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+w AS (
+  SELECT x.u AS wu, x.v AS wv, y.v AS ww
+  FROM o x JOIN o y ON x.u = y.u AND (x.dv, x.v) < (y.dv, y.v)),
+closed AS (
+  SELECT wu, wv, ww FROM w JOIN o ON w.wv = o.u AND w.ww = o.v),
+pn AS (
+  SELECT n, CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM (SELECT wu AS n FROM closed
+        UNION ALL SELECT wv FROM closed
+        UNION ALL SELECT ww FROM closed)
+  GROUP BY n),
+census AS (
+  SELECT deg.n AS node, deg.deg AS degree,
+         CAST(COALESCE(pn.n_triangles, 0) AS BIGINT) AS n_triangles
+  FROM deg LEFT JOIN pn ON deg.n = pn.n)
+SELECT node, degree, n_triangles,
+       CAST(CASE WHEN degree >= 2
+                 THEN (2 * n_triangles * 1000000) // (degree * (degree - 1))
+                 ELSE 0 END AS BIGINT) AS cc_micro
+FROM census
+ORDER BY cc_micro DESC, node
+LIMIT 50
+"""
+
+
 def q_nquads_roundtrip(spark, sf_dir):
     """N-Quads dataset source/sink roundtrip (sources/nquads.py) — the
     line-oriented RDF dump format web-scale KG corpora ship in (Web
@@ -10514,6 +10572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_topk": q_doc_containment_topk,
         "web_anf": q_web_anf,
         "web_dust_rules": q_web_dust_rules,
+        "web_clustering_coeff": q_web_clustering_coeff,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -164,3 +164,35 @@ class TestWlGraphHash:
         ]
         h = self._hash(spark, rows)
         assert h["g1"] == h["g2"]
+
+
+class TestClusteringCoefficient:
+    def test_triangle_is_fully_clustered(self, spark):
+        from rdf_diff_store_spark.operators.graph import clustering_coefficient
+
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        out = {r.node: r.cc_micro for r in clustering_coefficient(df).collect()}
+        assert out == {1: 1_000_000, 2: 1_000_000, 3: 1_000_000}
+
+    def test_star_center_and_leaves_score_zero(self, spark):
+        from rdf_diff_store_spark.operators.graph import clustering_coefficient
+
+        df = spark.createDataFrame(
+            [(0, i) for i in (1, 2, 3)], "src long, dst long"
+        )
+        out = {r.node: r.cc_micro for r in clustering_coefficient(df).collect()}
+        assert out == {0: 0, 1: 0, 2: 0, 3: 0}
+
+    def test_partial_wedge_closure(self, spark):
+        from rdf_diff_store_spark.operators.graph import clustering_coefficient
+
+        # K3 plus pendant on node 1: node 1 has deg 3, 1 triangle ->
+        # 2*1e6 // (3*2) = 333333
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1), (1, 4)], "src long, dst long"
+        )
+        out = {r.node: r.cc_micro for r in clustering_coefficient(df).collect()}
+        assert out[1] == 333333 and out[4] == 0
+        assert out[2] == out[3] == 1_000_000
