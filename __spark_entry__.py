@@ -7072,6 +7072,41 @@ LIMIT 50
 """
 
 
+def q_snapshot_triple_prov(spark, sf_dir):
+    """Triple-level why-provenance: every triple of the T_MID snapshot
+    tagged with the timestamp of the VERSION that asserted it — the
+    row-granular complement of kg_prov_lineage's version-level PROV-O
+    (a consumer asking "where did this fact come from" joins neither
+    git history nor changelog; the ts rides the snapshot parse for
+    free: operators/versioned.py::snapshot_triples keeps the
+    changelog ts on every emitted triple). Epoch micros via the
+    session-TZ-proof NTZ diff."""
+    from rdf_diff_store_spark.operators.versioned import snapshot_triples
+
+    snap = snapshot_triples(changelog_from_events(spark, sf_dir), T_MID)
+    return snap.select(
+        "graph_id", "subj", "pred", "obj", _ntz_us(F.col("ts")).alias("asserted_us")
+    )
+
+
+_ORACLE_R4["snapshot_triple_prov"] = f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY graph_id
+      ORDER BY ts DESC, op DESC, coalesce(content_hash, '') DESC) AS rn
+  FROM changelog WHERE ts <= TIMESTAMP '{T_MID}'
+),
+snap AS (SELECT graph_id, ts, payload FROM ranked WHERE rn = 1 AND op <> 'delete')
+SELECT graph_id,
+       regexp_extract(payload, '^<([^>]*)>', 1) AS subj,
+       regexp_extract(payload, '> <([^>]*)>', 1) AS pred,
+       regexp_extract(payload, '"([^"]*)"', 1) AS obj,
+       epoch_us(ts) AS asserted_us
+FROM snap
+"""
+
+
 def q_web_clustering_coeff(spark, sf_dir):
     """Local clustering coefficients (operators/graph.py::
     clustering_coefficient; Watts-Strogatz) — the per-node
@@ -10573,6 +10608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_anf": q_web_anf,
         "web_dust_rules": q_web_dust_rules,
         "web_clustering_coeff": q_web_clustering_coeff,
+        "snapshot_triple_prov": q_snapshot_triple_prov,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
