@@ -104,6 +104,16 @@ def main() -> None:
     out["walks_sec"] = round(time.time() - t0, 2)
     out["walk_rows"] = n_steps
 
+    # --- HyperBall: 2-hop ANF over the same expander, b=4 ------------
+    # row-per-register state: n x <=16 rows forever (the sketch-state
+    # contrast to scc's closure); register-max merge combines map-side
+    from rdf_diff_store_spark.operators.graph import hyperball
+
+    t0 = time.time()
+    n_est = hyperball(edges, radius=2, b=4).count()
+    out["hyperball_sec"] = round(time.time() - t0, 2)
+    out["hyperball_nodes"] = n_est
+
     # --- meta-blocking: 3 redundancy-positive keys, blocks of ~10 ----
     keys = (
         spark.range(n)

@@ -343,3 +343,23 @@ class TestHyperball:
         e = spark.createDataFrame([("a", "b")], "src string, dst string")
         out = {r.node: r.n_regs for r in hyperball(e, radius=0, b=4).collect()}
         assert out == {"a": 1, "b": 1}
+
+
+class TestNeighborhoodFunction:
+    def test_curve_is_monotone_and_converges(self, spark):
+        from rdf_diff_store_spark.operators.graph import neighborhood_function
+
+        # directed 4-cycle: ball sizes 1,2,3,4,4 at t=0..4 per node
+        e = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+            "src string, dst string",
+        )
+        rows = sorted(
+            (r.radius, r.n_nodes, r.pairs_est)
+            for r in neighborhood_function(e, max_radius=4, b=4).collect()
+        )
+        assert [r[0] for r in rows] == [0, 1, 2, 3, 4]
+        assert all(r[1] == 4 for r in rows)
+        ests = [r[2] for r in rows]
+        assert all(a <= b for a, b in zip(ests, ests[1:]))  # N(t) monotone
+        assert ests[3] == ests[4]  # diameter 3: curve flat afterwards
