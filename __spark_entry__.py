@@ -7072,6 +7072,45 @@ LIMIT 50
 """
 
 
+def q_web_degree_dist(spark, sf_dir):
+    """Log2-bucketed degree distribution of the co-purchase leaf graph
+    — the power-law census every web-graph study opens with (Broder
+    WWW9 §3 plots exactly this). Degrees from the order→part
+    adjacency; bucket = floor(log2(deg)) computed PORTABLY as
+    length(bin(deg)) - 1 (the hll rank trick — no floating log2,
+    which is not correctly-rounded-identical across engines near
+    powers of two). One combinable agg over degrees; output is
+    ~log2(max-degree) rows at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    deg = (
+        li.select(
+            F.concat(F.lit("order:"), F.col("l_orderkey").cast("string")).alias(
+                "center"
+            ),
+            F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias("leaf"),
+        )
+        .distinct()
+        .groupBy("leaf")
+        .agg(F.count("*").alias("deg"))
+    )
+    return (
+        deg.select((F.length(F.bin(F.col("deg"))) - 1).cast("int").alias("log2_deg"))
+        .groupBy("log2_deg")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+
+
+_ORACLE_R4["web_degree_dist"] = """
+WITH adj AS (
+  SELECT DISTINCT 'order:' || CAST(l_orderkey AS VARCHAR) AS center,
+         'part:' || CAST(l_partkey AS VARCHAR) AS leaf FROM lineitem),
+deg AS (SELECT leaf, COUNT(*) AS deg FROM adj GROUP BY leaf)
+SELECT CAST(length(bin(deg)) - 1 AS INT) AS log2_deg,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY 1
+"""
+
+
 def q_web_neighborhood_fn(spark, sf_dir):
     """HyperANF neighborhood function (operators/graph.py::
     neighborhood_function; Boldi-Rosa-Vigna WWW 2011 — the "degrees
@@ -10704,6 +10743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_clustering_coeff": q_web_clustering_coeff,
         "snapshot_triple_prov": q_snapshot_triple_prov,
         "web_neighborhood_fn": q_web_neighborhood_fn,
+        "web_degree_dist": q_web_degree_dist,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
