@@ -7072,6 +7072,128 @@ LIMIT 50
 """
 
 
+def _n2v_edges(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    contains = inreg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    return nn.unionByName(ring).unionByName(inreg).unionByName(contains)
+
+
+_N2V_EDGES_SQL = """
+e AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+  UNION
+  SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+         'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation)
+"""
+
+
+def q_kg_node2vec_walks(spark, sf_dir):
+    """node2vec second-order biased walks (operators/graph.py::
+    node2vec_walks; Grover & Leskovec KDD 2016) — the BFS/DFS
+    interpolating walk corpus over the nation⇄region graph, integer
+    weights (return 1, distance-1 "stay" 4, outward 2), md5 draws.
+    Per step: full neighbor fanout (the second-order distribution
+    needs every neighbor's class) + edge-marker left join + per-walk
+    cumulative-weight window; the oracle unrolls every step
+    bit-exactly, cumsum included."""
+    from rdf_diff_store_spark.operators.graph import node2vec_walks
+
+    nation = load_table(spark, sf_dir, "nation")
+    seeds = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("seed")
+    )
+    return node2vec_walks(
+        _n2v_edges(spark, sf_dir), seeds, length=5, w_return=1, w_stay=4, w_out=2
+    )
+
+
+def _n2v_oracle(
+    length: int = 5, wr: int = 1, ws: int = 4, wo: int = 2, salt: str = "n2v"
+) -> str:
+    def draw(t: int) -> str:
+        return (
+            f"('0x' || substr(md5('{salt}' || {{w}}.walk_id || ':{t}'), 1, 15))::BIGINT"
+        )
+
+    sql = [
+        f"""
+WITH {_N2V_EDGES_SQL.strip()},
+deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+adj AS (SELECT src, dst,
+               CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT)
+                 AS idx
+        FROM e),
+s0 AS (SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS walk_id,
+              'nation:' || CAST(n_nationkey AS VARCHAR) AS node FROM nation),
+s1 AS (
+  SELECT w.walk_id, w.node AS prev, a.dst AS node
+  FROM s0 w JOIN deg d ON d.src = w.node
+  JOIN adj a ON a.src = w.node
+   AND a.idx = {draw(1).format(w='w')} % d.outdeg)"""
+    ]
+    for t in range(2, length + 1):
+        sql.append(
+            f""",
+c{t} AS (
+  SELECT s.walk_id, s.node AS u, e.dst AS x,
+         CASE WHEN e.dst = s.prev THEN {wr}
+              WHEN m.src IS NOT NULL THEN {ws}
+              ELSE {wo} END AS w
+  FROM s{t - 1} s JOIN e ON e.src = s.node
+  LEFT JOIN e m ON m.src = s.prev AND m.dst = e.dst),
+w{t} AS (
+  SELECT walk_id, u, x, w,
+         SUM(w) OVER (PARTITION BY walk_id ORDER BY x) AS cum,
+         SUM(w) OVER (PARTITION BY walk_id) AS total
+  FROM c{t}),
+s{t} AS (
+  SELECT q.walk_id, q.u AS prev, q.x AS node FROM w{t} q
+  WHERE q.cum - q.w <= {draw(t).format(w='q')} % q.total
+    AND {draw(t).format(w='q')} % q.total < q.cum)"""
+        )
+    sel = " UNION ALL ".join(
+        [f"SELECT walk_id, 0 AS step, node FROM s0"]
+        + [f"SELECT walk_id, {t} AS step, node FROM s{t}" for t in range(1, length + 1)]
+    )
+    sql.append("\n" + sel)
+    return "".join(sql)
+
+
+_ORACLE_R4["kg_node2vec_walks"] = _n2v_oracle()
+
+
 def q_web_degree_dist(spark, sf_dir):
     """Log2-bucketed degree distribution of the co-purchase leaf graph
     — the power-law census every web-graph study opens with (Broder
@@ -10744,6 +10866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_triple_prov": q_snapshot_triple_prov,
         "web_neighborhood_fn": q_web_neighborhood_fn,
         "web_degree_dist": q_web_degree_dist,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -1282,3 +1282,138 @@ def neighborhood_function(
     for p in out[1:]:
         res = res.unionByName(p)
     return res
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 8,
+    w_return: int = 1,
+    w_stay: int = 4,
+    w_out: int = 2,
+    salt: str = "n2v",
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec KDD
+    2016): the step distribution depends on the PREVIOUS node — a
+    neighbor x of the current node u is weighted
+
+        w_return  if x = prev              (1/p, return bias)
+        w_stay    if (prev, x) is an edge  (distance-1: BFS-ish)
+        w_out     otherwise                (1/q, DFS-ish)
+
+    with integer weights (callers map node2vec's 1/p, 1/q onto any
+    common denominator — exact portable arithmetic, no float
+    sampling). The draw is the same md5 discipline as
+    `random_walks`: r = md5_60bit(salt ⧺ walk ⧺ ':' ⧺ t) mod
+    total_weight picks the unique neighbor whose cumulative-weight
+    interval contains r, so the corpus replays bit-identically and a
+    SQL twin can unroll it.
+
+    Scale shape — honest about the node2vec cost: a second-order step
+    NEEDS the full neighbor list of the current node (every neighbor's
+    class depends on prev), so each step fans out deg(node) rows per
+    live walk, then one (prev, x) edge-marker anti-probe (left join),
+    one per-walk cumulative-sum window, and a filter keep exactly one
+    row. This is the price of the biased distribution — first-order
+    `random_walks` stays O(1) per step and is the default; use
+    node2vec where the BFS/DFS interpolation earns it, and cap hub
+    degrees upstream if 10^6-degree nodes would sit on walk paths.
+    Step 1 has no prev and draws uniformly (standard convention).
+    """
+    from pyspark.sql import Window
+
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    idx = F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    adj_idx = e.select("src", "dst", idx.alias("idx")).localCheckpoint()
+    marker = e.select(
+        F.col("src").alias("_ms"), F.col("dst").alias("_md"), F.lit(1).alias("_edge")
+    ).localCheckpoint()
+
+    starts = seeds.select("seed").distinct()
+    # step 1: uniform first-order pick (no prev yet) — same as random_walks
+    draw1 = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col("walk_id"), F.lit(":1"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    s0 = starts.select(F.col("seed").alias("walk_id"), F.col("seed").alias("node"))
+    picked1 = (
+        s0.join(deg, s0["node"] == deg["src"])
+        .select("walk_id", (draw1 % F.col("outdeg")).alias("pick"), "node")
+    )
+    state = (
+        picked1.join(
+            adj_idx,
+            (picked1["node"] == adj_idx["src"]) & (picked1["pick"] == adj_idx["idx"]),
+        )
+        .select(
+            "walk_id",
+            F.lit(1).alias("step"),
+            F.col("node").alias("prev"),
+            F.col("dst").alias("node"),
+        )
+        .localCheckpoint()
+    )
+    out = [
+        s0.select("walk_id", F.lit(0).alias("step"), F.col("node")),
+        state.select("walk_id", "step", "node"),
+    ]
+    for t in range(2, length + 1):
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col("walk_id"), F.lit(f":{t}"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        cand = (
+            state.join(e, state["node"] == e["src"])
+            .select("walk_id", "prev", "node", F.col("dst").alias("x"))
+            .join(
+                marker,
+                (F.col("prev") == F.col("_ms")) & (F.col("x") == F.col("_md")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "node",
+                "x",
+                F.when(F.col("x") == F.col("prev"), F.lit(w_return))
+                .when(F.col("_edge") == 1, F.lit(w_stay))
+                .otherwise(F.lit(w_out))
+                .cast("long")
+                .alias("w"),
+            )
+        )
+        wwin = Window.partitionBy("walk_id").orderBy("x")
+        scored = cand.select(
+            "walk_id",
+            "node",
+            "x",
+            "w",
+            F.sum("w").over(wwin).alias("cum"),
+            F.sum("w").over(
+                Window.partitionBy("walk_id").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("total"),
+        )
+        state = (
+            scored.filter(
+                ((F.col("cum") - F.col("w")) <= (draw % F.col("total")))
+                & ((draw % F.col("total")) < F.col("cum"))
+            )
+            .select(
+                "walk_id",
+                F.lit(t).alias("step"),
+                F.col("node").alias("prev"),
+                F.col("x").alias("node"),
+            )
+            .localCheckpoint()
+        )
+        out.append(state.select("walk_id", "step", "node"))
+    res = out[0]
+    for s in out[1:]:
+        res = res.unionByName(s)
+    return res

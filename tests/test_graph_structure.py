@@ -363,3 +363,72 @@ class TestNeighborhoodFunction:
         ests = [r[2] for r in rows]
         assert all(a <= b for a, b in zip(ests, ests[1:]))  # N(t) monotone
         assert ests[3] == ests[4]  # diameter 3: curve flat afterwards
+
+
+def _n2v_model(edges, seeds, length, wr, ws, wo, salt="n2v"):
+    """Pure-python mirror of node2vec_walks' draw discipline."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    eset = set(edges)
+    for s, d in sorted(set(edges)):
+        adj[s].append(d)
+    walks = {}
+    for seed in seeds:
+        w = {0: seed}
+        if adj[seed]:
+            w[1] = adj[seed][_md5_pick("n2v", seed, 1, len(adj[seed]))]
+            t = 2
+            while t <= length and adj.get(w[t - 1]):
+                u, prev = w[t - 1], w[t - 2]
+                cands = sorted(adj[u])
+                ws_ = [
+                    wr if x == prev else (ws if (prev, x) in eset else wo)
+                    for x in cands
+                ]
+                r = _md5_pick("n2v", seed, t, sum(ws_))
+                cum = 0
+                for x, wt in zip(cands, ws_):
+                    cum += wt
+                    if r < cum:
+                        w[t] = x
+                        break
+                t += 1
+        walks[seed] = w
+    return walks
+
+
+class TestNode2vecWalks:
+    EDGES = [
+        ("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"), ("b", "d"),
+        ("c", "a"), ("c", "d"), ("d", "b"),
+    ]
+
+    def test_matches_python_model(self, spark):
+        from rdf_diff_store_spark.operators.graph import node2vec_walks
+
+        e = spark.createDataFrame(self.EDGES, "src string, dst string")
+        s = spark.createDataFrame([("a",), ("b",)], "seed string")
+        rows = node2vec_walks(e, s, length=6, w_return=1, w_stay=4, w_out=2)
+        got = {}
+        for r in rows.collect():
+            got.setdefault(r.walk_id, {})[r.step] = r.node
+        want = _n2v_model(self.EDGES, ["a", "b"], 6, 1, 4, 2)
+        assert got == want
+
+    def test_return_weight_zero_never_backtracks(self, spark):
+        from rdf_diff_store_spark.operators.graph import node2vec_walks
+
+        # two-node pair with a side exit: w_return=0 forbids going back
+        edges = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([("a",)], "seed string")
+        rows = sorted(
+            (r.step, r.node)
+            for r in node2vec_walks(
+                e, s, length=8, w_return=0, w_stay=1, w_out=1
+            ).collect()
+        )
+        seq = [n for _, n in rows]
+        for i in range(2, len(seq)):
+            assert seq[i] != seq[i - 2] or seq[i - 1] == seq[i]  # no immediate return
