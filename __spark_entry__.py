@@ -7072,6 +7072,43 @@ LIMIT 50
 """
 
 
+def q_version_intervals(spark, sf_dir):
+    """SCD-2 validity intervals (operators/versioned.py::
+    version_intervals) — every stored version as (graph_id,
+    valid_from, valid_to) with the next version's ts as the exclusive
+    upper bound (NULL = currently live; tombstones close intervals
+    and emit nothing). The materialized interval table that turns
+    event-to-live-version lookups into one banded range join
+    (ranges.py) instead of per-event as-of aggregations. ONE lead
+    window on the graph_id partitioning every versioned operator
+    already uses. Epoch micros via the TZ-proof NTZ diff."""
+    from rdf_diff_store_spark.operators.versioned import version_intervals
+
+    iv = version_intervals(changelog_from_events(spark, sf_dir))
+    return iv.select(
+        "graph_id",
+        _ntz_us(F.col("valid_from")).alias("from_us"),
+        F.when(
+            F.col("valid_to").isNotNull(), _ntz_us(F.col("valid_to"))
+        ).alias("to_us"),
+        "content_hash",
+    )
+
+
+_ORACLE_R4["version_intervals"] = f"""
+WITH changelog AS ({CHANGELOG_FROM_EVENTS_SQL}),
+iv AS (
+  SELECT graph_id, ts, op, content_hash,
+         lead(ts) OVER (
+           PARTITION BY graph_id
+           ORDER BY ts, op, coalesce(content_hash, '')) AS valid_to
+  FROM changelog)
+SELECT graph_id, epoch_us(ts) AS from_us, epoch_us(valid_to) AS to_us,
+       content_hash
+FROM iv WHERE op <> 'delete'
+"""
+
+
 def _n2v_edges(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
     nn = nation.select(
@@ -10867,6 +10904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_neighborhood_fn": q_web_neighborhood_fn,
         "web_degree_dist": q_web_degree_dist,
         "kg_node2vec_walks": q_kg_node2vec_walks,
+        "version_intervals": q_version_intervals,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -516,3 +516,48 @@ def prov_lineage(
     return (
         spec.unionByName(gen).unionByName(act).unionByName(dels).select("t.*")
     )
+
+
+def version_intervals(changelog: DataFrame) -> DataFrame:
+    """SCD-2 style validity intervals: each stored version becomes a
+    row (graph_id, valid_from, valid_to, payload, content_hash) where
+    valid_to is the NEXT version's timestamp (exclusive) or NULL for
+    the currently-live version; tombstones close the preceding
+    interval and emit no row of their own. The warehouse-standard
+    interval table — the exact input shape `operators/ranges.py`'s
+    bucketed_range_join consumes, so "join events to the graph
+    version that was live when they happened" becomes one banded
+    equi-join instead of a per-event as-of aggregation
+    (`snapshots_at` answers point probes; this materializes ALL
+    validity windows in one pass).
+
+    One LEAD window per graph partition — the changelog is already
+    hash-partitioned by graph_id for every other versioned operator,
+    so the window reuses that exchange; no join, no second scan.
+    Reference: the interval view a client reconstructs by walking
+    `src/git.rs:61-118` commit times pairwise.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("graph_id").orderBy(
+        F.col("ts"), F.col("op"), F.coalesce(F.col("content_hash"), F.lit(""))
+    )
+    nxt = F.lead("ts").over(w)
+    return (
+        changelog.select(
+            "graph_id",
+            "ts",
+            "op",
+            "payload",
+            "content_hash",
+            nxt.alias("valid_to"),
+        )
+        .filter(F.col("op") != TOMBSTONE)
+        .select(
+            "graph_id",
+            F.col("ts").alias("valid_from"),
+            "valid_to",
+            "payload",
+            "content_hash",
+        )
+    )

@@ -270,3 +270,23 @@ def test_prov_lineage_shuffle_free(spark):
     ])).localCheckpoint()
     plan = prov_lineage(log)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_version_intervals_scd2(spark):
+    from rdf_diff_store_spark.operators.versioned import version_intervals
+
+    log = empty_changelog(spark)
+    log = append_updates(log, updates(spark, [(GRAPH_A_ID, T1, "add", GRAPH_A)]))
+    log = append_updates(log, updates(spark, [(GRAPH_A_ID, T2, "add", GRAPH_B)]))
+    log = append_updates(log, updates(spark, [(GRAPH_A_ID, T3, "delete", "")]))
+    log = append_updates(log, updates(spark, [(GRAPH_A_ID, T4, "add", GRAPH_A)]))
+    rows = sorted(
+        (str(r.valid_from), str(r.valid_to)) for r in version_intervals(log).collect()
+    )
+    # v1 closed by v2, v2 closed by the tombstone, v3 open-ended;
+    # the tombstone itself emits NO interval row
+    assert rows == [
+        (T1, T2),
+        (T2, T3),
+        (T4, "None"),
+    ]
