@@ -7364,6 +7364,109 @@ h{t} AS (
 _ORACLE_R4["web_neighborhood_fn"] = _nf_oracle()
 
 
+def q_web_harmonic_centrality(spark, sf_dir):
+    """Approximate harmonic centrality by HyperBall deltas
+    (operators/graph.py::harmonic_centrality; Boldi-Vigna ICDMW 2013
+    — their Facebook-scale headline) over the nation ring + inRegion
+    graph, radius 4, b=4: H(v) ≈ Σ (1e6 div t)·(ball growth at t),
+    integer micro-units. The geometric-centrality complement of
+    kg_pagerank's spectral rank. Oracle unrolls every merge AND every
+    per-radius estimate difference."""
+    from rdf_diff_store_spark.operators.graph import harmonic_centrality
+
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return harmonic_centrality(
+        nn.unionByName(ring).unionByName(inreg), max_radius=4, b=4
+    )
+
+
+def _harmonic_oracle(max_radius: int = 4) -> str:
+    c_lit = repr(0.673 * 16 * 16 * 2**53)
+    est = """
+est{t} AS (
+  SELECT node, CAST(floor({c} / (present_sum +
+    CAST(16 - n_regs AS BIGINT) * CAST(9007199254740992 AS BIGINT)))
+    AS BIGINT) AS est
+  FROM (
+    SELECT node, CAST(count(*) AS INT) AS n_regs,
+           CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
+    FROM h{t} GROUP BY node))"""
+    sql = [
+        """
+WITH e AS (
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
+         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
+                                '0')) AS INT) AS maxrank
+  FROM nodes)"""
+    ]
+    for t in range(1, max_radius + 1):
+        sql.append(
+            f""",
+h{t} AS (
+  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
+    SELECT node, reg, maxrank FROM h{t - 1}
+    UNION ALL
+    SELECT e.src AS node, h.reg, h.maxrank
+    FROM e JOIN h{t - 1} h ON h.node = e.dst)
+  GROUP BY node, reg)"""
+        )
+    for t in range(max_radius + 1):
+        sql.append("," + est.format(t=t, c=c_lit))
+    terms = " + ".join(
+        f"{1_000_000 // t} * (est{t}.est - est{t - 1}.est)"
+        for t in range(1, max_radius + 1)
+    )
+    joins = " ".join(
+        f"JOIN est{t} ON est{t}.node = est0.node" for t in range(1, max_radius + 1)
+    )
+    sql.append(
+        f"""
+SELECT est0.node, CAST({terms} AS BIGINT) AS h_micro
+FROM est0 {joins}"""
+    )
+    return "".join(sql)
+
+
+_ORACLE_R4["web_harmonic_centrality"] = _harmonic_oracle()
+
+
 def q_snapshot_triple_prov(spark, sf_dir):
     """Triple-level why-provenance: every triple of the T_MID snapshot
     tagged with the timestamp of the VERSION that asserted it — the
@@ -10905,6 +11008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_degree_dist": q_web_degree_dist,
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "version_intervals": q_version_intervals,
+        "web_harmonic_centrality": q_web_harmonic_centrality,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

@@ -1417,3 +1417,73 @@ def node2vec_walks(
     for s in out[1:]:
         res = res.unionByName(s)
     return res
+
+
+def harmonic_centrality(
+    edges: DataFrame, max_radius: int = 4, b: int = 8
+) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall deltas (Boldi &
+    Vigna, "In-core computation of geometric centralities with
+    HyperBall", ICDMW 2013 — the paper's headline application; they
+    ran it on the whole 10^9-node Facebook graph):
+
+        H(v) = Σ_{u reachable, u≠v} 1/d(v,u)
+             ≈ Σ_{t=1..R} (1_000_000 div t) · (|ball(v,t)| − |ball(v,t−1)|)
+
+    in integer micro-units over the per-radius HLL estimates. Raw-HLL
+    ball estimates are NON-DECREASING in t (registers only grow, so
+    sum_scaled only shrinks), hence every delta is ≥ 0 and the sum is
+    a BIGINT of portable terms — the oracle unrolls radius-by-radius
+    bit-exactly. Truncation at max_radius is the standard HyperBall
+    regime (contributions decay as 1/t; run to the effective diameter
+    from `neighborhood_function`).
+
+    Uses OUT-ball distances d(v, u); pass reversed edges for the
+    classic in-direction ("how easily is v reached") centrality.
+    Same per-iteration cost as `hyperball` plus one node-keyed join
+    per radius to difference the estimates.
+    """
+    from rdf_diff_store_spark.operators.sketch import hll_estimate, hll_registers
+
+    e = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    regs = hll_registers(
+        nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
+    ).localCheckpoint()
+    acc = hll_estimate(regs, ["node"], b).select(
+        "node",
+        F.col("est_distinct").alias("_prev"),
+        F.lit(0).cast("bigint").alias("h_micro"),
+    )
+    for t in range(1, max_radius + 1):
+        contrib = e.join(regs, e["dst"] == regs["node"]).select(
+            e["src"].alias("node"), "reg", "maxrank"
+        )
+        regs = (
+            regs.unionByName(contrib)
+            .groupBy("node", "reg")
+            .agg(F.max("maxrank").alias("maxrank"))
+            .localCheckpoint()
+        )
+        est = hll_estimate(regs, ["node"], b).select(
+            "node", F.col("est_distinct").alias("_cur")
+        )
+        acc = (
+            acc.join(est, "node")
+            .select(
+                "node",
+                F.col("_cur").alias("_prev"),
+                (
+                    F.col("h_micro")
+                    + F.lit(1_000_000 // t) * (F.col("_cur") - F.col("_prev"))
+                )
+                .cast("bigint")
+                .alias("h_micro"),
+            )
+            .localCheckpoint()
+        )
+    return acc.select("node", "h_micro")

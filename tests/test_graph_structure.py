@@ -432,3 +432,39 @@ class TestNode2vecWalks:
         seq = [n for _, n in rows]
         for i in range(2, len(seq)):
             assert seq[i] != seq[i - 2] or seq[i - 1] == seq[i]  # no immediate return
+
+
+class TestHarmonicCentrality:
+    def test_matches_exact_on_saturating_sketch(self, spark):
+        from rdf_diff_store_spark.operators.graph import harmonic_centrality
+
+        # star out-edges: center reaches 3 leaves at distance 1,
+        # leaves reach nothing. With b=4 the raw estimator is exact
+        # DELTAS for tiny monotone ball growth only when registers
+        # differ; instead pin the MODEL property: leaves score 0 and
+        # the center's score equals (1e6)*(est(ball1)-est(ball0)).
+        e = spark.createDataFrame(
+            [("c", "l1"), ("c", "l2"), ("c", "l3")], "src string, dst string"
+        )
+        out = {r.node: r.h_micro for r in harmonic_centrality(e, 3, b=4).collect()}
+        assert out["l1"] == out["l2"] == out["l3"] == 0
+        assert out["c"] > 0
+
+    def test_chain_weights_decay_with_distance(self, spark):
+        from rdf_diff_store_spark.operators.graph import harmonic_centrality
+        from rdf_diff_store_spark.operators.sketch import hll_distinct
+
+        # a -> b -> c: H(a) = 1e6*(d1 growth) + 500000*(d2 growth);
+        # cross-check against sketch estimates of the exact balls
+        e = spark.createDataFrame([("a", "b"), ("b", "c")], "src string, dst string")
+        out = {r.node: r.h_micro for r in harmonic_centrality(e, 4, b=4).collect()}
+
+        def est(members):
+            df = spark.createDataFrame(
+                [("g", m) for m in members], "g string, member string"
+            )
+            return hll_distinct(df, ["g"], "member", b=4).collect()[0].est_distinct
+
+        b0, b1, b2 = est(["a"]), est(["a", "b"]), est(["a", "b", "c"])
+        assert out["a"] == 1_000_000 * (b1 - b0) + 500_000 * (b2 - b1)
+        assert out["c"] == 0
