@@ -518,6 +518,85 @@ def q_sparql_text_offset(spark, sf_dir):
 
 _T = TRIPLES_FROM_TPCH_SQL
 
+
+# Shared session-19 graph fixture: per-region nation chains closed
+# into rings, plus nation->region edges. The SQL body is the UNION
+# arms only (callers wrap it in `e AS (...)` and may append arms).
+_RING_INREG_UNION = """
+  SELECT src, dst FROM (
+    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
+           'nation:' || CAST(lead(n_nationkey) OVER (
+             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
+    FROM nation) WHERE dst IS NOT NULL
+  UNION
+  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
+         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
+  FROM nation GROUP BY n_regionkey
+  UNION
+  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation"""
+
+_RING_INREG_SQL = f"e AS ({_RING_INREG_UNION})"
+
+
+def _ring_inreg_edges(spark, sf_dir):
+    """Spark twin of _RING_INREG_SQL: nextNation chains + ring-closing
+    edges + inRegion pointers."""
+    nation = load_table(spark, sf_dir, "nation")
+    nn = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(
+            F.lit("nation:"),
+            F.lead("n_nationkey")
+            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
+            .cast("string"),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    ring = (
+        nation.groupBy("n_regionkey")
+        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
+        .select(
+            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
+            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
+        )
+    )
+    inreg = nation.select(
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
+    )
+    return nn.unionByName(ring).unionByName(inreg)
+
+
+# The portable HLL ball-register CTE chain shared by the web_anf /
+# web_neighborhood_fn / web_harmonic_centrality oracles (b=4: one hex
+# register digit, 13-digit rank tail — operators/sketch.py arithmetic)
+_HLL_B4_C_LIT = repr(0.673 * 16 * 16 * 2**53)
+
+
+def _hll_ball_ctes(max_radius: int) -> str:
+    sql = [
+        """nodes AS (SELECT DISTINCT node FROM (
+  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+h0 AS (
+  SELECT node,
+         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
+         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
+                                '0')) AS INT) AS maxrank
+  FROM nodes)"""
+    ]
+    for t in range(1, max_radius + 1):
+        sql.append(
+            f""",
+h{t} AS (
+  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
+    SELECT node, reg, maxrank FROM h{t - 1}
+    UNION ALL
+    SELECT e.src AS node, h.reg, h.maxrank
+    FROM e JOIN h{t - 1} h ON h.node = e.dst)
+  GROUP BY node, reg)"""
+        )
+    return "".join(sql)
+
 _ORACLE_SPARQL_TEXT = {
     "sparql_text_group_agg": f"""
 WITH triples AS ({_T})
@@ -7111,45 +7190,15 @@ FROM iv WHERE op <> 'delete'
 
 def _n2v_edges(spark, sf_dir):
     nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
+    contains = nation.select(
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("dst"),
     )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    contains = inreg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return nn.unionByName(ring).unionByName(inreg).unionByName(contains)
+    return _ring_inreg_edges(spark, sf_dir).unionByName(contains)
 
 
-_N2V_EDGES_SQL = """
-e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+_N2V_EDGES_SQL = f"""
+e AS ({_RING_INREG_UNION}
   UNION
   SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
          'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation)
@@ -7281,35 +7330,10 @@ def q_web_neighborhood_fn(spark, sf_dir):
     BIGINT-exact."""
     from rdf_diff_store_spark.operators.graph import neighborhood_function
 
-    nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
-    )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    return neighborhood_function(
-        nn.unionByName(ring).unionByName(inreg), max_radius=4, b=4
-    )
+    return neighborhood_function(_ring_inreg_edges(spark, sf_dir), max_radius=4, b=4)
 
 
 def _nf_oracle(max_radius: int = 4) -> str:
-    c_lit = repr(0.673 * 16 * 16 * 2**53)
     est = """
   SELECT CAST({t} AS INT) AS radius, CAST(count(*) AS BIGINT) AS n_nodes,
          CAST(sum(CAST(floor({c} / (present_sum +
@@ -7319,46 +7343,10 @@ def _nf_oracle(max_radius: int = 4) -> str:
     SELECT node, CAST(count(*) AS INT) AS n_regs,
            CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
     FROM h{t} GROUP BY node)"""
-    sql = [
-        """
-WITH e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
-nodes AS (SELECT DISTINCT node FROM (
-  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-h0 AS (
-  SELECT node,
-         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
-         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
-                                '0')) AS INT) AS maxrank
-  FROM nodes)"""
-    ]
-    for t in range(1, max_radius + 1):
-        sql.append(
-            f""",
-h{t} AS (
-  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
-    SELECT node, reg, maxrank FROM h{t - 1}
-    UNION ALL
-    SELECT e.src AS node, h.reg, h.maxrank
-    FROM e JOIN h{t - 1} h ON h.node = e.dst)
-  GROUP BY node, reg)"""
-        )
     points = " UNION ALL ".join(
-        est.format(t=t, c=c_lit) for t in range(max_radius + 1)
+        est.format(t=t, c=_HLL_B4_C_LIT) for t in range(max_radius + 1)
     )
-    sql.append("\n" + points)
-    return "".join(sql)
+    return f"\nWITH __RING_E__,\n{_hll_ball_ctes(max_radius)}\n{points}"
 
 
 _ORACLE_R4["web_neighborhood_fn"] = _nf_oracle()
@@ -7374,35 +7362,10 @@ def q_web_harmonic_centrality(spark, sf_dir):
     per-radius estimate difference."""
     from rdf_diff_store_spark.operators.graph import harmonic_centrality
 
-    nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
-    )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    return harmonic_centrality(
-        nn.unionByName(ring).unionByName(inreg), max_radius=4, b=4
-    )
+    return harmonic_centrality(_ring_inreg_edges(spark, sf_dir), max_radius=4, b=4)
 
 
 def _harmonic_oracle(max_radius: int = 4) -> str:
-    c_lit = repr(0.673 * 16 * 16 * 2**53)
     est = """
 est{t} AS (
   SELECT node, CAST(floor({c} / (present_sum +
@@ -7412,43 +7375,9 @@ est{t} AS (
     SELECT node, CAST(count(*) AS INT) AS n_regs,
            CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
     FROM h{t} GROUP BY node))"""
-    sql = [
-        """
-WITH e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
-nodes AS (SELECT DISTINCT node FROM (
-  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-h0 AS (
-  SELECT node,
-         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
-         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
-                                '0')) AS INT) AS maxrank
-  FROM nodes)"""
-    ]
-    for t in range(1, max_radius + 1):
-        sql.append(
-            f""",
-h{t} AS (
-  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
-    SELECT node, reg, maxrank FROM h{t - 1}
-    UNION ALL
-    SELECT e.src AS node, h.reg, h.maxrank
-    FROM e JOIN h{t - 1} h ON h.node = e.dst)
-  GROUP BY node, reg)"""
-        )
-    for t in range(max_radius + 1):
-        sql.append("," + est.format(t=t, c=c_lit))
+    ests = "".join(
+        "," + est.format(t=t, c=_HLL_B4_C_LIT) for t in range(max_radius + 1)
+    )
     terms = " + ".join(
         f"{1_000_000 // t} * (est{t}.est - est{t - 1}.est)"
         for t in range(1, max_radius + 1)
@@ -7456,12 +7385,10 @@ h{t} AS (
     joins = " ".join(
         f"JOIN est{t} ON est{t}.node = est0.node" for t in range(1, max_radius + 1)
     )
-    sql.append(
-        f"""
-SELECT est0.node, CAST({terms} AS BIGINT) AS h_micro
-FROM est0 {joins}"""
+    return (
+        f"\nWITH __RING_E__,\n{_hll_ball_ctes(max_radius)}{ests}\n"
+        f"SELECT est0.node, CAST({terms} AS BIGINT) AS h_micro\nFROM est0 {joins}"
     )
-    return "".join(sql)
 
 
 _ORACLE_R4["web_harmonic_centrality"] = _harmonic_oracle()
@@ -10242,28 +10169,7 @@ def q_kg_random_walks(spark, sf_dir):
     from rdf_diff_store_spark.operators.graph import random_walks
 
     nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
-    )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    edges = nn.unionByName(ring).unionByName(inreg)
+    edges = _ring_inreg_edges(spark, sf_dir)
     seeds = nation.select(
         F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("seed")
     )
@@ -10275,19 +10181,7 @@ def _walks_oracle(
 ) -> str:
     sql = [
         """
-WITH e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+WITH __RING_E__,
 adj AS (
   SELECT src, dst,
          CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS BIGINT) AS idx
@@ -10373,7 +10267,7 @@ p AS (SELECT DISTINCT url, ch AS content_hash FROM pages),
 keep AS (SELECT content_hash FROM p GROUP BY 1 HAVING COUNT(*) BETWEEN 2 AND 10),
 sized AS (SELECT p.url, p.content_hash FROM p JOIN keep USING (content_hash)),
 pairs AS (
-  SELECT a.url AS ua, b.url AS ub
+  SELECT DISTINCT a.url AS ua, b.url AS ub
   FROM sized a JOIN sized b
     ON a.content_hash = b.content_hash AND a.url < b.url),
 tok AS (
@@ -10403,72 +10297,15 @@ def q_web_anf(spark, sf_dir):
     BIGINT-exactly."""
     from rdf_diff_store_spark.operators.graph import hyperball
 
-    nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
-    )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    return hyperball(nn.unionByName(ring).unionByName(inreg), radius=3, b=4)
+    return hyperball(_ring_inreg_edges(spark, sf_dir), radius=3, b=4)
 
 
 def _anf_oracle(radius: int = 3) -> str:
     # b=4: 1 hex register digit, 13-digit (52-bit) rank tail; m=16,
     # alpha_16=0.673 -> C literal must equal Spark's F.lit(c) double
-    c_lit = repr(0.673 * 16 * 16 * 2**53)
-    sql = [
-        """
-WITH e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
-nodes AS (SELECT DISTINCT node FROM (
-  SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
-h0 AS (
-  SELECT node,
-         CAST(('0x' || substr(md5(node), 1, 1))::BIGINT AS INT) AS reg,
-         CAST(53 - length(ltrim(bin(('0x' || substr(md5(node), 2, 13))::BIGINT),
-                                '0')) AS INT) AS maxrank
-  FROM nodes)"""
-    ]
-    for t in range(1, radius + 1):
-        sql.append(
-            f""",
-h{t} AS (
-  SELECT node, reg, MAX(maxrank) AS maxrank FROM (
-    SELECT node, reg, maxrank FROM h{t - 1}
-    UNION ALL
-    SELECT e.src AS node, h.reg, h.maxrank
-    FROM e JOIN h{t - 1} h ON h.node = e.dst)
-  GROUP BY node, reg)"""
-        )
-    sql.append(
-        f""",
+    return f"""
+WITH __RING_E__,
+{_hll_ball_ctes(radius)},
 agg AS (
   SELECT node, CAST(count(*) AS INT) AS n_regs,
          CAST(sum(CAST(2 ** (53 - maxrank) AS BIGINT)) AS BIGINT) AS present_sum
@@ -10479,10 +10316,8 @@ est AS (
            CAST(9007199254740992 AS BIGINT) AS sum_scaled
   FROM agg)
 SELECT node, n_regs, sum_scaled,
-       CAST(floor({c_lit} / sum_scaled) AS BIGINT) AS est_distinct
+       CAST(floor({_HLL_B4_C_LIT} / sum_scaled) AS BIGINT) AS est_distinct
 FROM est"""
-    )
-    return "".join(sql)
 
 
 _ORACLE_R4["web_anf"] = _anf_oracle()
@@ -10561,47 +10396,13 @@ def q_kg_hop_distance(spark, sf_dir):
     that claim."""
     from rdf_diff_store_spark.operators.graph import seeded_distances
 
-    nation = load_table(spark, sf_dir, "nation")
-    nn = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(
-            F.lit("nation:"),
-            F.lead("n_nationkey")
-            .over(Window.partitionBy("n_regionkey").orderBy("n_nationkey"))
-            .cast("string"),
-        ).alias("dst"),
-    ).filter(F.col("dst").isNotNull())
-    ring = (
-        nation.groupBy("n_regionkey")
-        .agg(F.max("n_nationkey").alias("mx"), F.min("n_nationkey").alias("mn"))
-        .select(
-            F.concat(F.lit("nation:"), F.col("mx").cast("string")).alias("src"),
-            F.concat(F.lit("nation:"), F.col("mn").cast("string")).alias("dst"),
-        )
-    )
-    inreg = nation.select(
-        F.concat(F.lit("nation:"), F.col("n_nationkey").cast("string")).alias("src"),
-        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")).alias("dst"),
-    )
-    edges = nn.unionByName(ring).unionByName(inreg)
+    edges = _ring_inreg_edges(spark, sf_dir)
     seeds = spark.createDataFrame([("nation:0",), ("nation:7",)], ["seed"])
     return seeded_distances(edges, seeds)
 
 
 _ORACLE_R4["kg_hop_distance"] = """
-WITH RECURSIVE e AS (
-  SELECT src, dst FROM (
-    SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS src,
-           'nation:' || CAST(lead(n_nationkey) OVER (
-             PARTITION BY n_regionkey ORDER BY n_nationkey) AS VARCHAR) AS dst
-    FROM nation) WHERE dst IS NOT NULL
-  UNION
-  SELECT 'nation:' || CAST(MAX(n_nationkey) AS VARCHAR),
-         'nation:' || CAST(MIN(n_nationkey) AS VARCHAR)
-  FROM nation GROUP BY n_regionkey
-  UNION
-  SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
-         'region:' || CAST(n_regionkey AS VARCHAR) FROM nation),
+WITH RECURSIVE __RING_E__,
 seeds AS (SELECT 'nation:0' AS seed UNION ALL SELECT 'nation:7'),
 walkr AS (
   SELECT s.seed, e.dst AS node, 1 AS dist FROM seeds s JOIN e ON e.src = s.seed
@@ -11147,4 +10948,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(_ORACLE_R3)
     out.update(_ORACLE_TPCH_TAIL)
     out.update(_ORACLE_R4)
-    return out
+    # the session-19 ring-graph oracles share one edge fixture; the
+    # builders emit a placeholder so the SQL lives in exactly one place
+    return {k: v.replace("__RING_E__", _RING_INREG_SQL) for k, v in out.items()}

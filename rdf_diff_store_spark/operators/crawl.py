@@ -401,27 +401,52 @@ def dust_rules(
         .select("content_hash"),
         "content_hash",
     )
+    from rdf_diff_store_spark.operators.dedup import bind_once
+
     a, b = sized.alias("a"), sized.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.content_hash") == F.col("b.content_hash"))
-        & (F.col("a.url") < F.col("b.url")),
-    ).select(F.col("a.url").alias("ua"), F.col("b.url").alias("ub"))
-    ta, tb = F.split(F.col("ua"), "/"), F.split(F.col("ub"), "/")
-    zipped = F.zip_with(
-        ta, tb, lambda x, y: F.struct((x != y).alias("d"), x.alias("x"), y.alias("y"))
-    )
-    diffs = F.filter(zipped, lambda s: s["d"])
-    cand = (
-        pairs.select(
-            (F.size(ta) == F.size(tb)).alias("same_len"),
-            F.size(diffs).alias("n_diff"),
-            F.element_at(diffs, 1).alias("sub"),
+    # distinct: the same URL pair can share SEVERAL content hashes
+    # (both urls re-crawled across content changes) — support must
+    # count DISTINCT pairs, not shared hashes, or one pair clears
+    # min_support alone
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.content_hash") == F.col("b.content_hash"))
+            & (F.col("a.url") < F.col("b.url")),
         )
-        .filter(F.col("same_len") & (F.col("n_diff") == 1))
+        .select(F.col("a.url").alias("ua"), F.col("b.url").alias("ub"))
+        .distinct()
+    )
+
+    # bind_once: ProjectCollapse would re-split/re-zip the token
+    # vectors per reference otherwise (CLAUDE.md dedup rule)
+    def _align(ta):
+        def inner(tb):
+            zipped = F.zip_with(
+                ta,
+                tb,
+                lambda x, y: F.struct((x != y).alias("d"), x.alias("x"), y.alias("y")),
+            )
+            return bind_once(
+                F.filter(zipped, lambda s: s["d"]),
+                lambda diffs: F.struct(
+                    (F.size(ta) == F.size(tb)).alias("same_len"),
+                    F.size(diffs).alias("n_diff"),
+                    # guarded: the struct evaluates BEFORE the n_diff
+                    # filter can prune empty-diff rows (ANSI element_at
+                    # raises on them)
+                    F.when(F.size(diffs) >= 1, F.element_at(diffs, 1)).alias("sub"),
+                ),
+            )
+
+        return bind_once(F.split(F.col("ub"), "/"), inner)
+
+    cand = (
+        pairs.select(bind_once(F.split(F.col("ua"), "/"), _align).alias("al"))
+        .filter(F.col("al.same_len") & (F.col("al.n_diff") == 1))
         .select(
-            F.least(F.col("sub.x"), F.col("sub.y")).alias("tok_a"),
-            F.greatest(F.col("sub.x"), F.col("sub.y")).alias("tok_b"),
+            F.least(F.col("al.sub.x"), F.col("al.sub.y")).alias("tok_a"),
+            F.greatest(F.col("al.sub.x"), F.col("al.sub.y")).alias("tok_b"),
         )
     )
     return (

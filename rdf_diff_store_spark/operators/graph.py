@@ -104,6 +104,9 @@ def seeded_closure(
         )
         frontier = nxt.join(reached, ["seed", "node"], "left_anti").localCheckpoint()
         reached = reached.unionByName(frontier).localCheckpoint()
+    if frontier.count() == 0:
+        # converged exactly on the last allowed expansion
+        return reached
     raise RuntimeError(
         f"seeded_closure did not converge in {max_iterations} iterations"
     )
@@ -1041,6 +1044,9 @@ def reachable_set(
         )
         frontier = nxt.join(reached, ["node"], "left_anti").localCheckpoint()
         reached = reached.unionByName(frontier).localCheckpoint()
+    if frontier.count() == 0:
+        # converged exactly on the last allowed expansion
+        return reached
     raise RuntimeError(f"reachable_set did not converge in {max_iterations} iterations")
 
 
@@ -1145,6 +1151,9 @@ def seeded_distances(
             reached, ["seed", "node"], "left_anti"
         ).localCheckpoint()
         reached = reached.unionByName(frontier).localCheckpoint()
+    if frontier.count() == 0:
+        # converged exactly on the last allowed expansion
+        return reached
     raise RuntimeError(
         f"seeded_distances did not converge in {max_iterations} iterations"
     )
@@ -1174,7 +1183,23 @@ def hyperball(edges: DataFrame, radius: int = 3, b: int = 8) -> DataFrame:
     function N(t) = Σ_v |ball(v, t)| follows by summing est_distinct;
     effective-diameter curves by running with increasing radius.
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate, hll_registers
+    from rdf_diff_store_spark.operators.sketch import hll_estimate
+
+    for _, regs in _ball_registers(edges, radius, b):
+        last = regs
+    return hll_estimate(last, ["node"], b)
+
+
+def _ball_registers(edges: DataFrame, max_radius: int, b: int):
+    """Shared HyperBall register iteration: yields (t, registers) for
+    t = 0..max_radius, where registers is the (node, reg, maxrank)
+    HLL table of ball(node, t). t=0 is the singleton sketch; each
+    step is one edge join + one (node, reg) max-aggregation
+    (map-side-combinable — hub in-degree collapses before the
+    shuffle), eager-checkpointed. `hyperball`,
+    `neighborhood_function`, and `harmonic_centrality` all consume
+    this one loop."""
+    from rdf_diff_store_spark.operators.sketch import hll_registers
 
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
@@ -1185,7 +1210,8 @@ def hyperball(edges: DataFrame, radius: int = 3, b: int = 8) -> DataFrame:
     regs = hll_registers(
         nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
     ).localCheckpoint()
-    for _ in range(radius):
+    yield 0, regs
+    for t in range(1, max_radius + 1):
         contrib = e.join(regs, e["dst"] == regs["node"]).select(
             e["src"].alias("node"), "reg", "maxrank"
         )
@@ -1195,7 +1221,7 @@ def hyperball(edges: DataFrame, radius: int = 3, b: int = 8) -> DataFrame:
             .agg(F.max("maxrank").alias("maxrank"))
             .localCheckpoint()
         )
-    return hll_estimate(regs, ["node"], b)
+        yield t, regs
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
@@ -1244,17 +1270,7 @@ def neighborhood_function(
     term is the bit-portable raw HLL estimator, so the sum is
     engine-exact).
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate, hll_registers
-
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    regs = hll_registers(
-        nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
-    ).localCheckpoint()
+    from rdf_diff_store_spark.operators.sketch import hll_estimate
 
     def _point(t: int, r: DataFrame) -> DataFrame:
         return (
@@ -1266,18 +1282,7 @@ def neighborhood_function(
             .select(F.lit(t).alias("radius"), "n_nodes", "pairs_est")
         )
 
-    out = [_point(0, regs)]
-    for t in range(1, max_radius + 1):
-        contrib = e.join(regs, e["dst"] == regs["node"]).select(
-            e["src"].alias("node"), "reg", "maxrank"
-        )
-        regs = (
-            regs.unionByName(contrib)
-            .groupBy("node", "reg")
-            .agg(F.max("maxrank").alias("maxrank"))
-            .localCheckpoint()
-        )
-        out.append(_point(t, regs))
+    out = [_point(t, regs) for t, regs in _ball_registers(edges, max_radius, b)]
     res = out[0]
     for p in out[1:]:
         res = res.unionByName(p)
@@ -1443,32 +1448,17 @@ def harmonic_centrality(
     Same per-iteration cost as `hyperball` plus one node-keyed join
     per radius to difference the estimates.
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate, hll_registers
+    from rdf_diff_store_spark.operators.sketch import hll_estimate
 
-    e = edges.select("src", "dst").distinct().localCheckpoint()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    regs = hll_registers(
-        nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
-    ).localCheckpoint()
-    acc = hll_estimate(regs, ["node"], b).select(
-        "node",
-        F.col("est_distinct").alias("_prev"),
-        F.lit(0).cast("bigint").alias("h_micro"),
-    )
-    for t in range(1, max_radius + 1):
-        contrib = e.join(regs, e["dst"] == regs["node"]).select(
-            e["src"].alias("node"), "reg", "maxrank"
-        )
-        regs = (
-            regs.unionByName(contrib)
-            .groupBy("node", "reg")
-            .agg(F.max("maxrank").alias("maxrank"))
-            .localCheckpoint()
-        )
+    acc = None
+    for t, regs in _ball_registers(edges, max_radius, b):
+        if t == 0:
+            acc = hll_estimate(regs, ["node"], b).select(
+                "node",
+                F.col("est_distinct").alias("_prev"),
+                F.lit(0).cast("bigint").alias("h_micro"),
+            )
+            continue
         est = hll_estimate(regs, ["node"], b).select(
             "node", F.col("est_distinct").alias("_cur")
         )

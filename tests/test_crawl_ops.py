@@ -515,3 +515,13 @@ class TestDustRules:
         assert self._rules(spark, rows, max_hash_df=10, min_support=1) == {
             ("p", "print"): 1
         }
+
+    def test_same_pair_across_hashes_counts_once(self, spark):
+        # A and B serve identical content in TWO crawls (two hashes):
+        # the pair must contribute support 1, not 2
+        rows = [
+            ("https://h/p/1", "c1"), ("https://h/print/1", "c1"),
+            ("https://h/p/1", "c2"), ("https://h/print/1", "c2"),
+        ]
+        assert self._rules(spark, rows, min_support=2) == {}
+        assert self._rules(spark, rows, min_support=1) == {("p", "print"): 1}

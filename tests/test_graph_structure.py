@@ -468,3 +468,20 @@ class TestHarmonicCentrality:
         b0, b1, b2 = est(["a"]), est(["a", "b"]), est(["a", "b", "c"])
         assert out["a"] == 1_000_000 * (b1 - b0) + 500_000 * (b2 - b1)
         assert out["c"] == 0
+
+
+def test_bfs_convergence_on_final_iteration_is_not_an_error(spark):
+    from rdf_diff_store_spark.operators.graph import (
+        reachable_set,
+        seeded_closure,
+        seeded_distances,
+    )
+
+    # 2-hop chain with max_iterations=2: the 2nd (last allowed) loop
+    # pass empties the frontier — must return, not raise
+    e = spark.createDataFrame([("s", "a"), ("a", "b")], "src string, dst string")
+    srcs = spark.createDataFrame([("s",)], "node string")
+    assert reachable_set(e, srcs, max_iterations=2).count() == 2
+    seeds = spark.createDataFrame([("s",)], "seed string")
+    assert seeded_closure(e, seeds, max_iterations=2).count() == 2
+    assert seeded_distances(e, seeds, max_iterations=2).count() == 2
