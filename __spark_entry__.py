@@ -7151,6 +7151,47 @@ LIMIT 50
 """
 
 
+def q_kg_zorder_key(spark, sf_dir):
+    """Z-order / Morton clustering keys (operators/layout.py::
+    zorder_key; Morton 1966 — the multi-dimensional layout key behind
+    Delta's OPTIMIZE ZORDER BY): order-date day number × customer
+    bucket interleaved into one BIGINT, so a range-partitioned write
+    clusters BOTH dimensions and parquet min/max stats prune 2-D
+    range predicates. Pure codegen bit fold, variable-shift
+    `shiftleft` (expression shift amounts verified in both engines);
+    the query checks the key arithmetic — the write-side layout move
+    is `repartitionByRange(zkey)`. First 50 keys of the distinct
+    (day, bucket) grid."""
+    from rdf_diff_store_spark.operators.layout import zorder_key
+
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+        .cast("bigint")
+        .alias("x"),
+        (F.col("o_custkey") % 1024).cast("bigint").alias("y"),
+    ).distinct()
+    return (
+        b.select("x", "y", zorder_key("x", "y", bits=12).alias("zkey"))
+        .orderBy("zkey", "x", "y")
+        .limit(50)
+    )
+
+
+_ORACLE_R4["kg_zorder_key"] = """
+WITH b AS (
+  SELECT DISTINCT CAST(CAST(o_orderdate AS DATE) - DATE '1992-01-01' AS BIGINT) AS x,
+         CAST(o_custkey % 1024 AS BIGINT) AS y
+  FROM orders)
+SELECT x, y,
+       CAST(list_sum(list_transform(range(0, 12), i ->
+         ((x // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i)) +
+         ((y // (1::BIGINT << i)) % 2) * (1::BIGINT << (2 * i + 1))))
+         AS BIGINT) AS zkey
+FROM b ORDER BY zkey, x, y LIMIT 50
+"""
+
+
 def q_version_intervals(spark, sf_dir):
     """SCD-2 validity intervals (operators/versioned.py::
     version_intervals) — every stored version as (graph_id,
@@ -10810,6 +10851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec_walks": q_kg_node2vec_walks,
         "version_intervals": q_version_intervals,
         "web_harmonic_centrality": q_web_harmonic_centrality,
+        "kg_zorder_key": q_kg_zorder_key,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six

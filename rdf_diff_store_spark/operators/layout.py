@@ -177,3 +177,38 @@ def dict_decode(
             .drop("term_id")
         )
     return out.select("subj", "pred", "obj")
+
+
+def zorder_key(x, y, bits: int = 21):
+    """Morton / Z-order bit interleave of two non-negative integer
+    columns into one BIGINT sort key (Morton 1966; the multi-dim
+    clustering key behind Delta Lake's OPTIMIZE ZORDER BY and every
+    spatial range index): sorting/range-partitioning by the key keeps
+    rows close in BOTH dimensions physically adjacent, so parquet
+    min/max footer stats prune 2-D range predicates (time × entity
+    bucket, lat × lon) that a lexicographic (x, y) sort can prune
+    only on x.
+
+    Pure whole-stage-codegen column math — an `aggregate` fold over
+    the bit sequence with variable `shiftleft` (both engines accept
+    expression shift amounts, verified) — no UDF, no shuffle; 2·bits
+    ≤ 62 keeps the key positive BIGINT. `x` / `y` are SQL
+    expression strings whose values must lie in [0, 2^bits);
+    bucketize first (`hash(col) % m`, day numbers).
+
+    Usage: ``df.repartitionByRange(n, zorder_key("day", "bucket"))
+    .sortWithinPartitions(...)`` before the parquet write — the
+    layout move, not a query operator, which is why the oracle-
+    checked query only verifies the key arithmetic.
+    """
+    if 2 * bits > 62:
+        raise ValueError("2*bits must fit a positive BIGINT")
+    # SQL-expr form: PySpark's F.shiftleft types the shift amount as a
+    # Python int, but the SQL function accepts expressions — which the
+    # per-bit fold needs (shift by the lambda variable)
+    return F.expr(
+        f"""aggregate(sequence(0, {bits - 1}), 0L,
+  (acc, i) -> acc
+    + shiftleft((cast(({x}) as bigint) div shiftleft(1L, i)) % 2, 2 * i)
+    + shiftleft((cast(({y}) as bigint) div shiftleft(1L, i)) % 2, 2 * i + 1))"""
+    )

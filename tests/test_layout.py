@@ -112,3 +112,42 @@ class TestDictEncode:
         _, enc = dict_encode(self._t(spark))
         plan = enc._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "Exchange" not in plan
+
+
+class TestZorderKey:
+    def _keys(self, spark, pairs, bits=8):
+        from rdf_diff_store_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame(pairs, "x long, y long")
+        return {
+            (r.x, r.y): r.z
+            for r in df.select("x", "y", zorder_key("x", "y", bits).alias("z")).collect()
+        }
+
+    def test_known_interleavings(self, spark):
+        out = self._keys(spark, [(0, 0), (1, 0), (0, 1), (1, 1), (3, 1), (5, 7)])
+        assert out == {
+            (0, 0): 0, (1, 0): 1, (0, 1): 2, (1, 1): 3,
+            (3, 1): 7, (5, 7): 59,
+        }
+
+    def test_bijective_on_grid(self, spark):
+        grid = [(x, y) for x in range(8) for y in range(8)]
+        out = self._keys(spark, grid, bits=3)
+        assert sorted(out.values()) == list(range(64))  # exact bijection
+
+    def test_quadrant_locality(self, spark):
+        # all cells of the low 4x4 quadrant sort before any cell of
+        # the (x>=4, y>=4) quadrant — the min/max pruning property
+        out = self._keys(spark, [(x, y) for x in range(8) for y in range(8)], bits=3)
+        low = max(v for (x, y), v in out.items() if x < 4 and y < 4)
+        high = min(v for (x, y), v in out.items() if x >= 4 and y >= 4)
+        assert low < high
+
+    def test_bits_guard(self, spark):
+        import pytest as _pytest
+
+        from rdf_diff_store_spark.operators.layout import zorder_key
+
+        with _pytest.raises(ValueError):
+            zorder_key("x", "y", bits=32)
