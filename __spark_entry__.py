@@ -7435,6 +7435,46 @@ est{t} AS (
 _ORACLE_R4["web_harmonic_centrality"] = _harmonic_oracle()
 
 
+def q_web_effective_diameter(spark, sf_dir):
+    """Effective diameter (the '90 % of reachable pairs' statistic of
+    Leskovec-Kleinberg-Faloutsos "Graphs over Time", KDD 2005, read
+    off the HyperANF curve): the smallest radius t whose N(t) reaches
+    90 % of N(max) — integer cross-multiplication (pairs·10 ≥ 9·max),
+    no float thresholds. One row: (effective_diameter, n_nodes,
+    pairs_at_d, pairs_max). Derived entirely from
+    neighborhood_function's curve — no extra graph pass."""
+    from rdf_diff_store_spark.operators.graph import neighborhood_function
+
+    nf = neighborhood_function(_ring_inreg_edges(spark, sf_dir), max_radius=4, b=4)
+    mx = nf.agg(F.max("pairs_est").alias("pairs_max"))
+    return (
+        nf.crossJoin(mx)
+        .filter(F.col("pairs_est") * 10 >= F.col("pairs_max") * 9)
+        .orderBy("radius")
+        .limit(1)
+        .select(
+            F.col("radius").alias("effective_diameter"),
+            "n_nodes",
+            F.col("pairs_est").alias("pairs_at_d"),
+            "pairs_max",
+        )
+    )
+
+
+_ORACLE_R4["web_effective_diameter"] = (
+    "WITH nf AS ("
+    + _nf_oracle()
+    + """),
+mx AS (SELECT MAX(pairs_est) AS pairs_max FROM nf)
+SELECT CAST(radius AS INT) AS effective_diameter, n_nodes,
+       CAST(pairs_est AS BIGINT) AS pairs_at_d, CAST(pairs_max AS BIGINT) AS pairs_max
+FROM nf CROSS JOIN mx
+WHERE pairs_est * 10 >= pairs_max * 9
+ORDER BY radius LIMIT 1
+"""
+)
+
+
 def q_snapshot_triple_prov(spark, sf_dir):
     """Triple-level why-provenance: every triple of the T_MID snapshot
     tagged with the timestamp of the VERSION that asserted it — the
@@ -10852,6 +10892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "version_intervals": q_version_intervals,
         "web_harmonic_centrality": q_web_harmonic_centrality,
         "kg_zorder_key": q_kg_zorder_key,
+        "web_effective_diameter": q_web_effective_diameter,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
