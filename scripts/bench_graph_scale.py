@@ -134,6 +134,24 @@ def main() -> None:
     out["blocking_sec"] = round(time.time() - t0, 2)
     out["blocking_pairs"] = n_cand
 
+    # --- sorted neighborhood: window-3 pairs over 1M profiles --------
+    from rdf_diff_store_spark.operators.blocking import sorted_neighborhood
+
+    prof = (
+        spark.range(n)
+        .select(
+            F.concat(F.lit("p"), F.col("id")).alias("id"),
+            F.expr("lpad(cast((id * 2654435761) % 100000000 as string), 8, '0')").alias(
+                "key"
+            ),
+        )
+        .localCheckpoint()
+    )
+    t0 = time.time()
+    n_sn = sorted_neighborhood(prof, window=3, prefix_len=3).count()
+    out["sorted_neighborhood_sec"] = round(time.time() - t0, 2)
+    out["sorted_neighborhood_pairs"] = n_sn
+
     print(json.dumps(out))
 
 
