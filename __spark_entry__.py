@@ -7192,6 +7192,42 @@ FROM b ORDER BY zkey, x, y LIMIT 50
 """
 
 
+def q_event_hopping_windows(spark, sf_dir):
+    """HOPPING (sliding) event-time windows — F.window(ts, width=6h,
+    slide=3h): every event lands in exactly width/slide = 2
+    overlapping windows, the smoothing aggregation streaming
+    dashboards run (tumbling = the degenerate slide=width case
+    already covered by event_time_windows). Windows align to the
+    epoch, so the oracle derives both window starts arithmetically —
+    (epoch div hop)·hop − i·hop — with no engine time-bucket origin
+    dependence; NTZ column in, epoch micros out (session-TZ-proof)."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "6 hours", "3 hours")
+    return (
+        ev.groupBy(win, "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            _ntz_us(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+_ORACLE_R4["event_hopping_windows"] = """
+WITH e AS (
+  SELECT epoch_us(ts) AS us, event_type, value FROM events),
+hopped AS (
+  SELECT (us // 10800000000) * 10800000000 - i * 10800000000 AS win_start_us,
+         event_type, value
+  FROM e, unnest(generate_series(0, 1)) AS g(i))
+SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM hopped GROUP BY win_start_us, event_type
+"""
+
+
 def q_version_intervals(spark, sf_dir):
     """SCD-2 validity intervals (operators/versioned.py::
     version_intervals) — every stored version as (graph_id,
@@ -10893,6 +10929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_harmonic_centrality": q_web_harmonic_centrality,
         "kg_zorder_key": q_kg_zorder_key,
         "web_effective_diameter": q_web_effective_diameter,
+        "event_hopping_windows": q_event_hopping_windows,
         "kg_walk_cooc": q_kg_walk_cooc,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
