@@ -7481,7 +7481,11 @@ def q_web_effective_diameter(spark, sf_dir):
     neighborhood_function's curve — no extra graph pass."""
     from rdf_diff_store_spark.operators.graph import neighborhood_function
 
-    nf = neighborhood_function(_ring_inreg_edges(spark, sf_dir), max_radius=4, b=4)
+    # checkpoint: nf feeds both the max aggregate and the probe side —
+    # without the barrier the estimate layer evaluates twice
+    nf = neighborhood_function(
+        _ring_inreg_edges(spark, sf_dir), max_radius=4, b=4
+    ).localCheckpoint()
     mx = nf.agg(F.max("pairs_est").alias("pairs_max"))
     return (
         nf.crossJoin(mx)

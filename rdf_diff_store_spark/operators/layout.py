@@ -194,7 +194,11 @@ def zorder_key(x, y, bits: int = 21):
     expression shift amounts, verified) — no UDF, no shuffle; 2·bits
     ≤ 62 keeps the key positive BIGINT. `x` / `y` are SQL
     expression strings whose values must lie in [0, 2^bits);
-    bucketize first (`hash(col) % m`, day numbers).
+    bucketize first with `pmod(hash(col), m)` — NOT `hash(col) % m`:
+    Spark hash() is signed and `%` keeps the dividend's sign, and a
+    negative input would make the bit fold sum negative shiftleft
+    terms (silently garbage keys). Negative inputs RAISE at runtime
+    (assert_true guard) rather than corrupt the layout quietly.
 
     Usage: ``df.repartitionByRange(n, zorder_key("day", "bucket"))
     .sortWithinPartitions(...)`` before the parquet write — the
@@ -207,8 +211,10 @@ def zorder_key(x, y, bits: int = 21):
     # Python int, but the SQL function accepts expressions — which the
     # per-bit fold needs (shift by the lambda variable)
     return F.expr(
-        f"""aggregate(sequence(0, {bits - 1}), 0L,
-  (acc, i) -> acc
-    + shiftleft((cast(({x}) as bigint) div shiftleft(1L, i)) % 2, 2 * i)
-    + shiftleft((cast(({y}) as bigint) div shiftleft(1L, i)) % 2, 2 * i + 1))"""
+        f"""CASE WHEN assert_true(({x}) >= 0 AND ({y}) >= 0) IS NULL THEN
+  aggregate(sequence(0, {bits - 1}), 0L,
+    (acc, i) -> acc
+      + shiftleft((cast(({x}) as bigint) div shiftleft(1L, i)) % 2, 2 * i)
+      + shiftleft((cast(({y}) as bigint) div shiftleft(1L, i)) % 2, 2 * i + 1))
+END"""
     )

@@ -27,8 +27,6 @@ anti-join co-locates without shuffling the stored closure.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 
 from rdf_diff_store_spark.operators.entailment import (
@@ -45,27 +43,26 @@ class StreamingEntailment:
     read the always-current closure with `closure()`."""
 
     def __init__(self, spark: SparkSession, work_dir: str) -> None:
+        from rdf_diff_store_spark.streaming.state import AppendOnlyState
+
         self.spark = spark
-        self._state_path = os.path.join(work_dir, "closure_state")
+        self._state = AppendOnlyState(spark, work_dir, "closure_state", _SCHEMA)
 
     def closure(self) -> DataFrame:
-        try:
-            return self.spark.read.parquet(self._state_path)
-        except Exception:  # noqa: BLE001 — not initialized yet
-            return self.spark.createDataFrame([], _SCHEMA)
+        # AppendOnlyState read semantics: ONLY a missing directory is
+        # "not initialized" — a transient read fault must propagate,
+        # not silently zero the closure (the drift the shared class
+        # exists to prevent)
+        return self._state.read()
 
     def initialize(self, triples: DataFrame) -> None:
         """Materialize the full closure of the initial store (schema +
         any pre-existing A-box) — the one corpus-sized derivation."""
-        rdfs_entailment(triples.select("s", "p", "o")).write.mode(
-            "overwrite"
-        ).parquet(self._state_path)
+        self._state.overwrite(rdfs_entailment(triples.select("s", "p", "o")))
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
         # localCheckpoint barrier: materialize the delta BEFORE the
         # append touches the directory the anti-join reads from
-        new = rdfs_entail_delta(
-            self.closure(), batch.select("s", "p", "o")
-        ).localCheckpoint()
-        if not new.isEmpty():
-            new.write.mode("append").parquet(self._state_path)
+        self._state.append(
+            rdfs_entail_delta(self.closure(), batch.select("s", "p", "o"))
+        )

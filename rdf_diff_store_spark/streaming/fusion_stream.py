@@ -31,10 +31,10 @@ aggregation co-locate without shuffling stored state.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.streaming.state import AppendOnlyState
 
 _SCHEMA = "source string, subj string, pred string, obj string"
 _COLS = ["source", "subj", "pred", "obj"]
@@ -47,7 +47,7 @@ class StreamingFactSupport:
 
     def __init__(self, spark: SparkSession, work_dir: str) -> None:
         self.spark = spark
-        self._state_path = os.path.join(work_dir, "claim_state")
+        self._state = AppendOnlyState(spark, work_dir, "claim_state", _SCHEMA)
 
     def claims(self) -> DataFrame:
         """The deduped (source, subj, pred, obj) state. Only a
@@ -55,21 +55,10 @@ class StreamingFactSupport:
         read failure (corrupt file, permissions) must propagate, or a
         transient fault would silently zero the support counts and
         make replays re-append whole batches."""
-        if not os.path.isdir(self._state_path):
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.parquet(self._state_path)
+        return self._state.read()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        # localCheckpoint barrier: materialize the novel pairs BEFORE
-        # the append touches the directory the anti-join reads from
-        new = (
-            batch.select(*_COLS)
-            .distinct()
-            .join(self.claims(), _COLS, "left_anti")
-            .localCheckpoint()
-        )
-        if not new.isEmpty():
-            new.write.mode("append").parquet(self._state_path)
+        self._state.append_if_new(batch, _COLS)
 
     def support(self) -> DataFrame:
         """(subj, pred, obj, n_sources) over the current state — equal

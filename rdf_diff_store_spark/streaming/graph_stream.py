@@ -30,10 +30,10 @@ SURVEY §2 extensions (web_link_graph × the graph operator family).
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rdf_diff_store_spark.streaming.state import AppendOnlyState
 
 _SCHEMA = "src string, dst string"
 _COLS = ["src", "dst"]
@@ -46,29 +46,18 @@ class StreamingLinkGraph:
 
     def __init__(self, spark: SparkSession, work_dir: str) -> None:
         self.spark = spark
-        self._state_path = os.path.join(work_dir, "edge_state")
+        self._state = AppendOnlyState(spark, work_dir, "edge_state", _SCHEMA)
 
     def edges(self) -> DataFrame:
-        """The deduped (src, dst) state. Only a MISSING directory
-        means "empty graph"; any other read failure propagates (a
-        transient fault must not zero the graph and make replays
-        re-append whole batches)."""
-        if not os.path.isdir(self._state_path):
-            return self.spark.createDataFrame([], _SCHEMA)
-        return self.spark.read.parquet(self._state_path)
+        """The deduped (src, dst) state (AppendOnlyState read
+        semantics: only a missing directory means empty)."""
+        return self._state.read()
 
     def process_batch(self, batch: DataFrame, batch_id: int) -> None:
-        # localCheckpoint barrier: materialize the novel edges BEFORE
-        # the append touches the directory the anti-join reads from
-        new = (
-            batch.select(*_COLS)
-            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-            .distinct()
-            .join(self.edges(), _COLS, "left_anti")
-            .localCheckpoint()
+        self._state.append_if_new(
+            batch.filter(F.col("src").isNotNull() & F.col("dst").isNotNull()),
+            _COLS,
         )
-        if not new.isEmpty():
-            new.write.mode("append").parquet(self._state_path)
 
     def degrees(self) -> DataFrame:
         """(node, out_degree, in_degree) over the live edge set —

@@ -1,0 +1,64 @@
+"""The shared append-only distinct-state discipline behind the
+mark-free streaming maintainers (`StreamingFactSupport`,
+`StreamingEntailment`, `StreamingLinkGraph`): an append-only parquet
+directory holding a DISTINCT row set, grown by anti-join append.
+
+Idempotent-set semantics make replays self-healing with NO high-water
+mark: a replayed batch — whether the crash hit before or after the
+append — derives against whatever state survived and appends only
+what is still missing. The two invariants every consumer needs, in
+one place so they cannot drift (an earlier copy of `read()` in
+entail_stream.py swallowed ALL read exceptions, so a transient
+parquet fault would silently zero the closure and make the next
+replay append duplicates — exactly the fault mode this class's
+missing-directory-only check exists to prevent):
+
+* `read()` treats only a MISSING directory as "empty state"; any
+  other failure (corrupt file, permissions, transient IO) propagates.
+* every append is `localCheckpoint()`-materialized BEFORE the write
+  touches the directory the deriving anti-join reads from.
+
+Production buckets the directory by a consumer-chosen hash key
+(sources/bucketed_store.py) so per-batch anti-joins and read-side
+aggregations co-locate; the flat parquet directory is the test shape.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class AppendOnlyState:
+    def __init__(
+        self, spark: SparkSession, work_dir: str, name: str, schema: str
+    ) -> None:
+        self.spark = spark
+        self.schema = schema
+        self.path = os.path.join(work_dir, name)
+
+    def read(self) -> DataFrame:
+        """Current state; ONLY a missing directory means empty."""
+        if not os.path.isdir(self.path):
+            return self.spark.createDataFrame([], self.schema)
+        return self.spark.read.parquet(self.path)
+
+    def overwrite(self, df: DataFrame) -> None:
+        df.write.mode("overwrite").parquet(self.path)
+
+    def append(self, new: DataFrame) -> None:
+        """Append pre-derived novel rows (caller owns the anti-join —
+        e.g. a semi-naive delta derivation). Checkpoints first: the
+        rows must materialize before the write touches the directory
+        their derivation read from."""
+        new = new.localCheckpoint()
+        if not new.isEmpty():
+            new.write.mode("append").parquet(self.path)
+
+    def append_if_new(self, batch: DataFrame, cols: list[str]) -> None:
+        """The standard step: distinct batch rows minus current state,
+        appended. Replaying any batch is a no-op by construction."""
+        self.append(
+            batch.select(*cols).distinct().join(self.read(), cols, "left_anti")
+        )

@@ -151,3 +151,12 @@ class TestZorderKey:
 
         with _pytest.raises(ValueError):
             zorder_key("x", "y", bits=32)
+
+    def test_negative_input_raises_loudly(self, spark):
+        import pytest as _pytest
+
+        from rdf_diff_store_spark.operators.layout import zorder_key
+
+        df = spark.createDataFrame([(-1, 2)], "x long, y long")
+        with _pytest.raises(Exception, match="is not true"):
+            df.select(zorder_key("x", "y", 4).alias("z")).collect()
