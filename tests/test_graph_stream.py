@@ -51,3 +51,27 @@ def test_null_endpoints_dropped_and_operators_compose(spark, tmp_path):
     assert comp == {"a": "a", "b": "a"}
     ranks = pagerank(g.edges(), iterations=2)
     assert ranks.filter(F.col("rank_micro") > 0).count() == 2
+
+
+def test_append_only_state_read_discipline(spark, tmp_path):
+    """Missing dir = empty; a CORRUPT state read must RAISE, never
+    silently return empty (the entail_stream drift the shared class
+    closed: silent-empty makes replays append duplicates)."""
+    import pytest as _pytest
+
+    from rdf_diff_store_spark.streaming.state import AppendOnlyState
+
+    st = AppendOnlyState(spark, str(tmp_path), "s", "a string, b string")
+    assert st.read().count() == 0  # missing dir -> empty, no error
+
+    st.append_if_new(spark.createDataFrame([("x", "y")], "a string, b string"), ["a", "b"])
+    assert st.read().count() == 1
+
+    # corrupt the directory: a non-parquet file where data should be
+    import os as _os
+
+    bad = _os.path.join(st.path, "zzz_corrupt.parquet")
+    with open(bad, "w") as fh:
+        fh.write("this is not parquet")
+    with _pytest.raises(Exception):
+        st.read().count()
