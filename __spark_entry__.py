@@ -10582,6 +10582,119 @@ ORDER BY id_a, id_b LIMIT 200
 """
 
 
+def q_er_blocking_recall(spark, sf_dir):
+    """Blocking-quality evaluation (the pair-completeness metric of
+    the ER blocking literature — Papadakis et al.'s PC): plant a twin
+    for every customer (same attributes, balance one cent off — the
+    near-duplicate a matcher must see) and measure how many truth
+    pairs SURVIVE meta_blocking's purge-and-prune. Twins share the
+    nation×segment key always and each balance bucket unless the +1
+    cent crosses a bucket boundary, so recall is high but honestly
+    < 100% — the query reports (n_truth, n_found, recall_pct) in
+    exact integer percent. The evaluation harness every blocking
+    deployment runs before trusting its candidate generator."""
+    from rdf_diff_store_spark.operators.blocking import meta_blocking
+
+    cust = load_table(spark, sf_dir, "customer")
+    # twin balance = cents + 1; every other attribute identical
+    cid = F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))
+    tid = F.concat(F.lit("twin:"), F.col("c_custkey").cast("string"))
+    arms = []
+    for idc, off in ((cid, 0), (tid, 1)):
+        arms += [
+            cust.select(
+                idc.alias("id"),
+                F.concat(
+                    F.lit("ns:"),
+                    F.col("c_nationkey").cast("string"),
+                    F.lit(":"),
+                    F.col("c_mktsegment"),
+                ).alias("block_key"),
+            ),
+            cust.select(
+                idc.alias("id"),
+                F.concat(F.lit("b1k:"), F.expr(
+                    f"(cast(round(c_acctbal * 100) as bigint) + {100000 + off}) div 1000"
+                ).cast("string")).alias("block_key"),
+            ),
+            cust.select(
+                idc.alias("id"),
+                F.concat(F.lit("b10k:"), F.expr(
+                    f"(cast(round(c_acctbal * 100) as bigint) + {100000 + off}) div 10000"
+                ).cast("string")).alias("block_key"),
+            ),
+        ]
+    keys = arms[0]
+    for a in arms[1:]:
+        keys = keys.unionByName(a)
+    cand = meta_blocking(keys, max_block_size=500)
+    truth = cust.select(cid.alias("id_a"), tid.alias("id_b"))
+    n_truth = truth.count()
+    found = cand.join(truth, ["id_a", "id_b"], "left_semi")
+    return found.agg(
+        F.lit(n_truth).cast("bigint").alias("n_truth"),
+        F.count("*").cast("bigint").alias("n_found"),
+        F.expr(f"(count(*) * 100) div {n_truth}").cast("bigint").alias("recall_pct"),
+    )
+
+
+_ORACLE_R4["er_blocking_recall"] = """
+WITH k AS (
+  SELECT DISTINCT id, block_key FROM (
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id,
+           'ns:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment AS block_key
+    FROM customer
+    UNION ALL
+    SELECT 'twin:' || CAST(c_custkey AS VARCHAR),
+           'ns:' || CAST(c_nationkey AS VARCHAR) || ':' || c_mktsegment
+    FROM customer
+    UNION ALL
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+           'b1k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 1000 AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'twin:' || CAST(c_custkey AS VARCHAR),
+           'b1k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100001) // 1000 AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+           'b10k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 10000 AS VARCHAR)
+    FROM customer
+    UNION ALL
+    SELECT 'twin:' || CAST(c_custkey AS VARCHAR),
+           'b10k:' || CAST((CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100001) // 10000 AS VARCHAR)
+    FROM customer)),
+bsize AS (SELECT block_key, COUNT(*) AS bs FROM k GROUP BY block_key),
+kept AS (
+  SELECT k.id, k.block_key FROM k JOIN bsize USING (block_key)
+  WHERE bs >= 2 AND bs <= 500),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS cbs
+  FROM kept a JOIN kept b ON a.block_key = b.block_key AND a.id < b.id
+  GROUP BY 1, 2),
+node_stat AS (
+  SELECT id, CAST((SUM(cbs) * 1000000) // COUNT(*) AS BIGINT) AS thr_micro
+  FROM (SELECT id_a AS id, cbs FROM pairs
+        UNION ALL SELECT id_b, cbs FROM pairs)
+  GROUP BY id),
+cand AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN node_stat na ON na.id = p.id_a
+  JOIN node_stat nb ON nb.id = p.id_b
+  WHERE p.cbs * 1000000 >= na.thr_micro OR p.cbs * 1000000 >= nb.thr_micro),
+truth AS (
+  SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id_a,
+         'twin:' || CAST(c_custkey AS VARCHAR) AS id_b
+  FROM customer),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found
+       FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+SELECT nt.n_truth, nf.n_found,
+       CAST((nf.n_found * 100) // nt.n_truth AS BIGINT) AS recall_pct
+FROM nt CROSS JOIN nf
+"""
+
+
 def q_kg_walk_cooc(spark, sf_dir):
     """Skip-gram co-occurrence corpus (operators/graph.py::
     walk_cooccurrence over random_walks) — the (center, context)
@@ -10935,6 +11048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_effective_diameter": q_web_effective_diameter,
         "event_hopping_windows": q_event_hopping_windows,
         "kg_walk_cooc": q_kg_walk_cooc,
+        "er_blocking_recall": q_er_blocking_recall,
         "doc_textrank_keywords": q_doc_textrank_keywords,
         # -- re-verification rows for code paths r04 touched: all six
         #    were driver-green in r01-r03 and stay value-checked at two
