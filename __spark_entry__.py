@@ -10339,6 +10339,59 @@ s{t} AS (
 _ORACLE_R4["kg_random_walks"] = _walks_oracle()
 
 
+def q_web_host_graph(spark, sf_dir):
+    """Host-graph condensation — the page-level link graph quotiented
+    by host (the Common Crawl "host-level web graph" product, and the
+    input granularity for web_scc/web_bowtie per Broder's analysis):
+    per (src_host, dst_host) edge weights = distinct linking pages,
+    self-loops dropped. Deterministic links derived from doc ids
+    (page d on site d%20 links to sites (7d+3)%20 and (3d+11)%20);
+    one combinable count over host pairs — the condensation is
+    hosts²-bounded however many pages exist. Top-100 by
+    (n_links DESC, pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+
+    def host(expr):
+        return F.concat(F.lit("site"), expr.cast("string"), F.lit(".example.org"))
+
+    links = docs.select(
+        d.alias("page"), host(d % 20).alias("src_host"), host((d * 7 + 3) % 20).alias("dst_host")
+    ).unionByName(
+        docs.select(
+            d.alias("page"), host(d % 20).alias("src_host"), host((d * 3 + 11) % 20).alias("dst_host")
+        )
+    )
+    return (
+        links.filter(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host", "page")
+        .distinct()
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("bigint").alias("n_links"))
+        .orderBy(F.desc("n_links"), "src_host", "dst_host")
+        .limit(100)
+    )
+
+
+_ORACLE_R4["web_host_graph"] = """
+WITH links AS (
+  SELECT doc_id AS page,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS src_host,
+         'site' || CAST((doc_id * 7 + 3) % 20 AS VARCHAR) || '.example.org' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT doc_id,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org',
+         'site' || CAST((doc_id * 3 + 11) % 20 AS VARCHAR) || '.example.org'
+  FROM documents),
+d AS (SELECT DISTINCT src_host, dst_host, page FROM links
+      WHERE src_host <> dst_host)
+SELECT src_host, dst_host, CAST(COUNT(*) AS BIGINT) AS n_links
+FROM d GROUP BY 1, 2
+ORDER BY n_links DESC, src_host, dst_host LIMIT 100
+"""
+
+
 def q_web_dust_rules(spark, sf_dir):
     """DUST rule discovery (operators/crawl.py::dust_rules;
     Bar-Yossef et al. WWW 2007) — learn single-token URL rewrite
@@ -11037,6 +11090,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_containment_topk": q_doc_containment_topk,
         "web_anf": q_web_anf,
         "web_dust_rules": q_web_dust_rules,
+        "web_host_graph": q_web_host_graph,
         "web_clustering_coeff": q_web_clustering_coeff,
         "snapshot_triple_prov": q_snapshot_triple_prov,
         "web_neighborhood_fn": q_web_neighborhood_fn,
