@@ -118,19 +118,32 @@ def sorted_neighborhood(
        are CONTIGUOUS under lexicographic order, so per-bucket
        `row_number` windows (hash-partitioned, no funnel) give local
        positions;
-    2. bucket offsets = a running sum over the (bucket, count) frame
-       — metadata-sized (|buckets| rows), the only single-partition
-       window anywhere;
+    2. bucket offsets = a DISTRIBUTED prefix scan over the
+       (bucket, count) frame: range-partition by bucket, run the
+       running sum per range partition (a PARTITIONED window — no
+       single-task funnel even when `prefix_len` makes |buckets|
+       approach |rows|), then add each partition's base offset,
+       computed by a triangular broadcast join over the
+       #partitions-row totals frame. The ranged frame is frozen with
+       an eager localCheckpoint so both consumers (per-partition scan
+       and partition totals) see the SAME range boundaries —
+       repartitionByRange re-samples per execution, and a lazy
+       double-compute would silently mis-align pids (CLAUDE.md barrier
+       rule);
     3. global_pos = offset + local pos. Pairs join band-to-band
        (band = global_pos div window, probe band and band+1), so the
        neighborhood predicate is two equi-joins + a filter — never a
        BroadcastNestedLoopJoin range join.
 
+    Profiles whose key is NULL have no position in the sort order and
+    are dropped explicitly up front (stated contract, not a join
+    artifact): a NULL blocking key carries no sortable evidence.
+
     Returns (id_a, id_b) with id_a the earlier row in sort order —
     windows CROSS bucket boundaries exactly (the two-level order is
     the true global order), which naive per-partition variants lose.
     """
-    rows = profiles.select(
+    rows = profiles.filter(F.col(key_col).isNotNull()).select(
         F.col("id"), F.col(key_col).alias("_key"),
         F.substring(F.col(key_col), 1, prefix_len).alias("_bucket"),
     )
@@ -139,14 +152,30 @@ def sorted_neighborhood(
     pos = F.row_number().over(W.partitionBy("_bucket").orderBy("_key", "id"))
     local = rows.select("id", "_key", "_bucket", pos.alias("_pos"))
     counts = rows.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
-    off = counts.select(
-        "_bucket",
-        F.coalesce(
-            F.sum("_cnt").over(
-                W.orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("_off"),
+    # distributed prefix scan: order-preserving range partitions, each
+    # scanned independently, stitched by per-partition base offsets.
+    n_scan = max(2, counts.sparkSession.sparkContext.defaultParallelism)
+    ranged = (
+        counts.repartitionByRange(n_scan, "_bucket")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)  # freeze pids for both consumers
+    )
+    within = F.coalesce(
+        F.sum("_cnt").over(
+            W.partitionBy("_pid").orderBy("_bucket").rowsBetween(W.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    loc = ranged.select("_bucket", "_pid", within.alias("_woff"))
+    tot = ranged.groupBy("_pid").agg(F.sum("_cnt").alias("_ptot"))
+    base = (
+        tot.alias("x")
+        .join(F.broadcast(tot.alias("y")), F.col("y._pid") < F.col("x._pid"), "left")
+        .groupBy(F.col("x._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("y._ptot"), F.lit(0)).alias("_poff"))
+    )
+    off = loc.join(F.broadcast(base), "_pid").select(
+        "_bucket", (F.col("_poff") + F.col("_woff")).alias("_off")
     )
     g = local.join(off, "_bucket").select(
         "id", (F.col("_off") + F.col("_pos")).cast("bigint").alias("_g")
