@@ -485,3 +485,84 @@ def test_bfs_convergence_on_final_iteration_is_not_an_error(spark):
     seeds = spark.createDataFrame([("s",)], "seed string")
     assert seeded_closure(e, seeds, max_iterations=2).count() == 2
     assert seeded_distances(e, seeds, max_iterations=2).count() == 2
+
+
+class TestSccFwbw:
+    """FW-BW SCC (scc_fwbw) pinned ≡ the closure-based scc, plus the
+    r04 VERDICT wrong-#2 contract: bowtie_classes never runs the
+    doubling transitive closure (quadratic inside the giant core it
+    exists to find)."""
+
+    def _both(self, spark, pairs):
+        from rdf_diff_store_spark.operators.graph import scc, scc_fwbw
+
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        closure = {r.id: r.scc_id for r in scc(df).collect()}
+        fwbw = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
+        return closure, fwbw
+
+    def test_hand_graphs_match_closure(self, spark):
+        for pairs in [
+            [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "x"),
+             ("d", "a"), ("c", "x")],
+            [("s", "s"), ("s", "t")],
+            [("1", "2"), ("2", "3"), ("3", "4")],
+            [("a", "b"), ("b", "a"), ("p", "q"), ("q", "p"), ("b", "p")],
+        ]:
+            closure, fwbw = self._both(spark, pairs)
+            assert fwbw == closure
+
+    def test_seeded_random_graphs_match_closure(self, spark):
+        import random
+
+        for seed in (7, 23, 91):
+            rng = random.Random(seed)
+            n = 24
+            pairs = list(
+                {
+                    (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+                    for _ in range(60)
+                }
+            )
+            closure, fwbw = self._both(spark, sorted(pairs))
+            assert fwbw == closure, f"seed {seed} diverged"
+
+    def test_deep_chain_trims_to_singletons(self, spark):
+        # a pure DAG chain longer than one outer round's trim budget:
+        # repeated trim rounds must still converge to all-singletons
+        from rdf_diff_store_spark.operators.graph import scc_fwbw
+
+        pairs = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(13)]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        out = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
+        assert out == {f"c{i:03d}": f"c{i:03d}" for i in range(14)}
+
+    def test_bowtie_never_runs_transitive_closure(self, spark, monkeypatch):
+        # spy: the closure is forbidden on the bowtie path (same
+        # technique as the seeded-path audit in explain_audit check 7)
+        from rdf_diff_store_spark.operators import graph as g
+
+        def _boom(*a, **k):  # pragma: no cover - tripwire
+            raise AssertionError("transitive_closure ran on the bowtie path")
+
+        monkeypatch.setattr(g, "transitive_closure", _boom)
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("in1", "a"), ("c", "out1")],
+            "src string, dst string",
+        )
+        out = {r.id: r.bowtie_class for r in g.bowtie_classes(df).collect()}
+        assert out["a"] == out["b"] == out["c"] == "core"
+        assert out["in1"] == "in" and out["out1"] == "out"
+
+    def test_scc_delegates_to_fwbw_above_threshold(self, spark, monkeypatch):
+        from rdf_diff_store_spark.operators import graph as g
+
+        def _boom(*a, **k):  # pragma: no cover - tripwire
+            raise AssertionError("closure ran despite fwbw threshold")
+
+        monkeypatch.setattr(g, "transitive_closure", _boom)
+        df = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("b", "c")], "src string, dst string"
+        )
+        out = {r.id: r.scc_id for r in g.scc(df, fwbw_threshold_nodes=2).collect()}
+        assert out == {"a": "a", "b": "a", "c": "c"}
