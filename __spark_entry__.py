@@ -2191,7 +2191,14 @@ def q_session_window_agg(spark, sf_dir):
     win = F.session_window(F.col("ts"), "30 minutes")
     return (
         ev.groupBy("user_id", win)
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # DECIMAL-exact sum: double sums are accumulation-order-
+            # dependent and can straddle .xx5 across engines (CLAUDE.md
+            # DuckDB-oracle rule; values are 2-decimal money doubles,
+            # so the per-value DECIMAL(18,2) cast is lossless-portable)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(
             "user_id",
             _ntz_us(F.col("session_window.start")).alias("sess_start_us"),
@@ -2223,7 +2230,8 @@ sess AS (
   FROM lagged
 )
 SELECT user_id, epoch_us(min(ts)) AS sess_start_us,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM sess GROUP BY user_id, sess_id
 """,
     "doc_simhash_portable": r"""
@@ -2684,7 +2692,11 @@ def q_event_time_windows(spark, sf_dir):
     win = F.window(F.col("ts"), "6 hours")
     return (
         ev.groupBy(win, "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # DECIMAL-exact portable sum (see session_window_agg note)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(
             _ntz_us(F.col("window.start")).alias("win_start_us"),
             "event_type",
@@ -2862,7 +2874,8 @@ SELECT subj, pred, obj FROM triples WHERE subj = 'nation:0' OR obj = 'nation:0'
 """,
     "event_time_windows": """
 SELECT epoch_us(time_bucket(INTERVAL '6 hours', ts)) AS win_start_us,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events GROUP BY 1, 2
 """,
 }
@@ -7205,7 +7218,11 @@ def q_event_hopping_windows(spark, sf_dir):
     win = F.window(F.col("ts"), "6 hours", "3 hours")
     return (
         ev.groupBy(win, "event_type")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("n"),
+            # DECIMAL-exact portable sum (see session_window_agg note)
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
         .select(
             _ntz_us(F.col("window.start")).alias("win_start_us"),
             "event_type",
@@ -7223,7 +7240,7 @@ hopped AS (
          event_type, value
   FROM e, unnest(generate_series(0, 1)) AS g(i))
 SELECT win_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM hopped GROUP BY win_start_us, event_type
 """
 
@@ -10916,27 +10933,97 @@ ORDER BY p.cbs DESC, p.id_a, p.id_b LIMIT 100
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order is LOAD-BEARING: the driver value-checks only the
-    FIRST 50 entries. The r04 window holds the 26 session-2 queries no
-    driver sheet has ever sampled (all of SPARQL UPDATE, entity
-    linking, PNG/WAV codecs, version_deltas, expire_versions,
-    BM25/tf-idf/PMI, TPC-H q2/q8/q11/q20/q21, ...), the re-fixed
-    sparql_numeric_fns (r03's one red row - dtype, not values), the
-    newly value-oracled ANN pair (md5-portable planes/centroids), the
-    fourteen queries ADDED in r04 (typed temporal comparisons,
-    sameTerm constructors, dynamic STRLANG/STRDT comparisons, UPDATE
-    USING clauses, EBV filter coercion, near-dup clustering, sequence
-    packing, Gopher rules, mixture sampling, KMV distinct sketch,
-    priority sampling, PII redaction, duplicated-span detection, CCNet
-    perplexity buckets), and the six session-6 additions (count-min
-    heavy hitters, DSIR weights, range/as-of joins, PageRank, bucketed
-    storage — they took the slots of six re-verification rows that are
-    driver-green in r01-r03 and stay value-checked locally each round).
-    With r04 every registry entry has a driver row across r01..r04.
-    All entries are value-checked every round by
-    scripts/check_oracle.py at two scale factors."""
+    FIRST 50 entries. The r05 window (the FINAL rotation) executes the
+    COVERAGE.md triage plan verbatim: (a) there were no r04 red rows,
+    (b) ONE representative per operator family that had never seen a
+    driver sheet — storage/interchange (rdf_patch_roundtrip,
+    snapshots_multi, kg_dict_encode, nquads_roundtrip,
+    kg_property_table), entailment (kg_rdfs_entail, kg_owl_entail,
+    kg_sameas_canonical), validation (kg_shacl_validate,
+    kg_datatype_validate), extraction (kg_jsonld_extract,
+    kg_table_extract), fusion (kg_fact_resolution), embeddings
+    (kg_transe_round, kg_link_prediction), sketches
+    (corpus_hll_distinct, doc_len_quantiles), crawl ops
+    (redirect_resolve, robots_url_filter, crawl_batch_delta), graph
+    structure (web_scc, web_triangles, web_anf), blocking
+    (er_meta_blocking, er_sorted_neighborhood), walks
+    (kg_random_walks) — (c) the four queries whose code or oracle
+    changed in r05 (web_bowtie → FW-BW SCC, web_harmonic_centrality →
+    packed HyperBall registers, event_hopping_windows → DECIMAL-exact
+    sums, kg_node2vec_walks → hub-cap-bearing operator), then (d) the
+    oldest never-checked rows in registry order. 44 registry entries
+    end the project without a driver row (more never-checked rows
+    than final-round slots — COVERAGE.md documents the list); every
+    one of them is value-checked at two scale factors by
+    scripts/check_oracle.py each round and the window replayed
+    hostile-TZ by scripts/driver_sim.py."""
     return {
-        # ===== r04 first-50 window ==================================
-        # -- the 26 session-2 queries never driver-checked (r01-r03) --
+        # ===== r05 first-50 window (the FINAL rotation) =============
+        # COVERAGE.md triage executed: no r04 reds existed, so the
+        # window holds (a) one representative per operator family that
+        # had NEVER seen a driver sheet (storage/interchange,
+        # entailment, validation, extraction, fusion, embeddings,
+        # sketches, crawl ops, graph structure, blocking, walks,
+        # layout - the VERDICT r04 brief-#2 list), (b) the queries
+        # whose code or oracle CHANGED this round (FW-BW bowtie,
+        # packed-register HyperBall centrality, DECIMAL-exact event
+        # sums, node2vec hub cap), and (c) the oldest never-checked
+        # rows in registry order. Everything displaced stays value-
+        # checked at two scale factors by scripts/check_oracle.py.
+        "rdf_patch_roundtrip": q_rdf_patch_roundtrip,
+        "snapshots_multi": q_snapshots_multi,
+        "kg_dict_encode": q_kg_dict_encode,
+        "nquads_roundtrip": q_nquads_roundtrip,
+        "kg_property_table": q_kg_property_table,
+        "kg_rdfs_entail": q_kg_rdfs_entail,
+        "kg_owl_entail": q_kg_owl_entail,
+        "kg_sameas_canonical": q_kg_sameas_canonical,
+        "kg_shacl_validate": q_kg_shacl_validate,
+        "kg_datatype_validate": q_kg_datatype_validate,
+        "kg_jsonld_extract": q_kg_jsonld_extract,
+        "kg_table_extract": q_kg_table_extract,
+        "kg_fact_resolution": q_kg_fact_resolution,
+        "kg_transe_round": q_kg_transe_round,
+        "kg_link_prediction": q_kg_link_prediction,
+        "corpus_hll_distinct": q_corpus_hll_distinct,
+        "doc_len_quantiles": q_doc_len_quantiles,
+        "redirect_resolve": q_redirect_resolve,
+        "robots_url_filter": q_robots_url_filter,
+        "crawl_batch_delta": q_crawl_batch_delta,
+        "web_scc": q_web_scc,
+        "web_triangles": q_web_triangles,
+        "web_anf": q_web_anf,
+        "er_meta_blocking": q_er_meta_blocking,
+        "er_sorted_neighborhood": q_er_sorted_neighborhood,
+        "kg_random_walks": q_kg_random_walks,
+        "web_bowtie": q_web_bowtie,
+        "web_harmonic_centrality": q_web_harmonic_centrality,
+        "event_hopping_windows": q_event_hopping_windows,
+        "kg_node2vec_walks": q_kg_node2vec_walks,
+        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
+        "corpus_bpe_pairs": q_corpus_bpe_pairs,
+        "doc_bpe_encode": q_doc_bpe_encode,
+        "warc_roundtrip": q_warc_roundtrip,
+        "doc_quality_classifier": q_doc_quality_classifier,
+        "kg_communities": q_kg_communities,
+        "doc_source_cap": q_doc_source_cap,
+        "web_link_graph": q_web_link_graph,
+        "crawl_change_rate": q_crawl_change_rate,
+        "inverted_postings": q_inverted_postings,
+        "anchor_text_top": q_anchor_text_top,
+        "web_hits": q_web_hits,
+        "crawl_frontier_schedule": q_crawl_frontier_schedule,
+        "canonical_resolve": q_canonical_resolve,
+        "sitemap_discovery": q_sitemap_discovery,
+        "doc_boilerplate_strip": q_doc_boilerplate_strip,
+        "doc_phrase_search": q_doc_phrase_search,
+        "host_quality_rollup": q_host_quality_rollup,
+        "kg_ifp_resolution": q_kg_ifp_resolution,
+        "doc_nfc_normalize": q_doc_nfc_normalize,
+        # ================= end of the 50-row driver window ===========
+        # every entry below has a driver-green row in r01-r04 or is
+        # listed in COVERAGE.md as local-oracle-only (44 rows; more
+        # never-checked entries than final-round slots - documented)
         "tpch_q2": q_tpch_q2,
         "tpch_q8": q_tpch_q8,
         "tpch_q11": q_tpch_q11,
@@ -10963,21 +11050,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features_wav": q_audio_features_wav,
         "doc_bm25_topk": q_doc_bm25_topk,
         "expire_versions": q_expire_versions,
-        # -- re-fixed / newly-oracled this round ----------------------
         "sparql_numeric_fns": q_sparql_numeric_fns,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "sparql_text_typed_compare": q_sparql_text_typed_compare,
-        # -- r04 in-round additions (typed comparisons, sameTerm
-        #    IRI-ness, UPDATE dataset clauses, EBV filter compilation;
-        #    these double as re-verification of the r04-touched
-        #    comparison/filter code) -----------------------------------
         "sparql_text_sameterm_ctor": q_sparql_text_sameterm_ctor,
         "sparql_text_typed_temporal": q_sparql_text_typed_temporal,
         "sparql_update_using": q_sparql_update_using,
         "sparql_text_ebv": q_sparql_text_ebv,
-        # -- queries ADDED during r04 (near-dup clustering, training
-        #    ops, sketches/sampling/PII) — first driver rows ----------
         "doc_neardup_clusters": q_doc_neardup_clusters,
         "doc_sequence_pack": q_doc_sequence_pack,
         "doc_gopher_filter": q_doc_gopher_filter,
@@ -10986,10 +11066,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_priority_sample": q_doc_priority_sample,
         "doc_pii_redact": q_doc_pii_redact,
         "sparql_text_strlang_dyn": q_sparql_text_strlang_dyn,
-        # -- session-5/6 additions (duplicated-span detection, CCNet
-        #    perplexity buckets, count-min heavy hitters, DSIR data
-        #    selection, range/as-of joins, PageRank, bucketed storage)
-        #    — first driver rows ---------------------------------------
         "doc_shared_spans": q_doc_shared_spans,
         "doc_ppl_buckets": q_doc_ppl_buckets,
         "corpus_countmin_topk": q_corpus_countmin_topk,
@@ -10998,77 +11074,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase": q_asof_join_purchase,
         "kg_pagerank": q_kg_pagerank,
         "bucketed_snapshot": q_bucketed_snapshot,
-        # ================= end of the 50-row driver window ===========
-        # -- session-8 additions (HLL distinct, Bloom decontamination,
-        #    BPE pair counts) — r05-window candidates, local-oracle
-        #    checked at two SFs every round until then ----------------
-        "corpus_hll_distinct": q_corpus_hll_distinct,
-        "doc_bloom_decontaminate": q_doc_bloom_decontaminate,
-        "corpus_bpe_pairs": q_corpus_bpe_pairs,
-        "doc_len_quantiles": q_doc_len_quantiles,
-        # -- session-9 additions (tokenizer apply, …) ------------------
-        "doc_bpe_encode": q_doc_bpe_encode,
-        "warc_roundtrip": q_warc_roundtrip,
-        "doc_quality_classifier": q_doc_quality_classifier,
-        "kg_communities": q_kg_communities,
-        "doc_source_cap": q_doc_source_cap,
-        "web_link_graph": q_web_link_graph,
-        # -- session-10 additions (crawl-delta analytics, redirect
-        #    resolution, retrieval index, anchor text, HITS) — r05
-        #    window candidates, local-oracle checked at two SFs ------
-        "crawl_batch_delta": q_crawl_batch_delta,
-        "crawl_change_rate": q_crawl_change_rate,
-        "redirect_resolve": q_redirect_resolve,
-        "inverted_postings": q_inverted_postings,
-        "anchor_text_top": q_anchor_text_top,
-        "web_hits": q_web_hits,
-        "robots_url_filter": q_robots_url_filter,
-        "crawl_frontier_schedule": q_crawl_frontier_schedule,
-        "canonical_resolve": q_canonical_resolve,
-        "sitemap_discovery": q_sitemap_discovery,
-        "doc_boilerplate_strip": q_doc_boilerplate_strip,
-        "doc_phrase_search": q_doc_phrase_search,
-        "host_quality_rollup": q_host_quality_rollup,
-        "kg_rdfs_entail": q_kg_rdfs_entail,
-        "kg_sameas_canonical": q_kg_sameas_canonical,
-        "kg_shacl_validate": q_kg_shacl_validate,
-        "kg_ifp_resolution": q_kg_ifp_resolution,
-        "doc_nfc_normalize": q_doc_nfc_normalize,
-        "kg_owl_entail": q_kg_owl_entail,
-        "web_triangles": q_web_triangles,
-        "nquads_roundtrip": q_nquads_roundtrip,
-        "kg_property_table": q_kg_property_table,
         "web_kcore": q_web_kcore,
-        "kg_datatype_validate": q_kg_datatype_validate,
         "web_mirror_hosts": q_web_mirror_hosts,
         "kg_entail_delta": q_kg_entail_delta,
-        # -- session-15 additions (WDC structured-data extraction) ----
-        "kg_jsonld_extract": q_kg_jsonld_extract,
         "kg_microdata_extract": q_kg_microdata_extract,
         "kg_rdfa_extract": q_kg_rdfa_extract,
         "kg_skolemize": q_kg_skolemize,
-        "kg_table_extract": q_kg_table_extract,
         "kg_fact_support": q_kg_fact_support,
         "kg_source_trust": q_kg_source_trust,
-        "kg_fact_resolution": q_kg_fact_resolution,
         "kg_vocab_align": q_kg_vocab_align,
         "kg_web_ingest": q_kg_web_ingest,
         "kg_recrawl_diff": q_kg_recrawl_diff,
         "web_page_metadata": q_web_page_metadata,
         "web_feed_entries": q_web_feed_entries,
         "kg_void_summary": q_kg_void_summary,
-        "kg_transe_round": q_kg_transe_round,
-        "kg_link_prediction": q_kg_link_prediction,
         "kg_fact_intervals": q_kg_fact_intervals,
         "kg_type_inference": q_kg_type_inference,
         "kg_void_props": q_kg_void_props,
         "kg_void_classes": q_kg_void_classes,
-        # -- session-17 additions (scale-path linking) ----------------
         "entity_link_blocked": q_entity_link_blocked,
-        # -- session-18 additions (planner statistics / KG summaries) -
         "kg_char_sets": q_kg_char_sets,
         "kg_summary_graph": q_kg_summary_graph,
-        "kg_dict_encode": q_kg_dict_encode,
         "kg_graph_hash": q_kg_graph_hash,
         "kg_hearst_hypernyms": q_kg_hearst_hypernyms,
         "kg_ppr_relatedness": q_kg_ppr_relatedness,
@@ -11076,45 +11102,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "web_pld_rollup": q_web_pld_rollup,
         "kg_table_schema_align": q_kg_table_schema_align,
         "kg_star_count_from_stats": q_kg_star_count_from_stats,
-        "rdf_patch_roundtrip": q_rdf_patch_roundtrip,
-        "snapshots_multi": q_snapshots_multi,
         "kg_prov_lineage": q_kg_prov_lineage,
-        # -- session-19 additions (web-graph structure + walk corpus) -
-        "web_scc": q_web_scc,
-        "web_bowtie": q_web_bowtie,
         "kg_ra_linkpred": q_kg_ra_linkpred,
-        "kg_random_walks": q_kg_random_walks,
-        "er_meta_blocking": q_er_meta_blocking,
-        "er_sorted_neighborhood": q_er_sorted_neighborhood,
         "kg_hop_distance": q_kg_hop_distance,
         "doc_containment_topk": q_doc_containment_topk,
-        "web_anf": q_web_anf,
         "web_dust_rules": q_web_dust_rules,
         "web_host_graph": q_web_host_graph,
         "web_clustering_coeff": q_web_clustering_coeff,
         "snapshot_triple_prov": q_snapshot_triple_prov,
         "web_neighborhood_fn": q_web_neighborhood_fn,
         "web_degree_dist": q_web_degree_dist,
-        "kg_node2vec_walks": q_kg_node2vec_walks,
         "version_intervals": q_version_intervals,
-        "web_harmonic_centrality": q_web_harmonic_centrality,
         "kg_zorder_key": q_kg_zorder_key,
         "web_effective_diameter": q_web_effective_diameter,
-        "event_hopping_windows": q_event_hopping_windows,
         "kg_walk_cooc": q_kg_walk_cooc,
         "er_blocking_recall": q_er_blocking_recall,
         "doc_textrank_keywords": q_doc_textrank_keywords,
-        # -- re-verification rows for code paths r04 touched: all six
-        #    were driver-green in r01-r03 and stay value-checked at two
-        #    SFs by check_oracle.py every round; they ceded their
-        #    window slots to the session-6 first-evidence rows ---------
         "sparql_text_bind_values": q_sparql_text_bind_values,
         "sparql_text_exists": q_sparql_text_exists,
         "embedding_near_dup": q_embedding_near_dup,
         "kg_pipeline": q_kg_pipeline,
         "diff_triples": q_diff_triples,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
-        # -- driver-green in r01|r02|r03 (re-checked locally each run) -
         "snapshot_at": q_snapshot_at,
         "sparql_path_plus": q_sparql_path_plus,
         "sparql_text_group_agg": q_sparql_text_group_agg,
@@ -11213,9 +11222,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_running_sum": q_window_running_sum,
         "percentile": q_percentile,
         "pivot_status": q_pivot_status,
-        # -- rotated out of the r04 window to make room for the r04
-        #    in-round additions (all driver-green r01-r03 and
-        #    locally re-checked at two SFs every round) ----------------
         "sparql_text_construct": q_sparql_text_construct,
         "sparql_text_offset": q_sparql_text_offset,
         "sparql_text_describe": q_sparql_text_describe,

@@ -1000,6 +1000,7 @@ def scc(
     edges: DataFrame,
     max_iterations: int = 20,
     fwbw_threshold_nodes: int = 100_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Strongly connected components: scc_id(u) = min({u} ∪ {v : u→+v
     and v→+u}) over the doubling transitive closure — exact Tarjan
@@ -1026,20 +1027,34 @@ def scc(
     reversed — AQE reuses the exchange); the final min is a
     combinable aggregate.
 
+    `algorithm` pins the path explicitly: "closure" for graphs the
+    CALLER knows are bounded-reach (redirect rings, mirror cycles —
+    there the closure is linear and measured ~1.7× faster than
+    FW-BW's sweep machinery, BENCH.md graph-scale rows), "fwbw" to
+    force the safe path, "auto" (default) = the node-count
+    threshold. Auto errs toward FW-BW because its worst case is a
+    constant-factor slowdown while the closure's is quadratic
+    blow-up.
+
     Reference context: the reference has no graph analytics at all
     (SURVEY §2 — oxigraph answers paths only); this extends the
     `transitive_closure` family the same way `kcore_peel` and
     `triangle_count` do, for the crawl-curation side of the north
     star.
     """
-    n_nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .count()
-    )
-    if n_nodes > fwbw_threshold_nodes:
+    if algorithm not in ("auto", "closure", "fwbw"):
+        raise ValueError(f"unknown scc algorithm {algorithm!r}")
+    if algorithm == "fwbw":
         return scc_fwbw(edges)
+    if algorithm == "auto":
+        n_nodes = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count()
+        )
+        if n_nodes > fwbw_threshold_nodes:
+            return scc_fwbw(edges)
     tc = transitive_closure(edges, max_iterations)
     mutual = (
         tc.alias("f")
@@ -1445,45 +1460,98 @@ def hyperball(edges: DataFrame, radius: int = 3, b: int = 8) -> DataFrame:
     function N(t) = Σ_v |ball(v, t)| follows by summing est_distinct;
     effective-diameter curves by running with increasing radius.
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate
-
     for _, regs in _ball_registers(edges, radius, b):
         last = regs
-    return hll_estimate(last, ["node"], b)
+    return _packed_estimate(last, b)
 
 
 def _ball_registers(edges: DataFrame, max_radius: int, b: int):
-    """Shared HyperBall register iteration: yields (t, registers) for
-    t = 0..max_radius, where registers is the (node, reg, maxrank)
-    HLL table of ball(node, t). t=0 is the singleton sketch; each
-    step is one edge join + one (node, reg) max-aggregation
-    (map-side-combinable — hub in-degree collapses before the
-    shuffle), eager-checkpointed. `hyperball`,
+    """Shared HyperBall register iteration, PACKED: yields (t, state)
+    for t = 0..max_radius, where state is ONE row per node holding all
+    m = 2^b registers as columns (_r0.._r{m-1}) — HyperBall's packed
+    counter arrays (Boldi & Vigna 2013 §4), closing the 16× row-per-
+    register state blowup BENCH.md measured on the unpacked variant
+    (r04 VERDICT weak #3b). Registers-as-columns instead of one
+    BINARY + zip_with because Spark has no COMBINABLE pairwise-array
+    aggregate (zip_with over collect_list would buffer a hub's whole
+    in-neighborhood unreduced); per-column max IS the register-wise
+    max merge and keeps map-side partial aggregation, so hub
+    in-degree still collapses before the shuffle, now into ONE row
+    per node instead of m. t=0 is the singleton sketch (seeded via
+    the md5-positional `hll_registers`, so DuckDB oracles replay the
+    registers bit-for-bit); each step is one edge join + one
+    node-keyed max-aggregation, eager-checkpointed. `hyperball`,
     `neighborhood_function`, and `harmonic_centrality` all consume
-    this one loop."""
+    this one loop. Column fan-out bounds the practical register
+    count at b ≤ 8 (256 columns — Janino-compile-sized); HyperBall's
+    accuracy at b=8 is ~6.5 % which is the regime these census
+    queries run in.
+    """
     from rdf_diff_store_spark.operators.sketch import hll_registers
 
+    m = 1 << b
+    rcols = [f"_r{i}" for i in range(m)]
     e = edges.select("src", "dst").distinct().localCheckpoint()
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
     )
-    regs = hll_registers(
+    rows = hll_registers(
         nodes.select("node", F.col("node").alias("val")), ["node"], "val", b
-    ).localCheckpoint()
-    yield 0, regs
-    for t in range(1, max_radius + 1):
-        contrib = e.join(regs, e["dst"] == regs["node"]).select(
-            e["src"].alias("node"), "reg", "maxrank"
+    )
+    packed = (
+        rows.groupBy("node")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("reg") == i, F.col("maxrank"))), F.lit(0)
+                )
+                .cast("int")
+                .alias(f"_r{i}")
+                for i in range(m)
+            ]
         )
-        regs = (
-            regs.unionByName(contrib)
-            .groupBy("node", "reg")
-            .agg(F.max("maxrank").alias("maxrank"))
+        .localCheckpoint()
+    )
+    yield 0, packed
+    for t in range(1, max_radius + 1):
+        contrib = e.join(packed, e["dst"] == packed["node"]).select(
+            e["src"].alias("node"), *rcols
+        )
+        packed = (
+            packed.unionByName(contrib)
+            .groupBy("node")
+            .agg(*[F.max(c).alias(c) for c in rcols])
             .localCheckpoint()
         )
-        yield t, regs
+        yield t, packed
+
+
+def _packed_estimate(packed: DataFrame, b: int) -> DataFrame:
+    """`hll_estimate` over packed register columns — the identical
+    integer-exact arithmetic (absent register = rank 0 contributes
+    2^53, present ones 2^(53-rank); one shared float C literal from
+    `sketch._hll_alpha_c`; one correctly-rounded divide), so the
+    packed path is BIGINT-bit-identical to the row-register oracle.
+    Returns (node, n_regs, sum_scaled, est_distinct)."""
+    from rdf_diff_store_spark.operators.sketch import _hll_alpha_c
+
+    m = 1 << b
+    n_regs = None
+    sum_scaled = None
+    for i in range(m):
+        present = F.when(F.col(f"_r{i}") > 0, 1).otherwise(0)
+        term = F.expr(f"CAST(power(2, 53 - _r{i}) AS BIGINT)")
+        n_regs = present if n_regs is None else n_regs + present
+        sum_scaled = term if sum_scaled is None else sum_scaled + term
+    c = _hll_alpha_c(b)
+    return packed.select(
+        "node",
+        n_regs.cast("int").alias("n_regs"),
+        sum_scaled.alias("sum_scaled"),
+        F.floor(F.lit(c) / sum_scaled).cast("long").alias("est_distinct"),
+    )
 
 
 def clustering_coefficient(edges: DataFrame) -> DataFrame:
@@ -1532,11 +1600,9 @@ def neighborhood_function(
     term is the bit-portable raw HLL estimator, so the sum is
     engine-exact).
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate
-
     def _point(t: int, r: DataFrame) -> DataFrame:
         return (
-            hll_estimate(r, ["node"], b)
+            _packed_estimate(r, b)
             .agg(
                 F.count("*").cast("bigint").alias("n_nodes"),
                 F.sum("est_distinct").cast("bigint").alias("pairs_est"),
@@ -1559,6 +1625,7 @@ def node2vec_walks(
     w_stay: int = 4,
     w_out: int = 2,
     salt: str = "n2v",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Second-order biased walks (node2vec, Grover & Leskovec KDD
     2016): the step distribution depends on the PREVIOUS node — a
@@ -1583,19 +1650,45 @@ def node2vec_walks(
     one per-walk cumulative-sum window, and a filter keep exactly one
     row. This is the price of the biased distribution — first-order
     `random_walks` stays O(1) per step and is the default; use
-    node2vec where the BFS/DFS interpolation earns it, and cap hub
-    degrees upstream if 10^6-degree nodes would sit on walk paths.
+    node2vec where the BFS/DFS interpolation earns it. `max_degree`
+    caps hub fan-out IN the operator (r04 VERDICT #3a): nodes with
+    more than `max_degree` out-neighbors walk over a DETERMINISTIC
+    md5-ranked subsample of exactly `max_degree` of them — replays
+    stay bit-identical, and a 10^6-degree hub on a walk path fans
+    out `max_degree` candidate rows instead of 10^6. The (prev, x)
+    edge classification still consults the FULL edge set (the marker
+    probe is an equi-join, not a fan-out), so w_stay/w_out labels are
+    unaffected by the cap; only the hub's reachable-neighbor menu
+    shrinks — the standard degree-capping trade.
     Step 1 has no prev and draws uniformly (standard convention).
     """
     from pyspark.sql import Window
 
     e = edges.select("src", "dst").distinct().localCheckpoint()
-    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    idx = F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
-    adj_idx = e.select("src", "dst", idx.alias("idx")).localCheckpoint()
     marker = e.select(
         F.col("src").alias("_ms"), F.col("dst").alias("_md"), F.lit(1).alias("_edge")
     ).localCheckpoint()
+    if max_degree is not None:
+        cap_rank = F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.md5(
+                    F.concat(
+                        F.lit(salt), F.lit(":cap:"), F.col("src"), F.lit("→"),
+                        F.col("dst"),
+                    )
+                ),
+                "dst",
+            )
+        )
+        e = (
+            e.select("src", "dst", cap_rank.alias("_rk"))
+            .filter(F.col("_rk") <= max_degree)
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    deg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    idx = F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+    adj_idx = e.select("src", "dst", idx.alias("idx")).localCheckpoint()
 
     starts = seeds.select("seed").distinct()
     # step 1: uniform first-order pick (no prev yet) — same as random_walks
@@ -1710,18 +1803,16 @@ def harmonic_centrality(
     Same per-iteration cost as `hyperball` plus one node-keyed join
     per radius to difference the estimates.
     """
-    from rdf_diff_store_spark.operators.sketch import hll_estimate
-
     acc = None
     for t, regs in _ball_registers(edges, max_radius, b):
         if t == 0:
-            acc = hll_estimate(regs, ["node"], b).select(
+            acc = _packed_estimate(regs, b).select(
                 "node",
                 F.col("est_distinct").alias("_prev"),
                 F.lit(0).cast("bigint").alias("h_micro"),
             )
             continue
-        est = hll_estimate(regs, ["node"], b).select(
+        est = _packed_estimate(regs, b).select(
             "node", F.col("est_distinct").alias("_cur")
         )
         acc = (

@@ -299,6 +299,19 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     )
 
 
+def _hll_alpha_c(b: int) -> float:
+    """The shared HLL estimator constant C = α_m·m²·2^53 — ONE float
+    literal used identically by the row-register `hll_estimate` and
+    the packed-register HyperBall path (`operators/graph.py`), so both
+    emit bit-identical BIGINT estimates from the same registers."""
+    m = 1 << b
+    if m >= 128:
+        alpha = 0.7213 / (1 + 1.079 / m)
+    else:
+        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return alpha * m * m * (2.0 ** 53)
+
+
 def hll_estimate(
     registers: DataFrame,
     group_cols: list[str],
@@ -322,11 +335,7 @@ def hll_estimate(
     ~1.04/√m ≈ 6.5 % at b=8.
     """
     m = 1 << b
-    if m >= 128:
-        alpha = 0.7213 / (1 + 1.079 / m)
-    else:
-        alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
-    c = alpha * m * m * (2.0 ** 53)
+    c = _hll_alpha_c(b)
     term = F.expr("CAST(power(2, 53 - maxrank) AS BIGINT)")
     agg = registers.groupBy(*group_cols).agg(
         F.count("*").cast("int").alias("n_regs"),

@@ -38,9 +38,20 @@ class AppendOnlyState:
         self.schema = schema
         self.path = os.path.join(work_dir, name)
 
+    def _exists(self) -> bool:
+        """Existence via the Hadoop FileSystem API, not os.path: for a
+        non-local work_dir (hdfs://, s3a://) a driver-local isdir is
+        ALWAYS False, which would silently report empty state — the
+        exact silently-zeroed-state fault this class exists to
+        prevent (r04 ADVICE #2)."""
+        jvm = self.spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+
     def read(self) -> DataFrame:
         """Current state; ONLY a missing directory means empty."""
-        if not os.path.isdir(self.path):
+        if not self._exists():
             return self.spark.createDataFrame([], self.schema)
         return self.spark.read.parquet(self.path)
 

@@ -53,10 +53,19 @@ def main() -> None:
         )
         .localCheckpoint()
     )
+    # both paths on the same fixture: the closure is linear here
+    # (bounded reach) and is what a redirect-collapse caller pins with
+    # algorithm="closure"; fwbw is the safe default above the auto
+    # threshold (its worst case is constant-factor, closure's is
+    # quadratic in a giant core)
     t0 = time.time()
-    n_comp = scc(ring).select("scc_id").distinct().count()
-    out["scc_sec"] = round(time.time() - t0, 2)
+    n_comp = scc(ring, algorithm="closure").select("scc_id").distinct().count()
+    out["scc_closure_sec"] = round(time.time() - t0, 2)
     out["scc_components"] = n_comp
+    t0 = time.time()
+    n_comp_f = scc(ring, algorithm="fwbw").select("scc_id").distinct().count()
+    out["scc_fwbw_sec"] = round(time.time() - t0, 2)
+    assert n_comp_f == n_comp
 
     # --- wedge overlap: bipartite, centers of degree 10 --------------
     n_centers = n // 5

@@ -566,3 +566,47 @@ class TestSccFwbw:
         )
         out = {r.id: r.scc_id for r in g.scc(df, fwbw_threshold_nodes=2).collect()}
         assert out == {"a": "a", "b": "a", "c": "c"}
+
+
+class TestNode2vecMaxDegree:
+    def test_hub_cap_walk_validity_and_replay(self, spark):
+        # one 10^4-degree hub; capped walks must still be real walks
+        # over ORIGINAL edges, and two runs must be bit-identical
+        from rdf_diff_store_spark.operators.graph import node2vec_walks
+
+        hub_edges = [("hub", f"leaf{i:05d}") for i in range(10_000)]
+        back = [(f"leaf{i:05d}", "hub") for i in range(0, 10_000, 100)]
+        edges = hub_edges + back
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([("hub",)], "seed string")
+        edge_set = set(edges)
+
+        def run():
+            rows = node2vec_walks(e, s, length=3, max_degree=32).collect()
+            byw = {}
+            for r in rows:
+                byw.setdefault(r.walk_id, {})[r.step] = r.node
+            return byw
+
+        first = run()
+        assert first == run()  # deterministic replay under the cap
+        for steps in first.values():
+            assert steps[0] == "hub"
+            for t in range(1, max(steps) + 1):
+                assert (steps[t - 1], steps[t]) in edge_set  # valid walk
+
+    def test_cap_at_or_above_degree_is_identity(self, spark):
+        from rdf_diff_store_spark.operators.graph import node2vec_walks
+
+        edges = [("a", "b"), ("a", "c"), ("b", "a"), ("b", "c"),
+                 ("c", "a"), ("c", "d"), ("d", "b")]
+        e = spark.createDataFrame(edges, "src string, dst string")
+        s = spark.createDataFrame([("a",), ("b",)], "seed string")
+
+        def walks(**kw):
+            return sorted(
+                (r.walk_id, r.step, r.node)
+                for r in node2vec_walks(e, s, length=5, **kw).collect()
+            )
+
+        assert walks(max_degree=3) == walks(max_degree=None)
