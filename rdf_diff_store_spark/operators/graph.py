@@ -871,6 +871,7 @@ def scc_fwbw(
             .localCheckpoint()
         )
         # 1. trim: no in-edge or no out-edge within the part → singleton
+        trim_converged = False
         for _t in range(trim_rounds_per_round):
             has_out = e_act.select("_part", F.col("src").alias("id")).distinct()
             has_in = e_act.select("_part", F.col("dst").alias("id")).distinct()
@@ -882,6 +883,7 @@ def scc_fwbw(
             )
             n_keep, n_act = keep.count(), active.count()
             if n_keep == n_act:
+                trim_converged = True
                 break
             trimmed = active.join(keep, ["_part", "id"], "left_anti")
             assigned = _acc(assigned, trimmed.select("id", F.col("id").alias("scc_id")))
@@ -892,6 +894,24 @@ def scc_fwbw(
                 .select("_part", "src", "dst")
                 .localCheckpoint()
             )
+        if not trim_converged:
+            # the FINAL trim refilter can strip a survivor of ALL its
+            # part-local edges (both neighbors trimmed in that same
+            # iteration — e.g. the middle of an 11-node path at the
+            # default 5 trim rounds). Such a node is a singleton SCC,
+            # but the WCC relabel below only sees EDGE-INCIDENT nodes,
+            # so without this sweep it would silently vanish from the
+            # output instead of being assigned.
+            incident = (
+                e_act.select("_part", F.col("src").alias("id"))
+                .unionByName(e_act.select("_part", F.col("dst").alias("id")))
+                .distinct()
+            )
+            orphans = active.join(incident, ["_part", "id"], "left_anti")
+            assigned = _acc(
+                assigned, orphans.select("id", F.col("id").alias("scc_id"))
+            )
+            active = active.join(incident, ["_part", "id"], "left_semi").localCheckpoint()
         if active.count() == 0:
             break
         # 1b. WCC refinement (the "coloring" step of Slota/Rajamanickam/

@@ -537,6 +537,19 @@ class TestSccFwbw:
         out = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
         assert out == {f"c{i:03d}": f"c{i:03d}" for i in range(14)}
 
+    def test_trim_exhaustion_orphan_is_not_dropped(self, spark):
+        # 11-node path: trim round 5 (the default budget) removes BOTH
+        # neighbors of the middle node, stripping it of every part-local
+        # edge while it stays active — the WCC relabel sees only
+        # edge-incident nodes, so before the orphan sweep this node
+        # silently vanished from the output (r05 review find)
+        from rdf_diff_store_spark.operators.graph import scc_fwbw
+
+        pairs = [(f"c{i:03d}", f"c{i + 1:03d}") for i in range(10)]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        out = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
+        assert out == {f"c{i:03d}": f"c{i:03d}" for i in range(11)}
+
     def test_bowtie_never_runs_transitive_closure(self, spark, monkeypatch):
         # spy: the closure is forbidden on the bowtie path (same
         # technique as the seeded-path audit in explain_audit check 7)
