@@ -808,7 +808,10 @@ def _labeled_reach(
 
 
 def scc_fwbw(
-    edges: DataFrame, max_rounds: int = 30, trim_rounds_per_round: int = 5
+    edges: DataFrame,
+    max_rounds: int = 30,
+    trim_rounds_per_round: int = 5,
+    sweep_depth: int = 300,
 ) -> DataFrame:
     """Strongly connected components by parallel Forward-Backward with
     trimming (Fleischer/Hendrickson/Pinar 2000; Hong/Rodia/Olukotun
@@ -971,11 +974,19 @@ def scc_fwbw(
             .select("_part", F.col("id").alias("node"))
             .localCheckpoint()
         )
-        # 3. simultaneous forward/backward sweeps from all pivots
-        fwd = _labeled_reach(e_act, pivots)
+        # 3. simultaneous forward/backward sweeps from all pivots.
+        # sweep_depth bounds BFS depth, i.e. the longest shortest-path
+        # from a pivot inside one part — a >sweep_depth-diameter part
+        # (e.g. a 300+-node redirect ring reaching this path via scc's
+        # auto mode) raises loudly in _labeled_reach rather than
+        # returning a partial sweep. The cap is cheap to keep generous:
+        # the loop exits as soon as the frontier empties, so shallow
+        # graphs never pay for it.
+        fwd = _labeled_reach(e_act, pivots, max_iterations=sweep_depth)
         bwd = _labeled_reach(
             e_act.select("_part", F.col("dst").alias("src"), F.col("src").alias("dst")),
             pivots,
+            max_iterations=sweep_depth,
         )
         sccset = (
             pivots.unionByName(fwd.join(bwd, ["_part", "node"]))

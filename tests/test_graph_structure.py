@@ -537,6 +537,20 @@ class TestSccFwbw:
         out = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
         assert out == {f"c{i:03d}": f"c{i:03d}" for i in range(14)}
 
+    def test_deep_ring_exceeds_old_sweep_cap(self, spark):
+        # one 80-node directed ring: trim is a no-op (every node has
+        # in+out), so the pivot sweep must walk the full ring — deeper
+        # than the old 60-iteration _labeled_reach default, which made
+        # scc_fwbw RAISE on any >60-diameter part (e.g. long redirect
+        # rings reached via scc's auto mode). sweep_depth=300 covers it.
+        from rdf_diff_store_spark.operators.graph import scc_fwbw
+
+        n = 80
+        pairs = [(f"r{i:03d}", f"r{(i + 1) % n:03d}") for i in range(n)]
+        df = spark.createDataFrame(pairs, "src string, dst string")
+        out = {r.id: r.scc_id for r in scc_fwbw(df).collect()}
+        assert out == {f"r{i:03d}": "r000" for i in range(n)}
+
     def test_trim_exhaustion_orphan_is_not_dropped(self, spark):
         # 11-node path: trim round 5 (the default budget) removes BOTH
         # neighbors of the middle node, stripping it of every part-local
