@@ -364,6 +364,27 @@ _TRIPLES_OUT_SCHEMA = (
     "obj string, obj_dt string, obj_lang string"
 )
 
+# Vectorized fast path for CANONICAL N-Triples lines (r06). A line of
+# the exact shape `<iri> <iri> <iri> .` or `<iri> <iri> "literal" .`
+# with NO backslash escapes is what this engine's own canonicalizer
+# emits (serialize_triple) and what the changelog derivations build,
+# so the diff/snapshot parse hot path is overwhelmingly these lines.
+# For them the full tokenizer's answer is fixed and computable with
+# one C-level regex extract per batch:
+#   * IRIs without `\` need no \u/\U unescape, and a document whose
+#     lines ALL match the shape contains no @base/@prefix directive,
+#     so IRI text passes through verbatim (iri_value is the identity);
+#   * a bare double-quoted literal without `\` or @lang/^^dt suffix
+#     parses to (value, xsd:string, no lang) — parse_turtle's exact
+#     typed-literal convention for plain literals.
+# Any document with one non-matching, non-blank line falls back to
+# parse_turtle wholesale (a line inside a triple-quoted multiline
+# literal can never strict-match its opening line, so the per-doc
+# all-lines gate is sound). Fast path and fallback are pinned
+# equivalent by tests/test_turtle_fast_path.py.
+_FAST_NT_RE = re.compile(r'^<([^>\\]*)> <([^>\\]*)> (?:<([^>\\]*)>|"([^"\\]*)") \.$')
+_XSD_STRING = _XSD_NS + "string"
+
 
 def parse_triples(changelog: DataFrame, passthrough: str | None = None) -> DataFrame:
     """Explode canonical payloads into triple rows.
@@ -382,29 +403,79 @@ def parse_triples(changelog: DataFrame, passthrough: str | None = None) -> DataF
     """
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         cols = ("graph_id", "ts", "subj", "pred", "obj", "obj_dt", "obj_lang")
         for pdf in batches:
-            out: dict[str, list] = {k: [] for k in cols}
-            if passthrough:
-                out[passthrough] = []
-            extra = pdf[passthrough] if passthrough else None
-            for i, (gid, ts, payload) in enumerate(
-                zip(pdf["graph_id"], pdf["ts"], pdf["payload"])
-            ):
-                if payload is None:
-                    continue
-                parsed_rows = parse_turtle(payload)
+            pl = pdf["payload"]
+            nn_pos = np.flatnonzero(pl.notna().to_numpy())
+            frames: list[pd.DataFrame] = []
+            fallback_pos: list[int] = []
+            if len(nn_pos):
+                docs = pl.iloc[nn_pos]
+                line_lists = [d.split("\n") for d in docs]
+                counts = np.fromiter(
+                    (len(ls) for ls in line_lists), dtype=np.int64, count=len(line_lists)
+                )
+                flat = pd.Series(
+                    [ln for ls in line_lists for ln in ls], dtype=object
+                )
+                # rep[j] = position (into nn_pos) of the doc owning line j
+                rep = np.repeat(np.arange(len(nn_pos)), counts)
+                m = flat.str.extract(_FAST_NT_RE)
+                matched = m[0].notna().to_numpy()
+                ok = matched.copy()
+                nm = np.flatnonzero(~matched)
+                if len(nm):  # blank lines are ignorable, not disqualifying
+                    blanks = flat.iloc[nm].str.strip().eq("").to_numpy()
+                    ok[nm[blanks]] = True
+                bad_local = np.unique(rep[~ok])
+                fallback_pos = [int(nn_pos[i]) for i in bad_local]
+                good_line = matched & ~np.isin(rep, bad_local)
+                if good_line.any():
+                    sel = np.flatnonzero(good_line)
+                    row_pos = nn_pos[rep[sel]]  # batch row per fast triple
+                    iri_obj = m[2].notna().to_numpy()[sel]
+                    fast = pd.DataFrame(
+                        {
+                            "graph_id": pdf["graph_id"].to_numpy()[row_pos],
+                            "ts": pdf["ts"].to_numpy()[row_pos],
+                            "subj": m[0].to_numpy()[sel],
+                            "pred": m[1].to_numpy()[sel],
+                            "obj": np.where(
+                                iri_obj, m[2].to_numpy()[sel], m[3].to_numpy()[sel]
+                            ),
+                            "obj_dt": np.where(iri_obj, None, _XSD_STRING),
+                            "obj_lang": np.full(len(sel), None, dtype=object),
+                        }
+                    )
+                    if passthrough:
+                        fast[passthrough] = pdf[passthrough].to_numpy()[row_pos]
+                    frames.append(fast)
+            if fallback_pos:
+                out: dict[str, list] = {k: [] for k in cols}
                 if passthrough:
-                    out[passthrough].extend([extra.iloc[i]] * len(parsed_rows))
-                for s, p, o, dt, lang in parsed_rows:
-                    out["graph_id"].append(gid)
-                    out["ts"].append(ts)
-                    out["subj"].append(s)
-                    out["pred"].append(p)
-                    out["obj"].append(o)
-                    out["obj_dt"].append(dt)
-                    out["obj_lang"].append(lang)
-            pdf_out = pd.DataFrame(out)
+                    out[passthrough] = []
+                extra = pdf[passthrough] if passthrough else None
+                for i in fallback_pos:
+                    gid = pdf["graph_id"].iloc[i]
+                    ts = pdf["ts"].iloc[i]
+                    parsed_rows = parse_turtle(pl.iloc[i])
+                    if passthrough:
+                        out[passthrough].extend([extra.iloc[i]] * len(parsed_rows))
+                    for s, p, o, dt, lang in parsed_rows:
+                        out["graph_id"].append(gid)
+                        out["ts"].append(ts)
+                        out["subj"].append(s)
+                        out["pred"].append(p)
+                        out["obj"].append(o)
+                        out["obj_dt"].append(dt)
+                        out["obj_lang"].append(lang)
+                frames.append(pd.DataFrame(out))
+            if frames:
+                pdf_out = pd.concat(frames, ignore_index=True)
+            else:
+                pdf_out = pd.DataFrame({k: [] for k in cols} | ({passthrough: []} if passthrough else {}))
             # all-null ts infers float64, which Arrow can't cast to
             # timestamp — coerce explicitly
             pdf_out["ts"] = pd.to_datetime(pdf_out["ts"])

@@ -88,7 +88,8 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
 
 
 def shingle_frame(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle_n: int = 3,
+    parts_per_core: int = 1,
 ) -> DataFrame:
     """Materialized (_id, _sh) shingle-set frame, shareable between
     LSH banding and exact-Jaccard verification so the shingling work
@@ -98,14 +99,18 @@ def shingle_frame(
     compact text rows into a couple of partitions, which would pin
     the downstream MinHash compute (the CPU-heaviest expression in
     the pipeline) to a couple of cores. Partition count is decoupled
-    from byte size on purpose."""
+    from byte size on purpose.
+
+    ``parts_per_core`` multiplies the partition count. r04 ran a
+    hard-coded 4x to shave the straggler tail at the eager-checkpoint
+    barrier; re-measured in r06 at the kg bench scale (22.8k docs,
+    local[32]) the 4x frame cost 1.14 s vs 0.43 s at 1x — the
+    scheduling + checkpoint overhead of 128 partitions, inherited by
+    EVERY downstream frame (signatures, band rows, both join sides),
+    outweighed the tail saving. Default is now 1x; callers with
+    genuinely skewed per-doc cost can raise it."""
     spark = df.sparkSession
-    # 4x parallelism: the shingle+MinHash work below ends at an eager
-    # checkpoint BARRIER, so the last straggler task idles every other
-    # core — at 2x a single slow task wasted up to a full wave
-    # (measured in the r04 alias_edges stage profile); 4x halves the
-    # expected tail loss for pennies of scheduling overhead
-    n_parts = spark.sparkContext.defaultParallelism * 4
+    n_parts = spark.sparkContext.defaultParallelism * parts_per_core
     return (
         df.repartition(n_parts)
         .select(

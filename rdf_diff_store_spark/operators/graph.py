@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 
 
 def transitive_closure(
-    edges: DataFrame, max_iterations: int = 20, key_cols: tuple[str, ...] = ()
+    edges: DataFrame, max_iterations: int = 20, key_cols: tuple[str, ...] = (),
+    driver_threshold: int = 200_000, driver_max_bytes: int = 64 * 1024 * 1024,
 ) -> DataFrame:
     """All pairs (src, dst) connected by a directed path (p+ semantics).
 
@@ -37,10 +38,52 @@ def transitive_closure(
     `key_cols` scope the closure per key — e.g. a graph_id column for
     SPARQL paths inside GRAPH ?var, where each named graph closes
     independently. The keys ride the same doubling joins (they're part
-    of the shuffle key, so per-graph closure co-locates for free)."""
+    of the shuffle key, so per-graph closure co-locates for free).
+
+    Small-edge-set fast path (r06): the doubling loop costs ~2 driver
+    actions per round (checkpoint + convergence count) — pure job-
+    scheduling latency when the edge set is a few hundred rows (the
+    SPARQL p+ queries over dimension-table chains). Below the same
+    kind of size/byte gate `connected_components` already uses, the
+    distinct edge set is collected once and closed with a driver BFS;
+    the result SET is identical (min-id-free, order-free) and the
+    output schema is preserved. The distributed doubling loop remains
+    the path for closures that don't fit on the driver. Keyed
+    closures (`key_cols`) keep the distributed path — the keyed
+    callers are exactly the per-graph web-scale shapes."""
     keys = list(key_cols)
     closure = edges.select(*keys, "src", "dst").distinct().localCheckpoint()
     prev_count = closure.count()
+    if not keys and prev_count <= driver_threshold:
+        avg_len = (
+            closure.limit(10_000)
+            .agg(F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))))
+            .first()[0]
+        )
+        if prev_count * ((avg_len or 16.0) + 96.0) <= driver_max_bytes:
+            rows = closure.collect()
+            adj: dict = {}
+            for r in rows:
+                adj.setdefault(r.src, set()).add(r.dst)
+            out = set()
+            for s, first in adj.items():
+                seen: set = set()
+                stack = list(first)
+                while stack:
+                    d = stack.pop()
+                    if d in seen:
+                        continue
+                    seen.add(d)
+                    nxt = adj.get(d)
+                    if nxt:
+                        stack.extend(nxt)
+                out.update((s, d) for d in seen)
+            spark = edges.sparkSession
+            src_t = closure.schema["src"].dataType.simpleString()
+            dst_t = closure.schema["dst"].dataType.simpleString()
+            return spark.createDataFrame(
+                sorted(out), f"src {src_t}, dst {dst_t}"
+            )
     for _ in range(max_iterations):
         # doubling: paths = closure ∪ (closure ⋈ closure)
         cond = F.col("a.dst") == F.col("b.src")
@@ -928,10 +971,31 @@ def scc_fwbw(
         # it); `connected_components` picks its own driver-union-find
         # vs distributed path by size.
         sep = "\x1f"
+
+        # a node id CONTAINING the separator would be silently
+        # mis-split by substring_index below, producing wrong ids with
+        # no error (r05 ADVICE #1) — web ids are attacker-shaped, so
+        # raise loudly instead; the check is a per-row expression
+        # inside the existing job, not an extra action
+        def _qualify(col: str) -> F.Column:
+            checked = F.when(
+                F.col(col).contains(sep),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "scc_fwbw: node id contains the reserved U+001F "
+                            "part separator: "
+                        ),
+                        F.col(col),
+                    )
+                ),
+            ).otherwise(F.col(col))
+            return F.concat("_part", F.lit(sep), checked)
+
         qual = connected_components(
             e_act.select(
-                F.concat("_part", F.lit(sep), "src").alias("src"),
-                F.concat("_part", F.lit(sep), "dst").alias("dst"),
+                _qualify("src").alias("src"),
+                _qualify("dst").alias("dst"),
             )
         )
         relab = qual.select(
@@ -1078,6 +1142,10 @@ def scc(
     if algorithm == "fwbw":
         return scc_fwbw(edges)
     if algorithm == "auto":
+        # materialize the (possibly expensive) upstream edges plan
+        # ONCE: the old shape evaluated it for the node count and then
+        # AGAIN inside scc_fwbw/closure (r05 ADVICE #4)
+        edges = edges.select("src", "dst").distinct().localCheckpoint()
         n_nodes = (
             edges.select(F.col("src").alias("id"))
             .unionByName(edges.select(F.col("dst").alias("id")))
@@ -1520,6 +1588,12 @@ def _ball_registers(edges: DataFrame, max_radius: int, b: int):
     """
     from rdf_diff_store_spark.operators.sketch import hll_registers
 
+    if b > 8:
+        raise ValueError(
+            "packed HyperBall supports b <= 8 (2^b register COLUMNS; "
+            f"b={b} would generate {1 << b} aggregate columns and fail "
+            "deep inside Janino codegen with an obscure error)"
+        )
     m = 1 << b
     rcols = [f"_r{i}" for i in range(m)]
     e = edges.select("src", "dst").distinct().localCheckpoint()

@@ -183,8 +183,17 @@ def changelog_of(quads: DataFrame, pages: DataFrame) -> DataFrame:
         ).otherwise(F.concat(F.lit('"'), F.col("obj"), F.lit('"'))),
         F.lit(" ."),
     )
+    # ONE exchange for the whole adds branch (r06, guide §2.4): hash-
+    # repartitioning the narrow (graph_id, ts, line) projection on
+    # graph_id satisfies the ClusteredDistribution of BOTH the
+    # per-(graph_id, ts) payload aggregation and compact_changelog's
+    # graph_id window below, so the agg plans complete-mode with no
+    # second shuffle of the adds rows. Measured at bench scale
+    # (445k quads): changelog stage 1.69 s → 1.15 s, identical rows.
+    spark = quads.sparkSession
     adds = (
         quads.select(F.col("graph_id"), F.col("warc_ts").alias("ts"), line.alias("line"))
+        .repartition(spark.sparkContext.defaultParallelism, "graph_id")
         .groupBy("graph_id", "ts")
         # collect_set: a graph is a SET of triples — re-sent rows or
         # duplicate quads can never change the canonical payload

