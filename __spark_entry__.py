@@ -835,8 +835,22 @@ def q_tpch_q6(spark, sf_dir):
 
 def q_window_topk_per_group(spark, sf_dir):
     """Top-2 orders by totalprice per priority — window row_number
-    (the SPARQL-extension window surface, SURVEY.md §2B last row)."""
+    (the SPARQL-extension window surface, SURVEY.md §2B last row).
+
+    r06: WindowGroupLimit already prunes to 2 rows per group on the
+    map side, but the map-side SORT it needs ran on the scan's 2
+    row-group splits — when the scan is narrower than the core count,
+    widen the 3-column projection first so the per-partition sorts
+    parallelize (orders.parquet is 2 row groups; measured 1.46→1.26 s
+    at sf1.0, identical rows). Guarded like changelog_from_events: a
+    well-split table at scale skips the extra exchange."""
+    from rdf_diff_store_spark.sources.relational import _scan_partitions
+
     orders = load_table(spark, sf_dir, "orders")
+    if _scan_partitions(orders, sf_dir, "orders") < spark.sparkContext.defaultParallelism:
+        orders = orders.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice"
+        ).repartition(spark.sparkContext.defaultParallelism)
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
@@ -936,10 +950,14 @@ def q_doc_quality_score(spark, sf_dir):
 
     r06: documents.parquet is a single row group (2-split scan), so
     the regex work ran on 2 cores; repartition to core count first —
-    measured at sf1.0: 0.91 s → 0.35 s, identical rows (guide §2.5)."""
-    docs = load_table(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    measured at sf1.0: 0.91 s → 0.35 s, identical rows (guide §2.5).
+    Guarded on actual scan parallelism so a well-split table at scale
+    skips the shuffle."""
+    from rdf_diff_store_spark.sources.relational import _scan_partitions
+
+    docs = load_table(spark, sf_dir, "documents")
+    if _scan_partitions(docs, sf_dir, "documents") < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     total = F.length(F.col("text"))
     n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
@@ -1028,10 +1046,13 @@ def q_ann_cosine_topk(spark, sf_dir):
     (b) each vector's self-norm is computed ONCE per row before the
     join instead of once per PAIR (it was 2/3 of the per-pair
     expression work; identical arithmetic, so cos_sim is bit-equal).
-    Measured at sf1.0: 2.03 s → 0.54 s, identical rows."""
-    emb = load_table(spark, sf_dir, "embeddings").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    Measured at sf1.0: 2.03 s → 0.54 s, identical rows. Guarded on
+    actual scan parallelism so a well-split table skips the shuffle."""
+    from rdf_diff_store_spark.sources.relational import _scan_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if _scan_partitions(emb, sf_dir, "embeddings") < spark.sparkContext.defaultParallelism:
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
 
     def dot(a, b):
         return F.aggregate(

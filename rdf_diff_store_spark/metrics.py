@@ -29,6 +29,7 @@ class StageRecorder:
         self.work_dir = work_dir
         self.metrics: list[dict] = []
         self.lineage: list[dict] = []
+        self._cached: list[DataFrame] = []
 
     def stage(self, name: str, df: DataFrame, partition_by: str | None = None) -> DataFrame:
         """Materialize one stage boundary; resume from the checkpoint
@@ -51,10 +52,24 @@ class StageRecorder:
             out = self.spark.read.parquet(path)
         else:
             out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            self._cached.append(out)
         # _record's per-partition count is the materializing action for
         # the persist path, so wall time is measured around it
         self._record(name, out, t0, resumed=False)
         return out
+
+    def release_intermediates(self) -> None:
+        """Unpersist every in-memory stage cache except the most
+        recent one (the pipeline's returned output). Without this,
+        repeated pipeline runs in one session leak 7 cached frames
+        per run (guide §5: unpersist when done) — executor storage
+        fills with dead blocks and later runs pay eviction + GC.
+        Safe at any point after the final stage's _record (which
+        fully materializes it): earlier stages are only lineage
+        parents, re-computable on the rare eviction of the output."""
+        for df in self._cached[:-1]:
+            df.unpersist(blocking=False)
+        del self._cached[:-1]
 
     def _record(self, name: str, df: DataFrame, t0: float, resumed: bool) -> None:
         per_part = (

@@ -260,4 +260,8 @@ def build_kg(
         partition_by="day" if work_dir else None,
     )
     rec.flush()
+    # the changelog stage is fully materialized by its lineage count;
+    # drop the six intermediate stage caches so back-to-back pipeline
+    # runs don't accumulate dead storage blocks (guide §5)
+    rec.release_intermediates()
     return changelog, rec
