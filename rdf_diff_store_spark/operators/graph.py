@@ -53,13 +53,16 @@ def transitive_closure(
     callers are exactly the per-graph web-scale shapes."""
     keys = list(key_cols)
     closure = edges.select(*keys, "src", "dst").distinct().localCheckpoint()
-    prev_count = closure.count()
+    # ONE stats job: the convergence count the doubling loop needs
+    # anyway, plus the byte estimate for the driver-path gate (two
+    # separate actions would double the per-job scheduling latency
+    # this fast path exists to avoid)
+    n_row = closure.agg(
+        F.count("*"),
+        F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))),
+    ).first()
+    prev_count, avg_len = n_row[0], n_row[1]
     if not keys and prev_count <= driver_threshold:
-        avg_len = (
-            closure.limit(10_000)
-            .agg(F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))))
-            .first()[0]
-        )
         if prev_count * ((avg_len or 16.0) + 96.0) <= driver_max_bytes:
             rows = closure.collect()
             adj: dict = {}
@@ -191,18 +194,18 @@ def connected_components(
     # driver-side limit() — a multi-million-row global limit funnels
     # everything through one task (measured 3× pipeline regression).
     e = edges.select("src", "dst").distinct().localCheckpoint()
-    n_edges = e.count()
+    # ONE stats job for the size gate (count + byte estimate) instead
+    # of two sequential actions — per-job latency is the dominant cost
+    # of small-graph calls (r06)
+    stats = e.agg(
+        F.count("*"),
+        F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))),
+    ).first()
+    n_edges, avg_len = stats[0], stats[1]
     fits_rows = n_edges <= driver_threshold
-    fits_bytes = False
-    if fits_rows:
-        # byte-aware gate: long string ids shrink the row budget
-        avg_len = (
-            e.limit(10_000)
-            .agg(F.avg(F.length(F.col("src").cast("string")) + F.length(F.col("dst").cast("string"))))
-            .first()[0]
-        )
-        est_row_bytes = (avg_len or 16.0) + 96.0  # python tuple/str overhead
-        fits_bytes = n_edges * est_row_bytes <= driver_max_bytes
+    # byte-aware gate: long string ids shrink the row budget
+    est_row_bytes = (avg_len or 16.0) + 96.0  # python tuple/str overhead
+    fits_bytes = fits_rows and n_edges * est_row_bytes <= driver_max_bytes
     if fits_rows and fits_bytes:
         rows = e.collect()
         parent: dict = {}
