@@ -930,11 +930,16 @@ def scc_fwbw(
                 .select("id", "_part")
                 .localCheckpoint()
             )
-            n_keep, n_act = keep.count(), active.count()
-            if n_keep == n_act:
+            # ONE action per trim round (r06): the trimmed set's count
+            # answers convergence directly (keep ⊆ active, so
+            # |trimmed| = 0 ⟺ |keep| = |active|), replacing the old
+            # pair of counts; when non-empty the same frame feeds the
+            # singleton-SCC assignment (cheap anti-join of two
+            # checkpointed frames on re-evaluation)
+            trimmed = active.join(keep, ["_part", "id"], "left_anti")
+            if trimmed.count() == 0:
                 trim_converged = True
                 break
-            trimmed = active.join(keep, ["_part", "id"], "left_anti")
             assigned = _acc(assigned, trimmed.select("id", F.col("id").alias("scc_id")))
             active = keep
             e_act = (
