@@ -112,7 +112,10 @@ def shingle_frame(
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism * parts_per_core
     return (
-        df.repartition(n_parts)
+        # keyed repartition (ids are unique → even spread): a keyless
+        # repartition(n) pays sortBeforeRepartition's local sort of the
+        # input first (guide §2.5)
+        df.repartition(n_parts, F.col(id_col))
         .select(
             F.col(id_col).alias("_id"),
             word_shingles(F.col(text_col), shingle_n).alias("_sh"),
